@@ -1,0 +1,174 @@
+"""Engine façade — the PySpark-native equivalent of the reference's
+scheduler-facing query surface.
+
+Reference lifecycle being re-expressed (SURVEY.md §3):
+- session + SQL entry (Flight SQL ``get_flight_info_statement`` →
+  ``ctx.sql(query).into_optimized_plan()``, reference:
+  ballista/scheduler/src/flight_sql.rs:566-579) → :meth:`Engine.sql`.
+- ``CREATE EXTERNAL TABLE`` (datafusion.proto:171-184) →
+  :meth:`Engine.create_external_table`.
+- prepared/parameterized statements (datafusion.proto:186-190,
+  flight_sql.rs:638-655) → :meth:`Engine.sql` with ``args`` /
+  :meth:`Engine.prepare`.
+- job id + cancellation (task_manager.rs:517-525 job ids; JobCancel event
+  api/handlers.rs:154-176) → Spark job groups
+  (:meth:`Engine.run_job` / :meth:`Engine.cancel_job`).
+- EXPLAIN / ANALYZE (datafusion.proto:219-227) → :meth:`Engine.explain`.
+
+Everything below the API line — distributed planning, stage cutting at
+shuffle boundaries, task scheduling, shuffle exchange, fault tolerance —
+is Spark's own machinery (the reference re-implements it in
+ballista/scheduler/src/planner.rs and executor; see SURVEY.md §2.1/§4 for
+the mapping). We deliberately do not rebuild any of it.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import build_session
+from .tables import register_all
+
+_FORMAT_ALIASES = {
+    "parquet": "parquet",
+    "csv": "csv",
+    "avro": "avro",
+    "json": "json",
+    "orc": "orc",
+}
+
+
+def _gen_job_id(rng: random.Random) -> str:
+    """7-char alphanumeric job id, like the reference's
+    ``TaskManager::generate_job_id`` (task_manager.rs:517-525)."""
+    alphabet = string.ascii_letters + string.digits
+    return "".join(rng.choice(alphabet) for _ in range(7))
+
+
+@dataclass
+class PreparedStatement:
+    """Handle for a prepared statement (≅ do_action_create_prepared_statement,
+    flight_sql.rs:638-655). Spark re-plans per execution — parameter binding
+    via ``spark.sql(sql, args=...)`` — so the handle just pins the SQL text."""
+
+    handle: str
+    sql: str
+
+
+@dataclass
+class Engine:
+    """Session-scoped query engine façade."""
+
+    spark: SparkSession = None  # type: ignore[assignment]
+    seed: int | None = None
+    _prepared: dict[str, PreparedStatement] = field(default_factory=dict)
+    _jobs: dict[str, str] = field(default_factory=dict)  # job_id -> description
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def __post_init__(self) -> None:
+        if self.spark is None:
+            self.spark = build_session()
+        self._rng = random.Random(self.seed)
+
+    # -- DDL ---------------------------------------------------------------
+    def create_external_table(
+        self,
+        name: str,
+        path: str,
+        file_format: str = "parquet",
+        schema: str | None = None,
+        options: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        """``CREATE EXTERNAL TABLE`` ≅ CreateExternalTableNode
+        (datafusion.proto:171-184: location, file_type, has_header,
+        delimiter, if_not_exists, table_partition_cols, options).
+
+        Registered as a temp view over a reader so Hive-partitioned
+        directories and schema declarations behave like the reference's
+        ListingTable (datafusion.proto:99-115).
+        """
+        if if_not_exists and name in [t.name for t in self.spark.catalog.listTables()]:
+            return
+        fmt = _FORMAT_ALIASES[file_format.lower()]
+        reader = self.spark.read.format(fmt)
+        if schema:
+            reader = reader.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        reader.load(path).createOrReplaceTempView(name)
+
+    def create_view(self, name: str, query: str, or_replace: bool = True) -> None:
+        """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210)."""
+        df = self.spark.sql(query)
+        if or_replace:
+            df.createOrReplaceTempView(name)
+        else:
+            df.createTempView(name)
+
+    def register_testdata(self, sf_dir: str) -> None:
+        register_all(self.spark, sf_dir)
+
+    # -- query -------------------------------------------------------------
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
+        """SQL entry point ≅ flight_sql.rs:566-579 (parse → analyze →
+        optimize happens inside Catalyst). ``args`` gives parameterized SQL
+        (≅ PrepareNode placeholders, datafusion.proto:186-190)."""
+        if args is not None:
+            return self.spark.sql(query, args=args)
+        return self.spark.sql(query)
+
+    def prepare(self, query: str) -> PreparedStatement:
+        handle = _gen_job_id(self._rng)
+        ps = PreparedStatement(handle=handle, sql=query)
+        self._prepared[handle] = ps
+        return ps
+
+    def execute_prepared(self, handle: str, args: dict | list | None = None) -> DataFrame:
+        ps = self._prepared[handle]
+        return self.sql(ps.sql, args=args)
+
+    def close_prepared(self, handle: str) -> None:
+        self._prepared.pop(handle, None)
+
+    # -- lifecycle / ops ---------------------------------------------------
+    def run_job(self, df: DataFrame, description: str = "") -> tuple[str, list]:
+        """Run an action under a job group so it is trackable/cancellable,
+        like the reference's job ids + JobCancel event (SURVEY.md §3 step 3,
+        api/handlers.rs:154-176). Returns (job_id, collected rows)."""
+        job_id = _gen_job_id(self._rng)
+        with self._lock:
+            self._jobs[job_id] = description
+        sc = self.spark.sparkContext
+        sc.setJobGroup(job_id, description or job_id, interruptOnCancel=True)
+        try:
+            return job_id, df.collect()
+        finally:
+            sc.setJobGroup("", "")
+
+    def cancel_job(self, job_id: str) -> None:
+        self.spark.sparkContext.cancelJobGroup(job_id)
+
+    def jobs(self) -> dict[str, str]:
+        return dict(self._jobs)
+
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN ≅ ExplainNode (datafusion.proto:219-227)."""
+        return (
+            self.spark.sql(query)
+            ._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+                self.spark.sql(query)._jdf.queryExecution(), mode
+            )
+        )
+
+    # -- catalog introspection (≅ get_flight_info_tables, flight_sql.rs:597-621)
+    def list_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def table_schema(self, name: str) -> str:
+        return self.spark.table(name).schema.simpleString()

@@ -1,0 +1,707 @@
+"""Relational-core certification queries — SURVEY.md §2.3-2.5 rows.
+
+One oracle-checked query per declared operator: projection, filter,
+limit/offset, sort (incl. null ordering + top-k), all 8 join types +
+null-safe equality + residual filters + cross join, distinct, union
+(all/dedup), intersect/except, the 19 aggregate functions with
+DISTINCT/FILTER modifiers, and GROUPING SETS / CUBE / ROLLUP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import joins as J
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -- projection / filter / limit / sort (datafusion.proto:134-152, 280-286) --
+
+
+def projection(spark, sf_dir):
+    """ProjectionExecNode (datafusion.proto:1219-1223): expr list + alias."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        (F.col("l_quantity") * 2 + 1).alias("qty2"),
+        (-F.col("l_tax")).alias("neg_tax"),
+    )
+
+
+PROJECTION_ORACLE = """
+SELECT l_orderkey AS okey, l_linenumber AS lno,
+       l_extendedprice * (1 - l_discount) AS net,
+       l_quantity * 2 + 1 AS qty2, -l_tax AS neg_tax
+FROM lineitem
+"""
+
+
+def filter_pred(spark, sf_dir):
+    """FilterExecNode (datafusion.proto:1130-1133) with the §2.7 predicate
+    forms: AND/OR/NOT, BETWEEN, IN, LIKE, IS NULL on a derived column."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (
+            (F.col("o_totalprice").between(1000, 50000) & (F.col("o_orderstatus") == "O"))
+            | (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & ~F.col("o_orderstatus").isin("P"))
+        )
+        & F.col("o_orderpriority").like("%-%")
+        & F.nullif(F.col("o_orderstatus"), F.lit("F")).isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+FILTER_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE ((o_totalprice BETWEEN 1000 AND 50000 AND o_orderstatus = 'O')
+       OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND NOT o_orderstatus IN ('P')))
+  AND o_orderpriority LIKE '%-%'
+  AND nullif(o_orderstatus, 'F') IS NOT NULL
+"""
+
+
+def limit_offset(spark, sf_dir):
+    """GlobalLimit/LocalLimit with skip (datafusion.proto:280-286,
+    1251-1262): OFFSET 100 LIMIT 25 over a total order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(100).limit(25)
+    )
+
+
+LIMIT_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100
+"""
+
+
+def sort_topk(spark, sf_dir):
+    """Sort with fetch = top-k (datafusion.proto:147-152 `fetch`): Spark
+    compiles orderBy+limit to TakeOrderedAndProject — per-partition heap,
+    no global sort; the scale-correct plan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(15)
+    )
+
+
+SORT_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def sort_nulls(spark, sf_dir):
+    """Null-ordering parity (SURVEY.md M1 risk: DataFusion ASC⇒NULLS LAST,
+    Spark ASC⇒NULLS FIRST — must be pinned explicitly on both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    withn = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st"),
+        "o_totalprice",
+    )
+    return withn.orderBy(
+        F.col("st").asc_nulls_last(), F.col("o_totalprice").desc_nulls_first(), F.col("o_orderkey")
+    ).limit(50)
+
+
+SORT_NULLS_ORACLE = """
+SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+FROM orders
+ORDER BY st ASC NULLS LAST, o_totalprice DESC NULLS FIRST, o_orderkey
+LIMIT 50
+"""
+
+
+# -- joins (datafusion.proto:240-278; SURVEY.md §2.4) ------------------------
+
+
+def join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        J.join(o, c, o.o_custkey == c.c_custkey, "inner", broadcast_right=True)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_INNER_ORACLE = """
+SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_left(spark, sf_dir):
+    """LEFT outer: customers with no orders survive null-extended."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        J.join(c, o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_no_order"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+  ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_right(spark, sf_dir):
+    """RIGHT outer — same relation as join_left with sides swapped."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        J.join(o, c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_RIGHT_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o RIGHT JOIN customer
+  ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_full(spark, sf_dir):
+    """FULL outer join of per-nation customer vs supplier counts."""
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        J.join(c, s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nkey")
+    )
+
+
+JOIN_FULL_ORACLE = """
+SELECT coalesce(c_nationkey, s_nationkey) AS nkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c_nationkey = s_nationkey
+ORDER BY nkey
+"""
+
+
+def join_semi(spark, sf_dir):
+    """LEFTSEMI (datafusion.proto:245): parts referenced by any lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        J.join(p, li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_type")
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT p_type, count(*) AS n FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+def join_anti(spark, sf_dir):
+    """LEFTANTI (datafusion.proto:246): parts never ordered at qty > 45."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        J.join(p, li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_type")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT p_type, count(*) AS n FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+def join_right_semi(spark, sf_dir):
+    """RIGHTSEMI (datafusion.proto:247) = LEFTSEMI with inputs swapped
+    (ballista_mvp_spark.operators.joins.join handles the swap)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    p = _t(spark, sf_dir, "part")
+    return (
+        J.join(li, p, li.l_partkey == p.p_partkey, "right_semi")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_type")
+    )
+
+
+def join_right_anti(spark, sf_dir):
+    """RIGHTANTI (datafusion.proto:248) = LEFTANTI with inputs swapped."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    p = _t(spark, sf_dir, "part")
+    return (
+        J.join(li, p, li.l_partkey == p.p_partkey, "right_anti")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_type")
+    )
+
+
+def join_cross(spark, sf_dir):
+    """CrossJoinNode (datafusion.proto:275-278)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        J.join(r, n, None, "cross")
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_CROSS_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
+def join_nullsafe(spark, sf_dir):
+    """null_equals_null (datafusion.proto:263) → Spark `<=>` / DuckDB
+    IS NOT DISTINCT FROM, over keys made nullable with nullif."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    segs = (
+        _t(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg2"))
+        .distinct()
+    )
+    return (
+        c.join(segs, J.null_safe_eq(c.seg, segs.seg2), "inner")
+        .groupBy("seg2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("seg2").asc_nulls_first())
+    )
+
+
+JOIN_NULLSAFE_ORACLE = """
+SELECT seg2, count(*) AS n
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) c
+JOIN (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg2 FROM customer) s
+  ON c.seg IS NOT DISTINCT FROM s.seg2
+GROUP BY seg2 ORDER BY seg2 ASC NULLS FIRST
+"""
+
+
+def join_residual(spark, sf_dir):
+    """HashJoinExecNode JoinFilter residual (datafusion.proto:1299-1313):
+    equi key + non-equi residual predicate evaluated inside the join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        J.join(
+            li,
+            o,
+            li.l_orderkey == o.o_orderkey,
+            "inner",
+            residual=li.l_extendedprice > o.o_totalprice * 0.5,
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price_sum"))
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_RESIDUAL_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# -- set operators (SURVEY.md §2.4 INTERSECT/EXCEPT, §2.5 Distinct, union) ---
+
+
+def distinct_op(spark, sf_dir):
+    """DistinctNode (datafusion.proto:267-269)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).groupBy("nkey").agg(F.count("*").alias("n")).orderBy("nkey")
+
+
+UNION_ALL_ORACLE = """
+SELECT nkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier
+) GROUP BY nkey ORDER BY nkey
+"""
+
+
+def union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).distinct().orderBy("nkey")
+
+
+UNION_DISTINCT_ORACLE = """
+SELECT c_nationkey AS nkey FROM customer
+UNION SELECT s_nationkey FROM supplier ORDER BY nkey
+"""
+
+
+def intersect_op(spark, sf_dir):
+    """INTERSECT — lowered to LEFTSEMI by DataFusion (SURVEY.md §2.4)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return J.intersect(c, s).orderBy("nkey")
+
+
+INTERSECT_ORACLE = """
+SELECT c_nationkey AS nkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier ORDER BY nkey
+"""
+
+
+def except_op(spark, sf_dir):
+    """EXCEPT — lowered to LEFTANTI by DataFusion (SURVEY.md §2.4)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return J.except_(n, s).orderBy("nkey")
+
+
+EXCEPT_ORACLE = """
+SELECT n_nationkey AS nkey FROM nation
+EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey
+"""
+
+
+def values_inline(spark, sf_dir):
+    """ValuesNode (datafusion.proto:212-217) + EmptyRelation `SELECT 1`
+    (datafusion.proto:167-169) via a no-FROM select unioned in."""
+    return spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, NULL) AS t(id, tag) "
+        "UNION ALL SELECT 4 AS id, 'd' AS tag ORDER BY id"
+    )
+
+
+VALUES_ORACLE = """
+SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) t(id, tag)
+UNION ALL SELECT 4, 'd' ORDER BY id
+"""
+
+
+# -- aggregation (SURVEY.md §2.5) --------------------------------------------
+
+
+def agg_basic(spark, sf_dir):
+    """Two-phase hash agg (AggregateExecNode PARTIAL/FINAL_PARTITIONED,
+    datafusion.proto:1225-1249 — automatic in Spark): MIN MAX SUM AVG COUNT
+    + COUNT(*) over a group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+            F.sum("l_quantity").alias("sum_q"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_p"),
+            F.count("l_partkey").alias("cnt"),
+            F.count("*").alias("cnt_all"),
+            F.min("l_shipdate").alias("min_d"),
+            F.max("l_shipdate").alias("max_d"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BASIC_ORACLE = """
+SELECT l_returnflag, min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+       sum(l_quantity) AS sum_q, round(avg(l_extendedprice), 6) AS avg_p,
+       count(l_partkey) AS cnt, count(*) AS cnt_all,
+       min(l_shipdate) AS min_d, max(l_shipdate) AS max_d
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (datafusion.proto:529-549): VARIANCE,
+    VARIANCE_POP, STDDEV, STDDEV_POP, COVARIANCE, COVARIANCE_POP,
+    CORRELATION. Rounded — accumulation-order-sensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.var_samp("l_quantity"), 4).alias("var_s"),
+            F.round(F.var_pop("l_quantity"), 4).alias("var_p"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_s"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("std_p"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_s"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("cov_p"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_STATS_ORACLE = """
+SELECT l_linestatus,
+       round(var_samp(l_quantity), 4) AS var_s, round(var_pop(l_quantity), 4) AS var_p,
+       round(stddev_samp(l_quantity), 4) AS std_s, round(stddev_pop(l_quantity), 4) AS std_p,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def agg_distinct_filter(spark, sf_dir):
+    """DISTINCT + FILTER aggregate modifiers (datafusion.proto:551-556) —
+    written in SQL to exercise Spark's FILTER (WHERE ...) clause."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS nd_part,
+               count(DISTINCT l_suppkey) AS nd_supp,
+               sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_hi_disc,
+               count(*) FILTER (WHERE l_tax = 0) AS n_no_tax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+AGG_DISTINCT_FILTER_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS nd_part,
+       count(DISTINCT l_suppkey) AS nd_supp,
+       sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_hi_disc,
+       count(*) FILTER (WHERE l_tax = 0) AS n_no_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_median(spark, sf_dir):
+    """MEDIAN (datafusion.proto:548) — exact median, plus min/max guard."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_q"),
+            F.round(F.median("l_extendedprice"), 6).alias("med_p"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_MEDIAN_ORACLE = """
+SELECT l_returnflag, round(median(l_quantity), 6) AS med_q,
+       round(median(l_extendedprice), 6) AS med_p
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_array_agg(spark, sf_dir):
+    """ARRAY_AGG (datafusion.proto:536) — order-canonicalized to a joined
+    string since collect order is partition-dependent by design."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_ARRAY_AGG_ORACLE = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def agg_approx(spark, sf_dir):
+    """APPROX_DISTINCT / APPROX_PERCENTILE_CONT / APPROX_MEDIAN
+    (datafusion.proto:535, 545-546). Sketch outputs differ per
+    implementation (HLL++ vs DataFusion's), so no value oracle — the
+    driver's rows-only check applies; exact-agg analogues are certified in
+    agg_basic/agg_median."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("apx_nd"),
+            F.percentile_approx("l_quantity", 0.5).alias("apx_med"),
+            F.percentile_approx("l_extendedprice", 0.95).alias("apx_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS + GROUPING flag (datafusion.proto:370-380, :547)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_cube(spark, sf_dir):
+    """CUBE (datafusion.proto:374) via df.cube()."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP (datafusion.proto:378) via df.rollup()."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+QUERIES = {
+    "projection": projection,
+    "filter_pred": filter_pred,
+    "limit_offset": limit_offset,
+    "sort_topk": sort_topk,
+    "sort_nulls": sort_nulls,
+    "join_inner": join_inner,
+    "join_left": join_left,
+    "join_right": join_right,
+    "join_full": join_full,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_right_semi": join_right_semi,
+    "join_right_anti": join_right_anti,
+    "join_cross": join_cross,
+    "join_nullsafe": join_nullsafe,
+    "join_residual": join_residual,
+    "distinct_op": distinct_op,
+    "union_all": union_all,
+    "union_distinct": union_distinct,
+    "intersect_op": intersect_op,
+    "except_op": except_op,
+    "values_inline": values_inline,
+    "agg_basic": agg_basic,
+    "agg_stats": agg_stats,
+    "agg_distinct_filter": agg_distinct_filter,
+    "agg_median": agg_median,
+    "agg_array_agg": agg_array_agg,
+    "agg_approx": agg_approx,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_cube": agg_cube,
+    "agg_rollup": agg_rollup,
+}
+
+ORACLES = {
+    "projection": PROJECTION_ORACLE,
+    "filter_pred": FILTER_ORACLE,
+    "limit_offset": LIMIT_OFFSET_ORACLE,
+    "sort_topk": SORT_TOPK_ORACLE,
+    "sort_nulls": SORT_NULLS_ORACLE,
+    "join_inner": JOIN_INNER_ORACLE,
+    "join_left": JOIN_LEFT_ORACLE,
+    "join_right": JOIN_RIGHT_ORACLE,
+    "join_full": JOIN_FULL_ORACLE,
+    "join_semi": JOIN_SEMI_ORACLE,
+    "join_anti": JOIN_ANTI_ORACLE,
+    "join_right_semi": JOIN_SEMI_ORACLE,  # RIGHTSEMI ≡ swapped LEFTSEMI
+    "join_right_anti": JOIN_ANTI_ORACLE,  # RIGHTANTI ≡ swapped LEFTANTI
+    "join_cross": JOIN_CROSS_ORACLE,
+    "join_nullsafe": JOIN_NULLSAFE_ORACLE,
+    "join_residual": JOIN_RESIDUAL_ORACLE,
+    "distinct_op": DISTINCT_ORACLE,
+    "union_all": UNION_ALL_ORACLE,
+    "union_distinct": UNION_DISTINCT_ORACLE,
+    "intersect_op": INTERSECT_ORACLE,
+    "except_op": EXCEPT_ORACLE,
+    "values_inline": VALUES_ORACLE,
+    "agg_basic": AGG_BASIC_ORACLE,
+    "agg_stats": AGG_STATS_ORACLE,
+    "agg_distinct_filter": AGG_DISTINCT_FILTER_ORACLE,
+    "agg_median": AGG_MEDIAN_ORACLE,
+    "agg_array_agg": AGG_ARRAY_AGG_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    "agg_cube": AGG_CUBE_ORACLE,
+    "agg_rollup": AGG_ROLLUP_ORACLE,
+}

@@ -1,0 +1,71 @@
+"""SparkSession construction for the engine.
+
+The reference builds a DataFusion ``SessionContext`` per client session with
+round-robin repartitioning disabled and target_partitions from config
+(reference: ballista/scheduler/src/state/session_manager.rs:49-57). Our
+equivalent is a SparkSession tuned for the same role: AQE on (the Spark
+analogue of the reference's stage-resolution-time JoinSelection re-planning,
+reference: ballista/scheduler/src/state/execution_stage.rs:246-253), hash
+shuffle partitioning governed by ``spark.sql.shuffle.partitions``, UTC
+session timezone for oracle-stable timestamp semantics.
+
+Scale notes (100 TB discipline):
+- AQE + coalescePartitions + skewJoin handle runtime re-planning, small
+  partition merging, and skewed join keys without manual salting in the
+  common case.
+- ``spark.sql.files.maxPartitionBytes`` left at default 128m: at 100 TB that
+  yields ~800k scan tasks, the right granularity for a 1000-executor fleet.
+- shuffle.partitions defaults here are for local[N] testing; a cluster
+  deployment overrides via --conf (AQE coalescing makes the initial number
+  non-critical as long as it is an upper bound).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "ballista-mvp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    Mirrors the session-construction role of the reference scheduler's
+    ``SessionManager::create_session`` (session_manager.rs:34-57) — one
+    place that pins every execution-relevant config.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    nparts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nparts))
+        .config("spark.default.parallelism", str(nparts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
+        # represent; read as long and convert in tables.py (SURVEY.md §1.2:
+        # ns must truncate to µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,57 @@
+"""Canonical table registry for the synthetic star schema.
+
+The reference registers tables via ``CREATE EXTERNAL TABLE`` over listing
+directories (reference: ballista/core/proto/datafusion.proto:171-184,
+ListingTableScanNode :99-115). Here the analogue is ``spark.read.parquet``
+plus ``createOrReplaceTempView`` — Catalyst then owns projection/filter
+pushdown into the scan.
+
+``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which Spark has
+no type for (SURVEY.md §1.2: ns truncates to µs). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a long
+of nanoseconds; ``load_table`` converts it to a proper microsecond
+timestamp with ``timestamp_micros(ns div 1000)`` so SQL date/time semantics
+match the DuckDB oracle (which reads the same file as TIMESTAMP).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The driver may hand us a vanilla session without this conf; it is
+        # runtime-settable, and without it the NANOS column aborts the scan.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long under nanosAsLong: ns -> µs.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every synthetic table as a temp view (idempotent)."""
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

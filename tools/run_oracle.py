@@ -1,0 +1,46 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python tools/run_oracle.py [sf_dir] [query-name-prefix ...]
+
+Runs every query in the registry against the DuckDB oracle and prints one
+line per query. Exit code 1 if any oracle-checked query fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ballista_mvp_spark.oracle import compare, duckdb_connect
+from ballista_mvp_spark.queries import ALL_ORACLES, ALL_QUERIES
+from ballista_mvp_spark.session import build_session
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = sys.argv[2:] or None
+    spark = build_session("oracle-check")
+    con = duckdb_connect(sf_dir)
+    failures = 0
+    for name, fn in ALL_QUERIES.items():
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        t0 = time.time()
+        try:
+            res = compare(name, fn(spark, sf_dir), ALL_ORACLES.get(name), con)
+        except Exception as e:  # noqa: BLE001
+            print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        print(f"{res}  ({time.time() - t0:.1f}s)")
+        if not res.ok:
+            failures += 1
+    print(f"\n{failures} failures / {len(ALL_QUERIES)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
