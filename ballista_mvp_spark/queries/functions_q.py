@@ -1,3 +1,408 @@
-"""Placeholder — filled in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Scalar-function certification — the 73-function library of SURVEY.md
+§2.8 (reference: ballista/core/proto/datafusion.proto:448-522) plus the
+expression forms of §2.7 (CASE, CAST/TRY_CAST, BETWEEN, IN, LIKE/ILIKE,
+IS NULL family, struct/array element access, SIMILAR TO translation).
+
+Oracle-dialect notes (Spark expression vs DuckDB SQL):
+- regexp_replace: Spark replaces ALL matches; DuckDB needs the 'g' flag.
+- initcap/signum: absent in DuckDB → emulated in the oracle SQL.
+- octet_length: DuckDB needs a BLOB cast (encode()).
+- sha1/sha224/384/512: absent in DuckDB → certified rows-only in
+  fn_hash_full (md5/sha256 are value-certified in fn_hash).
+- dayofweek: Spark is 1=Sunday; DuckDB dow is 0=Sunday → oracle adds 1.
+- Transcendentals (sin/exp/...): JVM vs libm may differ in the last ulp →
+  rounded to 9 digits on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import current_time, date_bin, digest, similar_to, trunc_number
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def fn_math(spark, sf_dir):
+    """Math rows of §2.8: Abs Acos Asin Atan Atan2 Ceil Cos Exp Floor Ln
+    Log10 Log2 Power Round Signum Sin Sqrt Tan Trunc."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    x = F.col("l_quantity")
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(x - 25).alias("abs_v"),
+        F.round(F.acos(d * 10 - 0.5), 9).alias("acos_v"),
+        F.round(F.asin(d * 10 - 0.5), 9).alias("asin_v"),
+        F.round(F.atan(x), 9).alias("atan_v"),
+        F.round(F.atan2(x, d + 1), 9).alias("atan2_v"),
+        F.ceil(x / 7).alias("ceil_v"),
+        F.floor(x / 7).alias("floor_v"),
+        F.round(F.cos(x), 9).alias("cos_v"),
+        F.round(F.sin(x), 9).alias("sin_v"),
+        F.round(F.tan(d), 9).alias("tan_v"),
+        F.round(F.exp(d), 9).alias("exp_v"),
+        F.round(F.log(x + 1), 9).alias("ln_v"),
+        F.round(F.log10(x + 1), 9).alias("log10_v"),
+        F.round(F.log2(x + 1), 9).alias("log2_v"),
+        F.round(F.pow(x, 2), 6).alias("pow_v"),
+        F.round(x * 3.14159, 2).alias("round_v"),
+        F.signum(x - 25).alias("sign_v"),
+        F.round(F.sqrt(x), 9).alias("sqrt_v"),
+        trunc_number(F.col("l_extendedprice") / 1000, 1).alias("trunc_v"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+FN_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS abs_v,
+       round(acos(l_discount * 10 - 0.5), 9) AS acos_v,
+       round(asin(l_discount * 10 - 0.5), 9) AS asin_v,
+       round(atan(l_quantity), 9) AS atan_v,
+       round(atan2(l_quantity, l_discount + 1), 9) AS atan2_v,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_v,
+       round(cos(l_quantity), 9) AS cos_v,
+       round(sin(l_quantity), 9) AS sin_v,
+       round(tan(l_discount), 9) AS tan_v,
+       round(exp(l_discount), 9) AS exp_v,
+       round(ln(l_quantity + 1), 9) AS ln_v,
+       round(log10(l_quantity + 1), 9) AS log10_v,
+       round(log2(l_quantity + 1), 9) AS log2_v,
+       round(pow(l_quantity, 2), 6) AS pow_v,
+       round(l_quantity * 3.14159, 2) AS round_v,
+       CAST(CASE WHEN l_quantity - 25 > 0 THEN 1.0 WHEN l_quantity - 25 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sign_v,
+       round(sqrt(l_quantity), 9) AS sqrt_v,
+       CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice / 1000 * 10) / 10
+            ELSE ceil(l_extendedprice / 1000 * 10) / 10 END AS trunc_v
+FROM lineitem WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def fn_string(spark, sf_dir):
+    """String rows of §2.8 (part 1): Ascii BitLength Btrim CharacterLength
+    Chr Concat ConcatWithSeparator InitCap Left Lower Lpad Ltrim."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    padded = F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))
+    return p.select(
+        "p_partkey",
+        F.ascii("p_name").alias("ascii_v"),
+        F.bit_length("p_brand").alias("bitlen_v"),
+        F.btrim(padded).alias("btrim_v"),
+        F.char_length("p_name").alias("clen_v"),
+        F.chr(F.col("p_size") % 26 + 65).alias("chr_v"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("concat_v"),
+        F.concat_ws("-", "p_brand", "p_type", "p_name").alias("cws_v"),
+        F.initcap(F.lower("p_type")).alias("initcap_v"),
+        F.left(F.col("p_name"), F.lit(4)).alias("left_v"),
+        F.lower("p_brand").alias("lower_v"),
+        F.lpad("p_brand", 12, "*").alias("lpad_v"),
+        F.ltrim(padded).alias("ltrim_v"),
+    ).orderBy("p_partkey")
+
+
+FN_STRING_ORACLE = """
+SELECT p_partkey,
+       ascii(p_name) AS ascii_v,
+       bit_length(p_brand) AS bitlen_v,
+       trim('  ' || p_brand || '  ') AS btrim_v,
+       length(p_name) AS clen_v,
+       chr(p_size % 26 + 65) AS chr_v,
+       p_brand || '/' || p_type AS concat_v,
+       concat_ws('-', p_brand, p_type, p_name) AS cws_v,
+       upper(substr(lower(p_type), 1, 1)) || substr(lower(p_type), 2) AS initcap_v,
+       substr(p_name, 1, 4) AS left_v,
+       lower(p_brand) AS lower_v,
+       lpad(p_brand, 12, '*') AS lpad_v,
+       ltrim('  ' || p_brand || '  ') AS ltrim_v
+FROM part WHERE p_partkey < 300
+ORDER BY p_partkey
+"""
+
+
+def fn_string2(spark, sf_dir):
+    """String rows of §2.8 (part 2): OctetLength Repeat Replace Reverse
+    Right Rpad Rtrim SplitPart StartsWith Strpos Substr ToHex Translate
+    Trim Upper."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    padded = F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))
+    return p.select(
+        "p_partkey",
+        F.octet_length("p_name").alias("olen_v"),
+        F.repeat(F.col("p_brand"), 2).alias("repeat_v"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("replace_v"),
+        F.reverse(F.col("p_brand")).alias("reverse_v"),
+        F.right(F.col("p_name"), F.lit(3)).alias("right_v"),
+        F.rpad("p_brand", 12, "*").alias("rpad_v"),
+        F.rtrim(padded).alias("rtrim_v"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("spart_v"),
+        F.startswith(F.col("p_type"), F.lit("PRO")).alias("starts_v"),
+        F.instr(F.col("p_name"), "a").alias("strpos_v"),
+        F.substr(F.col("p_name"), F.lit(2), F.lit(5)).alias("substr_v"),
+        F.hex(F.col("p_partkey")).alias("hex_v"),
+        F.translate(F.col("p_brand"), "Bad#", "bAD_").alias("transl_v"),
+        F.trim(padded).alias("trim_v"),
+        F.upper(F.col("p_type")).alias("upper_v"),
+    ).orderBy("p_partkey")
+
+
+FN_STRING2_ORACLE = """
+SELECT p_partkey,
+       octet_length(encode(p_name)) AS olen_v,
+       repeat(p_brand, 2) AS repeat_v,
+       replace(p_type, 'O', '0') AS replace_v,
+       reverse(p_brand) AS reverse_v,
+       CASE WHEN length(p_name) <= 3 THEN p_name ELSE substr(p_name, length(p_name) - 2) END AS right_v,
+       rpad(p_brand, 12, '*') AS rpad_v,
+       rtrim('  ' || p_brand || '  ') AS rtrim_v,
+       split_part(p_brand, '#', 2) AS spart_v,
+       starts_with(p_type, 'PRO') AS starts_v,
+       strpos(p_name, 'a') AS strpos_v,
+       substr(p_name, 2, 5) AS substr_v,
+       upper(to_hex(p_partkey)) AS hex_v,
+       translate(p_brand, 'Bad#', 'bAD_') AS transl_v,
+       trim('  ' || p_brand || '  ') AS trim_v,
+       upper(p_type) AS upper_v
+FROM part WHERE p_partkey < 300
+ORDER BY p_partkey
+"""
+
+
+def fn_regex(spark, sf_dir):
+    """RegexpMatch / RegexpReplace (datafusion.proto:460,478) + LIKE/ILIKE
+    expression forms (§2.7)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-m]").alias("re_match"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("re_repl"),
+        F.col("p_type").like("%AND%").alias("like_v"),
+        F.col("p_type").ilike("%and%").alias("ilike_v"),
+        similar_to(F.col("p_type"), "%(PROMO|LARGE)%").alias("simto_v"),
+    ).orderBy("p_partkey")
+
+
+FN_REGEX_ORACLE = """
+SELECT p_partkey,
+       regexp_matches(p_name, '^[a-m]') AS re_match,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS re_repl,
+       p_type LIKE '%AND%' AS like_v,
+       p_type ILIKE '%and%' AS ilike_v,
+       -- DuckDB's SIMILAR TO is a bare full-string regex (no %→.* rewrite),
+       -- unlike PostgreSQL/DataFusion; feed it the translated regex.
+       p_type SIMILAR TO '.*(PROMO|LARGE).*' AS simto_v
+FROM part WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+def fn_hash(spark, sf_dir):
+    """MD5 / SHA256 (datafusion.proto:484,495) — the two digests DuckDB
+    also ships, value-certified; rest in fn_hash_full."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("md5_v"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_v"),
+    ).orderBy("c_custkey")
+
+
+FN_HASH_ORACLE = """
+SELECT c_custkey, md5(c_name) AS md5_v, sha256(c_name) AS sha256_v
+FROM customer WHERE c_custkey < 200
+ORDER BY c_custkey
+"""
+
+
+def fn_hash_full(spark, sf_dir):
+    """Digest dispatch + SHA224/384/512 + SHA1 (datafusion.proto:455,
+    494-497) — DuckDB lacks these algorithms, so rows-only; the md5/sha256
+    paths of the same Digest shim are value-certified in fn_hash."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.sha1(F.col("c_name")).alias("sha1_v"),
+        F.sha2(F.col("c_name"), 224).alias("sha224_v"),
+        F.sha2(F.col("c_name"), 384).alias("sha384_v"),
+        F.sha2(F.col("c_name"), 512).alias("sha512_v"),
+        digest(F.col("c_name"), "sha256").alias("digest_v"),
+    ).orderBy("c_custkey")
+
+
+def fn_datetime(spark, sf_dir):
+    """Date/time rows of §2.8: DatePart DateTrunc DateBin ToTimestamp*
+    FromUnixtime + date+INTERVAL arithmetic (datafusion.proto:1073-1077).
+    Timestamp outputs are formatted to strings — engine-neutral."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.floor(F.second("ts")).alias("s"),
+        F.dayofyear("ts").alias("doy"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.date_format(F.date_trunc("hour", "ts"), fmt).alias("trunc_h"),
+        F.date_format(F.date_trunc("month", "ts"), fmt).alias("trunc_mo"),
+        F.date_format(date_bin(900, F.col("ts")), fmt).alias("bin_15m"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format(F.timestamp_seconds(F.unix_timestamp("ts")), fmt).alias("ts_s"),
+        F.date_format(F.timestamp_millis(F.unix_timestamp("ts") * 1000), fmt).alias("ts_ms"),
+        F.date_format(F.timestamp_micros(F.unix_timestamp("ts") * 1000000), fmt).alias("ts_us"),
+        F.from_unixtime(F.unix_timestamp("ts"), fmt).alias("from_unix"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 3 DAY"), fmt).alias("plus3d"),
+        F.date_format(F.col("ts") - F.expr("INTERVAL 90 MINUTE"), fmt).alias("minus90m"),
+    ).orderBy("event_id")
+
+
+FN_DATETIME_ORACLE = """
+SELECT event_id,
+       CAST(date_part('year', ts) AS INT) AS y,
+       CAST(date_part('month', ts) AS INT) AS mo,
+       CAST(date_part('day', ts) AS INT) AS d,
+       CAST(date_part('hour', ts) AS INT) AS h,
+       CAST(date_part('minute', ts) AS INT) AS mi,
+       CAST(floor(date_part('second', ts)) AS BIGINT) AS s,
+       CAST(date_part('doy', ts) AS INT) AS doy,
+       CAST(date_part('dow', ts) AS INT) AS dow,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
+       strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS trunc_mo,
+       strftime(to_timestamp(floor(epoch(date_trunc('second', ts)) / 900) * 900) AT TIME ZONE 'UTC',
+                '%Y-%m-%d %H:%M:%S') AS bin_15m,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       strftime(to_timestamp(floor(epoch(ts))) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS ts_s,
+       strftime(to_timestamp(floor(epoch(ts))) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS ts_ms,
+       strftime(to_timestamp(floor(epoch(ts))) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS ts_us,
+       strftime(to_timestamp(floor(epoch(ts))) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS from_unix,
+       strftime(ts + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus3d,
+       strftime(ts - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS minus90m
+FROM events WHERE user_id < 40
+ORDER BY event_id
+"""
+
+
+def fn_conditional(spark, sf_dir):
+    """Coalesce / NullIf (datafusion.proto:510,487) + CASE (searched &
+    simple), CAST/TRY_CAST, IS [NOT] NULL/TRUE/FALSE (§2.7)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(st, F.lit("pending")).alias("coal_v"),
+        st.isNull().alias("isnull_v"),
+        st.isNotNull().alias("notnull_v"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("case_srch"),
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(0)
+        .alias("case_simple"),
+        F.col("o_orderkey").cast("string").alias("cast_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("cast_dec"),
+        F.col("o_orderpriority").try_cast("int").alias("try_bad"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).try_cast("int").alias("try_ok"),
+        (F.col("o_totalprice") > 100000).alias("bool_v"),
+        (F.col("o_totalprice") > 100000).isNotNull().alias("bool_known"),
+    ).orderBy("o_orderkey")
+
+
+FN_CONDITIONAL_ORACLE = """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'P'), 'pending') AS coal_v,
+       nullif(o_orderstatus, 'P') IS NULL AS isnull_v,
+       nullif(o_orderstatus, 'P') IS NOT NULL AS notnull_v,
+       CASE WHEN o_totalprice > 100000 THEN 'big'
+            WHEN o_totalprice > 10000 THEN 'mid' ELSE 'small' END AS case_srch,
+       CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS case_simple,
+       CAST(o_orderkey AS VARCHAR) AS cast_str,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS cast_dec,
+       TRY_CAST(o_orderpriority AS INT) AS try_bad,
+       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS try_ok,
+       o_totalprice > 100000 AS bool_v,
+       (o_totalprice > 100000) IS NOT NULL AS bool_known
+FROM orders WHERE o_orderkey < 400
+ORDER BY o_orderkey
+"""
+
+
+def fn_array_struct(spark, sf_dir):
+    """Array / StructFun constructors (datafusion.proto:470,512) +
+    GetIndexedField element access (datafusion.proto:384-387)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    arr = F.array(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax"))
+    st = F.struct(F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("q"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(arr, 1).alias("arr_first"),
+        F.element_at(arr, 3).alias("arr_last"),
+        F.size(arr).alias("arr_len"),
+        st.getField("rf").alias("struct_rf"),
+        st.getField("q").alias("struct_q"),
+        F.element_at(F.split(F.col("l_returnflag"), ""), 1).alias("split_first"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+FN_ARRAY_STRUCT_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       [l_quantity, l_discount, l_tax][1] AS arr_first,
+       [l_quantity, l_discount, l_tax][3] AS arr_last,
+       CAST(len([l_quantity, l_discount, l_tax]) AS INT) AS arr_len,
+       struct_pack(rf := l_returnflag, q := l_quantity).rf AS struct_rf,
+       struct_pack(rf := l_returnflag, q := l_quantity).q AS struct_q,
+       substr(l_returnflag, 1, 1) AS split_first
+FROM lineitem WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def fn_misc(spark, sf_dir):
+    """Random / Uuid / Now / CurrentDate / CurrentTime / ArrowTypeof
+    (datafusion.proto:486,521,507,518,519,517) — nondeterministic or
+    engine-typed by definition → rows-only check; shape assertions live in
+    tests/test_functions.py."""
+    return spark.range(5).select(
+        F.col("id"),
+        F.rand(42).alias("rand_v"),
+        F.uuid().alias("uuid_v"),
+        F.now().alias("now_v"),
+        F.current_date().alias("today_v"),
+        current_time().alias("time_v"),
+        F.typeof(F.col("id")).alias("typeof_v"),
+    )
+
+
+QUERIES = {
+    "fn_math": fn_math,
+    "fn_string": fn_string,
+    "fn_string2": fn_string2,
+    "fn_regex": fn_regex,
+    "fn_hash": fn_hash,
+    "fn_hash_full": fn_hash_full,
+    "fn_datetime": fn_datetime,
+    "fn_conditional": fn_conditional,
+    "fn_array_struct": fn_array_struct,
+    "fn_misc": fn_misc,
+}
+
+ORACLES = {
+    "fn_math": FN_MATH_ORACLE,
+    "fn_string": FN_STRING_ORACLE,
+    "fn_string2": FN_STRING2_ORACLE,
+    "fn_regex": FN_REGEX_ORACLE,
+    "fn_hash": FN_HASH_ORACLE,
+    "fn_datetime": FN_DATETIME_ORACLE,
+    "fn_conditional": FN_CONDITIONAL_ORACLE,
+    "fn_array_struct": FN_ARRAY_STRUCT_ORACLE,
+}
