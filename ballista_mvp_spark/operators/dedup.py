@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has only DistinctNode, reference:
+ballista/core/proto/datafusion.proto:267-269) — these are the BASELINE.json
+north-star extension operators, designed shuffle-first for 100 TB:
+
+- exact_dedup        — hash-groupBy on a normalization key; one shuffle.
+- minhash_lsh_pairs  — shingle → minhash signature (all JVM-side column
+                       expressions, zero Python) → banded LSH → candidate
+                       pairs within buckets → exact Jaccard verify.
+                       Shuffles only (band_hash) buckets and candidate
+                       pairs, never the full cross product.
+- simhash_pairs      — 64-bit simhash via explode + bitwise aggregation
+                       (map-side combined), then Hamming-banded self-join.
+- ngram_jaccard_pairs— exact shingle-set Jaccard via explode + self-join
+                       on shingle; the verification primitive and the
+                       DuckDB-oracle-checkable ground truth for the
+                       approximate paths.
+- keep_survivors     — greedy keep-smallest-id given a duplicate-pair set.
+
+Scale notes: every stage is expressible as scan → (map-side combinable)
+shuffle → bounded-state agg. Skewed buckets (a shingle/band shared by
+thousands of docs) are capped with `max_bucket` to bound the pair
+explosion, mirroring production near-dup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles as an array column — pure column
+    expressions (sequence + transform + slice), fully codegen'd."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep the smallest id per exact key. Deterministic (unlike
+    dropDuplicates, which keeps an arbitrary row per partition order)."""
+    return (
+        df.select(key.alias("_k"), F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_k")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
+    """MinHash signature as an array<long>: sig[j] = min over shingles of
+    xxhash64(j, base_hash(shingle)). The expensive string hash runs ONCE
+    per shingle; the per-slot variants rehash the resulting 8-byte long —
+    ~10× cheaper than hashing the string num_hashes times. Entirely
+    JVM-side; no shuffle."""
+    base = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
+    return F.array(
+        *[F.array_min(F.transform(base, lambda h, j=j: F.xxhash64(F.lit(j), h))) for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) with exact-Jaccard verify.
+
+    Plan: signature (narrow) → explode bands (×bands rows) → shuffle on
+    (band, band_hash) → per-bucket pair join → exact Jaccard on shingle
+    arrays (array_intersect/array_union, JVM-side) → threshold filter.
+    """
+    rows_per_band = num_hashes // bands
+    # two projections: materialize the per-shingle base hashes as a real
+    # column first — Catalyst does not CSE a subexpression repeated inside
+    # 32 higher-order functions, so inlining minhash_signature here would
+    # hash every shingle string 32× instead of once
+    hs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
+    sig = hs.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(F.transform("_hs", lambda h, j=j: F.xxhash64(F.lit(j), h)))
+                for j in range(num_hashes)
+            ]
+        ).alias("_sig"),
+    )
+    # slim banded table: (id, band, band_hash) only — shingle arrays never
+    # enter the band shuffle, and persisting it keeps the expensive
+    # signature expression from being evaluated once per self-join side
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    banded = banded.persist()
+    # cap pathological buckets to bound the pair explosion at scale
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)), ["band", "bh"], "left_anti"
+    )
+    pairs = (
+        banded.select("band", "bh", F.col("_id").alias("a"))
+        .join(banded.select("band", "bh", F.col("_id").alias("b")), ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    # exact-Jaccard verify: re-attach shingle arrays only for candidates
+    shmap = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    verified = (
+        pairs.join(shmap.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a")), "a")
+        .join(shmap.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.select(
+            "a",
+            "b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold via shingle inverted index:
+    explode shingles → self-join on shingle (the only shuffle) → count
+    common → |A∪B| = |A|+|B|-common. Ground truth for the LSH path; the
+    `max_shingle_freq` cap drops stop-shingles that would square the
+    join (standard inverted-index pruning at scale)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = sh.select(F.col("_id").alias("a"), "s")
+    b = sh.select(F.col("_id").alias("b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, shingle_k: int = 3) -> Column:
+    """64-bit SimHash as a long, built from shingle xxhash64 bit votes —
+    pure column expressions (no explode: bit sums via transform+aggregate
+    over the shingle array). Features are word-k-gram shingles: single
+    tokens are too coarse when documents share a small vocabulary (every
+    signature collapses to the vocabulary's signature)."""
+    hashes = F.transform(shingles(text, shingle_k), lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # sum over tokens of (bit_i ? 1 : -1), >0 → bit set
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(votes > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(63):  # bit 63 excluded to stay in signed-long range
+        out = out + bit_vote(i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    4×16-bit band exact-match (pigeonhole: distance ≤ 8 guarantees wide
+    agreement on ≥1 of 4 bands for most pairs; standard simhash banding)."""
+    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sh"))
+    banded = base.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "sh", F.col("_b.band").alias("band"), F.col("_b.chunk").alias("chunk"))
+    left = banded.select("band", "chunk", F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    right = banded.select("band", "chunk", F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def keep_survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
+    """Greedy survivor set: drop any id that appears as the LARGER member
+    of a duplicate pair (keep-smallest-id policy; deterministic)."""
+    losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+BASELINE.json north star: treat media as opaque `binary` payload columns
+with a typed metadata struct, and run decode / feature-extraction /
+resize / frame-sampling as Arrow-batched Pandas functions over
+``mapInPandas``. The container ships no image/audio libraries, so the
+actual codec step is STUBBED (clearly marked below); everything Spark
+cares about — schema, partitioning, UDF signatures, Arrow batch shape —
+is real and tested.
+
+Scale notes: media rows are large (MBs); the loader keeps payloads out of
+shuffles by carrying only (id, metadata) through joins and re-attaching
+payloads at the end (broadcast of ids, or a final co-partitioned join).
+`featurize` is mapInPandas (no shuffle at all): at 100 TB it runs as a
+pure scan→transform pipeline with Arrow batching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents table (deterministic fake
+    payloads: the utf-8 bytes of the text). Real pipelines read payloads
+    with ``spark.read.format('binaryFile')`` — same schema contract."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """REAL DECODE STUB — image codecs are not in this container.
+
+    Contract: payload bytes → decoded tensor (H, W, C). Plug Pillow/
+    torchvision here in a full deployment.
+    """
+    raise NotImplementedError("image decode requires a codec library (e.g. Pillow)")
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_entropy_proxy", T.DoubleType(), True),
+        T.StructField("head_hex", T.StringType(), True),
+    ]
+)
+
+
+def featurize(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over media payloads via ``mapInPandas`` —
+    Arrow-batched, per-partition streaming, zero shuffle.
+
+    The featurizer below is a deterministic stand-in (byte statistics)
+    for a real decoder+model; swap `_features_of` for a decode_image →
+    embed pipeline without touching the Spark plumbing."""
+
+    def _features_of(payload: bytes) -> tuple[int, float, float, str]:
+        if payload is None:
+            return 0, 0.0, 0.0, ""
+        n = len(payload)
+        if n == 0:
+            return 0, 0.0, 0.0, ""
+        mean = sum(payload) / n
+        distinct = len(set(payload))
+        return n, round(mean, 6), round(distinct / 256.0, 6), payload[:4].hex()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_features_of)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats.map(lambda f: f[0]),
+                    "byte_mean": feats.map(lambda f: f[1]),
+                    "byte_entropy_proxy": feats.map(lambda f: f[2]),
+                    "head_hex": feats.map(lambda f: f[3]),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling PLUMBING: explode a per-media frame index list
+    (deterministic from n_bytes as a stand-in for decoded frame count) —
+    shows the row-multiplying pattern video pipelines need, with the
+    decode itself stubbed behind decode_image."""
+    n_frames = (F.col("meta.n_bytes") / 100 + 1).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE.json north-star extension: approximate-nearest-neighbor over an
+embedding column. Two paths:
+
+- brute-force top-k (the exactness baseline): broadcast the query set,
+  score every (query, candidate) with a JVM-side cosine (zip_with +
+  aggregate — no Python, no UDF), per-query top-k via window. At 100 TB
+  the candidate scan is embarrassingly parallel; the only shuffle is the
+  per-query top-k (k rows per partition per query after partial rank
+  pruning).
+
+- LSH-bucketed ANN (the scale path): random-hyperplane signatures using
+  deterministic seeded coefficients broadcast as literals; candidates
+  restricted to matching buckets (multi-probe via several tables), then
+  exact re-rank. Recall is tunable via (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: (query_id, neighbor_id,
+    cos_sim, rank). Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes [table][plane][dim] (seeded —
+    reproducible across runs and executors; shipped as literals, i.e. a
+    broadcast of ~tables*planes*dim floats)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit string of the vector against each plane."""
+    bits = []
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: per-table bucket join → exact cosine re-rank within
+    candidates. Only bucket-colliding pairs are scored — at scale this is
+    the difference between O(N·Q) and O(N·Q/2^planes · tables)."""
+    tables = hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucketize(df: DataFrame, side: str) -> DataFrame:
+        sig = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _signature(F.col(vec_col), planes).alias("bucket")
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("_s")
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_v"), sig
+        ).select(
+            f"{side}_id", f"{side}_v", F.col("_s.tbl").alias("tbl"), F.col("_s.bucket").alias("bucket")
+        )
+
+    qb = bucketize(queries, "q")
+    cb = bucketize(candidates, "c")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("q_v").alias("qv"),
+            F.col("c_v").alias("cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scope: Column | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+    All-pairs within an optional blocking `scope` column (e.g. a coarse
+    LSH bucket or label) — at 100 TB ALWAYS block first; the unblocked
+    form is the sf-scale oracle baseline."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *(
+        [scope.alias("_scope")] if scope is not None else []
+    ))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), *(
+        [scope.alias("_scope")] if scope is not None else []
+    ))
+    joined = a.join(b, ["_scope"]) if scope is not None else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def estimate_bucket_width(n_vectors: int, target_bucket: int = 1 << 14) -> int:
+    """Planes needed so expected bucket size ≈ target (capacity planning
+    helper for the 100 TB path)."""
+    return max(1, int(math.ceil(math.log2(max(n_vectors / target_bucket, 2)))))

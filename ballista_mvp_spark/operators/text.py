@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): language ID, quality scoring, token counting, document
+fingerprinting. All pure column expressions — JVM-side, codegen'd, no
+Python in the hot path; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Real pipelines plug a model here; the operator contract (deterministic
+# per-language score → argmax) is what the engine certifies.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper-bound token estimate: runs of letters, runs of
+    digits, and single non-space symbols each count as one token
+    (regexp-extract-all, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.char_length(text)
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.round(_count_matches(text, r"[^\w\s]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+
+
+def upper_ratio(text: Column) -> Column:
+    return F.round(_count_matches(text, r"[A-Z]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.round(_count_matches(text, r"[0-9]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of `lang`."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return F.round(stopword_hits(text, lang) / F.greatest(word_count(text), F.lit(1)), 6)
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.char_length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct/digit
+    noise + stopword presence. Deterministic, monotone in each signal."""
+    n_words = word_count(text)
+    len_ok = F.when((n_words >= 5) & (n_words <= 100000), 1.0).otherwise(0.3)
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_ok = F.when(noise < 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - noise))
+    sw_ok = F.least(stopword_ratio(text, "en") * 5, F.lit(1.0))
+    return F.round((len_ok * 0.4 + noise_ok * 0.4 + sw_ok * 0.2), 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties broken by language-code
+    order; 'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when(scores[lang] == best, lang).otherwise(out)
+    return F.when(best == 0, "und").otherwise(out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the normalized
+    text (lowercase, collapsed whitespace). Exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min xxhash64 over the
+    word-`window`-gram shingles of the normalized text (robust to
+    local edits at the document ends)."""
+    from .dedup import shingles
+
+    return F.array_min(F.transform(shingles(text, window), lambda s: F.xxhash64(s)))

@@ -1,3 +1,199 @@
-"""Placeholder — filled in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Event-stream analytics over the `events` table (timestamp, user, type,
+value, JSON props) — batch certification here; the Structured Streaming
+variant lives in ballista_mvp_spark/streaming/ and is certified in
+streaming_tumbling (same aggregation, streaming execution).
+
+The reference has no streaming/time-series operators at all (SURVEY.md
+§2.10) — this module is extension surface, built on the same scale rules:
+time-bucketed aggs shuffle only (bucket, key) pairs; sessionization is a
+window function over a (user, ts) sort, which Spark executes as one
+shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-hour rollup per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_v,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_json(spark, sf_dir):
+    """JSON property extraction (props is a JSON string): typed pull of
+    $.k + aggregation. get_json_object is JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap starts a new session.
+    lag → gap flag → running sum = session id; then per-user session
+    stats. One shuffle (user_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id", F.sum(gap_flag).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_id")
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("sess_len"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("sess_len").alias("n_events"),
+            F.max("sess_len").alias("max_sess_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS sess_len
+  FROM sessions GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(sess_len) AS BIGINT) AS n_events,
+       max(sess_len) AS max_sess_len
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_topk_users(spark, sf_dir):
+    """Top-20 users by total event value (TakeOrderedAndProject over a
+    pre-aggregated shuffle — never a global sort of raw events)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_v"), F.count("*").alias("n"))
+        .orderBy(F.col("total_v").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+EVENTS_TOPK_ORACLE = """
+SELECT user_id, round(sum(value), 4) AS total_v, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY total_v DESC, user_id LIMIT 20
+"""
+
+
+def events_type_share(spark, sf_dir):
+    """Per-type share of total volume — window aggregate over an agg
+    (two-level aggregation without a second shuffle: the window over the
+    tiny agg output runs in one partition)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6).alias("share"),
+    ).orderBy("event_type")
+
+
+EVENTS_TYPE_SHARE_ORACLE = """
+SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
+FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+ORDER BY event_type
+"""
+
+
+def streaming_tumbling(spark, sf_dir):
+    """Structured Streaming execution of the hourly rollup: readStream
+    over the events parquet → tumbling window(ts, 1 hour) → complete-mode
+    memory sink, drained synchronously. Same aggregation as events_hourly
+    → certified against the same batch oracle."""
+    from ..streaming import run_tumbling_batchfile
+
+    return run_tumbling_batchfile(spark, sf_dir)
+
+
+STREAMING_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_v
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_json": events_json,
+    "events_sessionize": events_sessionize,
+    "events_topk_users": events_topk_users,
+    "events_type_share": events_type_share,
+    "streaming_tumbling": streaming_tumbling,
+}
+
+ORACLES = {
+    "events_hourly": EVENTS_HOURLY_ORACLE,
+    "events_json": EVENTS_JSON_ORACLE,
+    "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
+    "events_topk_users": EVENTS_TOPK_ORACLE,
+    "events_type_share": EVENTS_TYPE_SHARE_ORACLE,
+    "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
+}

@@ -1,3 +1,378 @@
-"""Placeholder — filled in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Extension-operator certification: dedup / similarity / text analysis /
+multimodal (BASELINE.json north star; beyond the reference's declared
+surface, see SURVEY.md §7 M6).
+
+Oracle strategy: exact paths (exact dedup, n-gram Jaccard, embedding
+cosine, brute-force top-k, text statistics, fingerprints, media metadata)
+are value-certified against DuckDB. Hash-sketch paths (MinHash-LSH,
+SimHash, hyperplane ANN) use xxhash64, which DuckDB cannot replicate →
+rows-only here, with recall-vs-exact assertions in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -- deduplication -----------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: smallest doc_id per normalized-text key (hash groupBy;
+    one shuffle on the md5 fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, TX.fingerprint(F.col("text")), "doc_id").orderBy("doc_id")
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
+def dedup_exact_keys(spark, sf_dir):
+    """Exact dedup on a subset key (lang, source): earliest doc + group size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .orderBy("lang", "source")
+    )
+
+
+DEDUP_EXACT_KEYS_ORACLE = """
+SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs (≥ 0.2) via shingle
+    inverted index — the ground-truth dedup path, fully oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.2).orderBy(
+        "a", "b"
+    )
+
+
+DEDUP_NGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS g FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.2
+ORDER BY a, b
+"""
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification
+    (xxhash64 signatures → DuckDB cannot replicate → rows-only; recall vs
+    the exact path asserted in tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.2
+    ).orderBy("a", "b")
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 12 on 63-bit token-set hash);
+    rows-only for the same sketch-hash reason."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).orderBy("a", "b")
+
+
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs at
+    oracle scale; the production form blocks by LSH bucket first
+    (operators/similarity.cosine_dup_pairs scope arg)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy("a", "b")
+
+
+DEDUP_EMBEDDING_ORACLE = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY a, b
+"""
+
+
+# -- similarity search -------------------------------------------------------
+
+
+def sim_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 query vectors — the ANN exactness
+    baseline. JVM-side zip_with/aggregate dot products; broadcast queries."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+SIM_TOPK_ORACLE = """
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 8)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-5 (bucketed candidates → exact re-rank).
+    Deterministic seeded planes, but bucket membership is not
+    SQL-replicable → rows-only; recall vs sim_topk asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=4)
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish regex tokens + chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.word_count(F.col("text")).alias("n_words"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        TX.char_count(F.col("text")).alias("n_chars2"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish,
+       length(text) AS n_chars2
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: punct/upper/digit ratios, avg word length,
+    stopword ratio, composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.punct_ratio(t).alias("punct_r"),
+        TX.upper_ratio(t).alias("upper_r"),
+        TX.digit_ratio(t).alias("digit_r"),
+        TX.avg_word_len(t).alias("avg_wlen"),
+        TX.stopword_ratio(t, "en").alias("sw_ratio"),
+        TX.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+         greatest(length(text), 1) AS nc
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / nc, 6) AS punct_r,
+         round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / nc, 6) AS upper_r,
+         round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6) AS digit_r,
+         round(list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1), 6) AS avg_wlen,
+         round(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+               * 1.0 / greatest(len(t), 1), 6) AS sw_ratio,
+         len(t) AS n_words
+  FROM base)
+SELECT doc_id, punct_r, upper_r, digit_r, avg_wlen, sw_ratio,
+       round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+             + (CASE WHEN punct_r + digit_r < 0.2 THEN 1.0
+                     ELSE greatest(0.0, 1.0 - (punct_r + digit_r)) END) * 0.4
+             + least(sw_ratio * 5, 1.0) * 0.2, 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def text_langid(spark, sf_dir):
+    """Language ID by stopword-hit argmax (deterministic heuristic;
+    contract = per-language score → argmax with alphabetical tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = TX.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(TX.STOPWORDS)],
+        TX.predict_lang(t).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+TEXT_LANGID_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS INT) AS s_en,
+    CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS INT) AS s_de,
+    CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','de','que','pour'], x))) AS INT) AS s_fr,
+    CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','un','una','de','que','por'], x))) AS INT) AS s_es,
+    CAST(len(list_filter(t, x -> list_contains(['的','是','了','在','和','有','我','不','这','人'], x))) AS INT) AS s_zh
+  FROM base)
+SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + duplicate-group
+    accounting over fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("first_doc")
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1 ORDER BY first_doc
+"""
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def multimodal_meta(spark, sf_dir):
+    """Media-table plumbing: binary payload + typed metadata struct
+    (schema contract of operators/multimodal.MEDIA_SCHEMA), projected to
+    scalar fields for oracle comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("src"),
+        F.octet_length("payload").alias("payload_bytes"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source AS src,
+       octet_length(encode(text)) AS payload_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic byte-stat stand-in for the stubbed codec;
+    operators/multimodal.featurize). Python-side computation → rows-only;
+    exactness asserted in tests/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.featurize(M.media_from_documents(docs)).orderBy("media_id")
+
+
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: per-media exploded frame indices
+    (explode+sequence — the row-multiplying video pattern), aggregated to
+    sampled-frame counts for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return (
+        M.frame_sample_plan(media, every_n=10)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"), F.max("frame_idx").alias("last_frame"))
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id,
+                  CAST(octet_length(encode(text)) / 100.0 + 1 AS INT) AS nf
+           FROM documents)
+SELECT media_id,
+       CAST(floor((nf - 1) / 10.0) + 1 AS BIGINT) AS n_frames,
+       CAST(floor((nf - 1) / 10.0) * 10 AS INT) AS last_frame
+FROM m ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_keys": dedup_exact_keys,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "sim_topk": sim_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
+    "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
+    "sim_topk": SIM_TOPK_ORACLE,
+    "text_tokens": TEXT_TOKENS_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_langid": TEXT_LANGID_ORACLE,
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "multimodal_meta": MULTIMODAL_META_ORACLE,
+    "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
+}

@@ -1,0 +1,65 @@
+"""End-to-end oracle certification at sf0.001 for every registry query —
+the fast mirror of the driver's t2 gate (full-scale run:
+``python tools/run_oracle.py /root/testdata/sf0.01``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ballista_mvp_spark.oracle import compare
+from ballista_mvp_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+from .conftest import SF_SMALL
+
+# Default: a fast representative core (one per operator family). The full
+# 80-query sweep runs via SPARK_GRAFT_FULL=1 or tools/run_oracle.py (the
+# driver-gate mirror) — Spark per-query overhead makes all-by-default too
+# slow for an inner-loop suite.
+CORE = [
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q12", "tpch_q18",
+    "projection", "filter_pred", "limit_offset", "sort_nulls",
+    "join_left", "join_full", "join_semi", "join_nullsafe", "join_residual",
+    "union_all", "intersect_op", "values_inline",
+    "agg_basic", "agg_stats", "agg_distinct_filter", "agg_grouping_sets",
+    "window_row_number", "window_lag_lead", "window_agg_rows_frame",
+    "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
+    "events_hourly", "events_sessionize",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding", "sim_topk",
+    "text_quality", "text_langid", "multimodal_meta", "multimodal_frames",
+]
+
+NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, duck_small):
+    res = compare(name, ALL_QUERIES[name](spark, SF_SMALL), ALL_ORACLES.get(name), duck_small)
+    assert res.ok, str(res)
+
+
+def test_registry_shape():
+    # every oracle key has a query; contract names are stable
+    assert set(ALL_ORACLES) <= set(ALL_QUERIES)
+    assert "tpch_q1" in ALL_QUERIES
+    # rows-only queries are the documented sketch/nondeterministic set
+    rows_only = set(ALL_QUERIES) - set(ALL_ORACLES)
+    assert rows_only == {
+        "agg_approx",
+        "fn_hash_full",
+        "fn_misc",
+        "dedup_minhash",
+        "dedup_simhash",
+        "sim_ann_lsh",
+        "multimodal_features",
+    }
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 6  # Q1 returnflag×linestatus groups
+    assert set(E.oracle_sql()) <= set(E.queries())

@@ -1,0 +1,64 @@
+"""Plan-shape assertions — the 100 TB discipline checks.
+
+These certify that the declarative queries compile to the plans we want
+at scale: parquet filter pushdown reaches the scan, dimension joins
+broadcast, top-k compiles to TakeOrderedAndProject (never a global sort),
+and aggregations are two-phase (partial before the shuffle).
+"""
+
+from __future__ import annotations
+
+from ballista_mvp_spark.queries.extensions import sim_topk
+from ballista_mvp_spark.queries.relational import sort_topk
+from ballista_mvp_spark.queries.tpch import q1, q3, q6
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = _formatted(q1(spark, SF_SMALL))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # two-phase agg: a partial_ aggregate appears below the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = _formatted(q6(spark, SF_SMALL))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(q3(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(sort_topk(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    plan = _plan(sim_topk(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey").filter(F.col("l_orderkey") > 10)
+    plan = _formatted(li)
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_extendedprice" not in schema
