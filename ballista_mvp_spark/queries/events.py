@@ -180,8 +180,83 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join (extension — absent from the reference, SURVEY.md §2.4):
+    for every 'view' event, the most recent 'purchase' value by the same
+    user at-or-before it. Union+window implementation (operators/asof.py);
+    oracle uses DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_v")
+    )
+    out = asof_join(
+        views, purchases, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["purchase_v"],
+    )
+    return out.select(
+        "event_id", "user_id", F.date_format("ts", TS_FMT).alias("ts_s"), "purchase_v"
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_ORACLE = """
+SELECT v.event_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(p.value, 6) AS purchase_v
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND p.ts <= v.ts
+ORDER BY event_id
+"""
+
+
+def events_range_join(spark, sf_dir):
+    """Range (interval) join (extension — absent from the reference):
+    purchases within 1 hour after each signup by the same user.
+    Bucketed equi-join + residual (operators/asof.range_join)."""
+    from ..operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    joined = range_join(
+        signups,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        F.col("s_ts"),
+        F.col("p_ts"),
+        lower_seconds=0,
+        upper_seconds=3600,
+        extra_key="user_id",
+    )
+    return (
+        joined.groupBy("signup_id")
+        .agg(F.count("*").alias("n_purch"), F.round(F.sum("value"), 6).alias("v_purch"))
+        .orderBy("signup_id")
+    )
+
+
+EVENTS_RANGE_JOIN_ORACLE = """
+SELECT s.event_id AS signup_id, count(*) AS n_purch, round(sum(p.value), 6) AS v_purch
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND epoch(p.ts) >= epoch(s.ts) AND epoch(p.ts) <= epoch(s.ts) + 3600
+GROUP BY s.event_id ORDER BY signup_id
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
@@ -191,6 +266,8 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
+    "events_asof_join": EVENTS_ASOF_ORACLE,
+    "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_topk_users": EVENTS_TOPK_ORACLE,

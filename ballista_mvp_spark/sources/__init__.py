@@ -1,0 +1,125 @@
+"""Source/scan layer — SURVEY.md §2.2.
+
+The reference scans CSV/Parquet/Avro listing tables with projection/limit
+pushdown, pruning predicates, and Hive-style partition columns
+(reference: ballista/core/proto/datafusion.proto:87-115, 1144-1171;
+partition cols :106,1153 with per-file values :1315-1321). Spark's
+readers provide all of that; this module pins the reference's scan
+options to reader configuration and adds the listing-table conveniences
+(directory of files, explicit schema, partition discovery).
+
+Sinks: the reference has NONE (results are fetched shuffle files,
+SURVEY.md §2.2) — ``write_table`` below is the documented free extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """ParquetScanExecNode (datafusion.proto:1144-1161): multi-file scan;
+    projection/limit pushdown and row-group pruning are Catalyst-automatic
+    (verified in tests/test_plans.py)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = False,
+    delimiter: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    compression: str | None = None,
+) -> DataFrame:
+    """CsvScanExecNode (datafusion.proto:1163-1167: has_header, delimiter,
+    quote, optional escape) + CsvFormat options (:1102-1109)."""
+    r = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+    )
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    if compression:
+        r = r.option("compression", compression)
+    return r.csv(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """AvroScanExecNode (datafusion.proto:1169-1171). The spark-avro
+    module is a separate jar; absent in this container → a clear error
+    naming the requirement (import-try gating per environment rules)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    try:
+        return r.format("avro").load(path)
+    except Exception as e:  # noqa: BLE001
+        raise NotImplementedError(
+            "Avro scan requires the spark-avro package on the classpath "
+            "(org.apache.spark:spark-avro; not bundled in this container)"
+        ) from e
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Free extension (no JSON scan in the reference proto)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_partitioned(
+    spark: SparkSession,
+    base_path: str,
+    file_format: str = "parquet",
+    schema: str | None = None,
+) -> DataFrame:
+    """Hive-style partitioned listing table (table_partition_cols,
+    datafusion.proto:106,1153): dir layout ``base/col=value/...`` —
+    Spark discovers partition columns and prunes partitions on filter
+    (verified in tests/test_sources.py)."""
+    r = spark.read.option("basePath", base_path)
+    if schema:
+        r = r.schema(schema)
+    return r.format(file_format).load(base_path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Sink (free extension — reference has no write path). partition_by
+    gives Hive layout for partition pruning; bucketing co-locates future
+    joins on the bucket key without a shuffle (100 TB pattern)."""
+    w = df.write.mode(mode).format(file_format)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        w = w.bucketBy(n, *cols)
+        raise NotImplementedError(
+            "bucketBy requires saveAsTable + a metastore-backed catalog; "
+            "wire a warehouse dir before using bucketed sinks"
+        )
+    w.save(path)
