@@ -159,12 +159,9 @@ class Engine:
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN ≅ ExplainNode (datafusion.proto:219-227)."""
-        return (
-            self.spark.sql(query)
-            ._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-                self.spark.sql(query)._jdf.queryExecution(), mode
-            )
-        )
+        from .plans import explain_str
+
+        return explain_str(self.spark.sql(query), mode)
 
     # -- catalog introspection (≅ get_flight_info_tables, flight_sql.rs:597-621)
     def list_tables(self) -> list[str]:

@@ -16,6 +16,8 @@ Oracle-dialect notes (Spark expression vs DuckDB SQL):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -383,8 +385,65 @@ def fn_misc(spark, sf_dir):
     )
 
 
+def udf_pandas_scalar(spark, sf_dir):
+    """Scalar UDF surface (§2.9: the reference declares ScalarUdfExprNode,
+    datafusion.proto:558-561, but registers none — Spark's pandas_udf is
+    the strict superset). Arrow-batched, certified against the SQL
+    equivalent. NOTE: UDFs are the slow path — this exists to certify the
+    mechanism; the 73 built-ins above are the hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def log1p_scaled(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.round(np.log1p(s) * 2.0, 9))
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey", "l_linenumber", log1p_scaled(F.col("l_quantity")).alias("v")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+UDF_PANDAS_ORACLE = """
+SELECT l_orderkey, l_linenumber, round(ln(1 + l_quantity) * 2.0, 9) AS v
+FROM lineitem WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def udaf_apply_in_pandas(spark, sf_dir):
+    """Aggregate UDF surface (§2.9: AggregateUdfExprNode,
+    datafusion.proto:563-567) via grouped applyInPandas — per-group
+    pandas aggregation (weighted mean), certified against SQL."""
+
+
+    def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].sum()
+        v = (pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w if w else 0.0
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wmean": [round(v, 6)]}
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(weighted_mean, schema="l_returnflag string, wmean double")
+        .orderBy("l_returnflag")
+    )
+
+
+UDAF_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "fn_math": fn_math,
+    "udf_pandas_scalar": udf_pandas_scalar,
+    "udaf_apply_in_pandas": udaf_apply_in_pandas,
     "fn_string": fn_string,
     "fn_string2": fn_string2,
     "fn_regex": fn_regex,
@@ -398,6 +457,8 @@ QUERIES = {
 
 ORACLES = {
     "fn_math": FN_MATH_ORACLE,
+    "udf_pandas_scalar": UDF_PANDAS_ORACLE,
+    "udaf_apply_in_pandas": UDAF_ORACLE,
     "fn_string": FN_STRING_ORACLE,
     "fn_string2": FN_STRING2_ORACLE,
     "fn_regex": FN_REGEX_ORACLE,

@@ -639,8 +639,87 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def agg_weighted_percentile(spark, sf_dir):
+    """APPROX_PERCENTILE_CONT_WITH_WEIGHT (datafusion.proto:546) — Spark
+    has no weighted percentile; exact cumulative-weight shim
+    (operators/aggregates.weighted_percentile), oracle-checked with the
+    same lower-bound definition."""
+    from ..operators.aggregates import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5, "wp50"
+    ).orderBy("l_returnflag")
+
+
+AGG_WEIGHTED_PCT_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_quantity
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag, min(l_extendedprice) AS wp50
+FROM ranked WHERE cw >= 0.5 * tw
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def pivot_op(spark, sf_dir):
+    """Pivot (free extension; no reference node): quantity totals per
+    returnflag pivoted on linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0) AS qty_f,
+       coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0) AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def unpivot_op(spark, sf_dir):
+    """Unpivot/stack (free extension): wide per-flag metrics to long form."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["price", "qty"], "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS price, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'price' AS metric, price AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'qty', qty FROM wide
+ORDER BY l_returnflag, metric
+"""
+
+
 QUERIES = {
     "projection": projection,
+    "agg_weighted_percentile": agg_weighted_percentile,
+    "pivot_op": pivot_op,
+    "unpivot_op": unpivot_op,
     "filter_pred": filter_pred,
     "limit_offset": limit_offset,
     "sort_topk": sort_topk,
@@ -675,6 +754,9 @@ QUERIES = {
 
 ORACLES = {
     "projection": PROJECTION_ORACLE,
+    "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
+    "pivot_op": PIVOT_ORACLE,
+    "unpivot_op": UNPIVOT_ORACLE,
     "filter_pred": FILTER_ORACLE,
     "limit_offset": LIMIT_OFFSET_ORACLE,
     "sort_topk": SORT_TOPK_ORACLE,
