@@ -253,10 +253,22 @@ GROUP BY s.event_id ORDER BY signup_id
 """
 
 
+def streaming_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator: per-user sessionization via
+    applyInPandasWithState (GroupState across micro-batches;
+    streaming/stateful_sessionize). Single-batch drain over the events
+    parquet → final state equals the batch sessionization → certified
+    against the same oracle as events_sessionize."""
+    from ..streaming import run_stateful_sessionize_batchfile
+
+    return run_stateful_sessionize_batchfile(spark, sf_dir)
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "streaming_sessionize": streaming_sessionize,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
@@ -268,6 +280,7 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
+    "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_topk_users": EVENTS_TOPK_ORACLE,

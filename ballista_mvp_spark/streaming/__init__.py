@@ -71,3 +71,109 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname).orderBy("hour", "event_type")
+
+
+def sliding_agg(events: DataFrame, window_len: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding-window rollup (overlapping windows — each event lands in
+    window_len/slide windows; Spark expands via the same window()
+    expression)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_len, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), TS_FMT).alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    out_schema: str = "user_id long, n_sessions int, n_events int, max_sess_len int",
+):
+    """Custom stateful streaming operator: per-user sessionization with
+    applyInPandasWithState (GroupState keeps [last_ts, n_sessions,
+    n_events, max_len, cur_len] between micro-batches; ProcessingTime
+    timeout unused here — state is emitted on every update for
+    test-drainability).
+
+    Batch-vs-stream contract: with a single micro-batch and sorted input,
+    emits exactly the events_sessionize batch results — asserted in
+    tests/test_streaming.py. At scale, state is partitioned by user_id in
+    the state store; memory is O(active users), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events, max_len, cur_len = state.get
+        else:
+            last_ts, n_sessions, n_events, max_len, cur_len = None, 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap_seconds:
+                    n_sessions += 1
+                    cur_len = 1
+                else:
+                    cur_len += 1
+                max_len = max(max_len, cur_len)
+                n_events += 1
+                last_ts = t
+        state.update((last_ts, n_sessions, n_events, max_len, cur_len))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "max_sess_len": [max_len],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_ts double, n_sessions int, n_events int, max_len int, cur_len int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800) -> DataFrame:
+    """Drive stateful sessionization through the streaming engine over the
+    events parquet (single micro-batch → final state per user == batch
+    sessionization), drain to memory sink, return the table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = stateful_sessionize(src.select("user_id", "ts", "event_id"), gap_seconds)
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, micro-batch); keep the last
+    final = spark.table(qname)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    return (
+        final.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
