@@ -340,8 +340,112 @@ LIMIT 100
 """
 
 
+def q7(spark, sf_dir):
+    """Q7 shape: volume shipping between nation pairs — double nation
+    broadcast (aliased dim reuse), fact chain shuffles on orderkey then
+    custkey, group by (supp_nation, cust_nation, year)."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        # order-independent money sum: per-row round to integer cents,
+        # exact long addition — immune to the FP-sum + round-at-2 penny
+        # straddle that plain round(sum(double),2) hits across engines
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"))
+                / 100.0
+            ).alias("revenue")
+        )
+        .filter(F.col("revenue") > 100000)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+HAVING sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 > 100000
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8(spark, sf_dir):
+    """Q8 shape: market share — share of one supplier nation's revenue
+    within a customer region per year (conditional-sum over a snowflake
+    join)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n_cust = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region    ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
 QUERIES = {
     "count_star": count_star,
+    "tpch_q7": q7,
+    "tpch_q8": q8,
     "tpch_q1": q1,
     "tpch_q3": q3,
     "tpch_q4": q4,
@@ -355,6 +459,8 @@ QUERIES = {
 
 ORACLES = {
     "count_star": "SELECT count(*) AS cnt FROM lineitem",
+    "tpch_q7": Q7_ORACLE,
+    "tpch_q8": Q8_ORACLE,
     "tpch_q1": Q1_ORACLE,
     "tpch_q3": Q3_ORACLE,
     "tpch_q4": Q4_ORACLE,

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
