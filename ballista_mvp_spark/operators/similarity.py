@@ -182,6 +182,74 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer assigns every
+    candidate to a cell; each query probes its n_probe nearest cells and
+    re-ranks exactly within them. The industrial scale path when trained
+    centroids are available (vs hyperplane LSH which needs no training).
+
+    Implementation: pyspark.ml KMeans (seeded → deterministic) fits on
+    the candidate set; cell assignment is a JVM-side argmin over centroid
+    literals (no model.transform in the serving path, so the operator
+    composes as a plain DataFrame function). At 10⁹ vectors use
+    n_cells≈√N and fit on a sample."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = candidates.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def nearest_cells(df: DataFrame, side: str, n: int) -> DataFrame:
+        dists = F.array(
+            *[
+                F.struct(dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.array_sort(dists), 1, n)
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_v"),
+            F.explode(top).alias("_c"),
+        ).select(f"{side}_id", f"{side}_v", F.col("_c.cell").alias("cell"))
+
+    cb = nearest_cells(candidates, "c", 1)  # candidates live in ONE cell
+    qb = nearest_cells(queries, "q", n_probe)  # queries probe several
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("c_v")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def estimate_bucket_width(n_vectors: int, target_bucket: int = 1 << 14) -> int:
     """Planes needed so expected bucket size ≈ target (capacity planning
     helper for the 100 TB path)."""

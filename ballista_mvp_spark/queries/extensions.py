@@ -155,6 +155,18 @@ ORDER BY query_id, rank
 """
 
 
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN top-5 (k-means coarse quantizer, n_probe cells → exact
+    re-rank; operators/similarity.ivf_ann_topk). Seeded/deterministic but
+    k-means is not SQL-replicable → rows-only; recall vs sim_topk
+    asserted in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 def sim_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN top-5 (bucketed candidates → exact re-rank).
     Deterministic seeded planes, but bucket membership is not
@@ -357,6 +369,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,

@@ -89,3 +89,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"ANN recall {recall:.2f}"  # random embeddings: weak clusters
     # every ANN result must carry a correctly-computed (verified) score
     assert all(r.rank <= 5 for r in S.lsh_ann_topk(emb, queries, dim=64, k=5).collect())
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    r1 = S.ivf_ann_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    r2 = S.ivf_ann_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    assert r1 == r2  # seeded k-means → reproducible
+    approx = {(r.query_id, r.neighbor_id) for r in r1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
