@@ -74,6 +74,31 @@ def test_date_bin_shim(spark):
     assert got == "10:15:00"
 
 
+def test_approx_aggregates_within_bounds(spark):
+    """The rows-only agg_approx query's sketches must land near exact
+    values (HLL ±5% at default rsd; percentile_approx within the value
+    range) — the accuracy contract behind the weaker driver check."""
+    from ballista_mvp_spark.queries.relational import agg_approx
+    from ballista_mvp_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r.l_returnflag: (r.nd, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.median("l_quantity").alias("med"),
+        )
+        .collect()
+    }
+    for r in agg_approx(spark, SF_SMALL).collect():
+        nd_exact, med_exact = exact[r.l_returnflag]
+        assert abs(r.apx_nd - nd_exact) / nd_exact < 0.05
+        assert abs(r.apx_med - med_exact) <= 2  # quantile sketch tolerance
+
+
 def test_trunc_number_negative(spark):
     from ballista_mvp_spark.functions.scalar import trunc_number
 
