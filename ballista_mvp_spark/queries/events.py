@@ -253,6 +253,32 @@ GROUP BY s.event_id ORDER BY signup_id
 """
 
 
+def events_retention(spark, sf_dir):
+    """Cohort retention: for each user take the first active day (cohort
+    anchor), then count distinct users active k days later. Two shuffles
+    (user_id for the anchor, k for the final count) — row count drops to
+    distinct (user, day) before the heavy join."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        days.join(first, "user_id")
+        .select("user_id", F.datediff("d", "d0").alias("k"))
+        .groupBy("k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("k")
+    )
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+first AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+SELECT CAST(date_diff('day', d0, d) AS INT) AS k, count(DISTINCT days.user_id) AS n_users
+FROM days JOIN first ON days.user_id = first.user_id
+GROUP BY 1 ORDER BY k
+"""
+
+
 def streaming_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator: per-user sessionization via
     applyInPandasWithState (GroupState across micro-batches;
@@ -269,6 +295,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "streaming_sessionize": streaming_sessionize,
+    "events_retention": events_retention,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
@@ -281,6 +308,7 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
+    "events_retention": EVENTS_RETENTION_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_topk_users": EVENTS_TOPK_ORACLE,

@@ -125,6 +125,65 @@ ORDER BY a, b
 """
 
 
+def scd2_merge_customers(spark, sf_dir):
+    """SCD2 merge emulation (operators/scd.scd2_merge — MERGE INTO without
+    a Delta/Iceberg dependency): promote every 7th customer's segment and
+    insert synthetic new customers, producing closed + new + unchanged
+    version rows. Fully deterministic → oracle-checked."""
+    from ..operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("PROMOTED").alias("seg"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 100000).alias("k"), F.lit("NEW").alias("seg")
+            )
+        )
+    )
+    merged = scd2_merge(
+        current,
+        updates,
+        key="k",
+        attrs=["seg"],
+        change_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    return merged.select(
+        "k",
+        "seg",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("vf"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("vt"),
+    ).orderBy("k", "vf", F.col("vt").asc_nulls_first())
+
+
+SCD2_ORACLE = """
+WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+upd AS (
+  SELECT c_custkey AS k, 'PROMOTED' AS seg FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, 'NEW' FROM customer WHERE c_custkey < 50)
+SELECT cur.k, cur.seg, '2024-01-01 00:00:00' AS vf, '2024-06-01 00:00:00' AS vt
+FROM cur JOIN upd ON cur.k = upd.k WHERE cur.seg != upd.seg
+UNION ALL
+SELECT cur.k, cur.seg, '2024-01-01 00:00:00', NULL
+FROM cur LEFT JOIN upd ON cur.k = upd.k WHERE upd.k IS NULL OR cur.seg = upd.seg
+UNION ALL
+SELECT upd.k, upd.seg, '2024-06-01 00:00:00', NULL
+FROM upd JOIN cur ON cur.k = upd.k WHERE cur.seg != upd.seg
+UNION ALL
+SELECT upd.k, upd.seg, '2024-06-01 00:00:00', NULL
+FROM upd LEFT JOIN cur ON cur.k = upd.k WHERE cur.k IS NULL
+ORDER BY k, vf, vt ASC NULLS FIRST
+"""
+
+
 # -- similarity search -------------------------------------------------------
 
 
@@ -367,6 +426,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -384,6 +444,7 @@ ORACLES = {
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
+    "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
