@@ -442,10 +442,166 @@ GROUP BY 1 ORDER BY o_year
 """
 
 
+def _cents_sum(expr):
+    """Order-independent money sum (see q7): per-row integer cents,
+    exact long addition."""
+    return F.sum(F.round(expr * 100).cast("long")) / 100.0
+
+
+def q13(spark, sf_dir):
+    """Q13 shape: customer order-count distribution — left join (keeps
+    zero-order customers), two stacked aggregations."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("1"))
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND NOT starts_with(o_orderpriority, '1')
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15(spark, sf_dir):
+    """Q15 shape: top supplier(s) by quarterly revenue — agg then a
+    max-subquery filter (ties kept, like the original's view form)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.m)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17(spark, sf_dir):
+    """Q17 shape: small-quantity-order revenue — correlated avg subquery
+    becomes a per-part aggregate joined back to the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(_cents_sum(F.col("l_extendedprice")) / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q17_ORACLE = """
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19(spark, sf_dir):
+    """Q19 shape: disjunctive multi-attribute predicate (OR of ANDed
+    brand/size/quantity bands) — single join + complex residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 21)))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q19_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22(spark, sf_dir):
+    """Q22 shape: customers with above-average balance and no urgent
+    orders —
+    scalar-subquery threshold + anti join, grouped by a derived code."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    code = F.pmod(F.col("c_nationkey"), F.lit(5)).alias("cntrycode")
+    return (
+        rich.groupBy(code)
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "count_star": count_star,
     "tpch_q7": q7,
     "tpch_q8": q8,
+    "tpch_q13": q13,
+    "tpch_q15": q15,
+    "tpch_q17": q17,
+    "tpch_q19": q19,
+    "tpch_q22": q22,
     "tpch_q1": q1,
     "tpch_q3": q3,
     "tpch_q4": q4,
@@ -461,6 +617,11 @@ ORACLES = {
     "count_star": "SELECT count(*) AS cnt FROM lineitem",
     "tpch_q7": Q7_ORACLE,
     "tpch_q8": Q8_ORACLE,
+    "tpch_q13": Q13_ORACLE,
+    "tpch_q15": Q15_ORACLE,
+    "tpch_q17": Q17_ORACLE,
+    "tpch_q19": Q19_ORACLE,
+    "tpch_q22": Q22_ORACLE,
     "tpch_q1": Q1_ORACLE,
     "tpch_q3": Q3_ORACLE,
     "tpch_q4": Q4_ORACLE,
