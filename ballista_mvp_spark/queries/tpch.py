@@ -593,8 +593,349 @@ GROUP BY 1 ORDER BY cntrycode
 """
 
 
+def q2(spark, sf_dir):
+    """Q2 shape: minimum-cost supplier per part in a region — the
+    canonical correlated MIN subquery. No partsupp table in the synthetic
+    schema, so supply cost is derived from lineitem as the observed
+    minimum unit price per (part, supplier) pair; the correlated
+    per-part minimum becomes a window MIN over the part key (single
+    shuffle — cheaper at scale than agg + join-back).
+
+    Scale: part/supplier/nation/region are broadcast-sized; the one
+    shuffle partitions pair aggregates by l_partkey, and the window min +
+    filter run within that partitioning. Final top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    eu_nations = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pair_cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        # min is order-independent and IEEE-exact → float-equality safe
+        # across engines (unlike avg)
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pair_cost.withColumn("mn", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("mn")
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), best.l_partkey == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH pc AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'SMALL' AND p_size <= 15
+  GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, round(supply_cost, 6) AS supply_cost
+FROM pc
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE supply_cost = (SELECT min(supply_cost) FROM pc p2 WHERE p2.l_partkey = pc.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9(spark, sf_dir):
+    """Q9 shape: product-type profit by nation and year — 5-way snowflake
+    join + two-key agg. No ps_supplycost in the synthetic schema, so cost
+    is proxied as 20% of p_retailprice per unit (fixed margin); the plan
+    shape (deep join chain feeding a shuffle agg) is what matters.
+    p_name filter uses 'red' (the synthetic color vocabulary has no
+    'green').
+
+    Scale: part/supplier/nation broadcast; lineitem↔orders shuffles on
+    orderkey; partial aggregation combines map-side before the final
+    (nation, year) shuffle — tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.2) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_cents_sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)
+                       - 0.2 * p_retailprice * l_quantity) * 100) AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11(spark, sf_dir):
+    """Q11 shape: important-part value concentration — group-agg with a
+    HAVING threshold taken from a scalar subquery over the same
+    aggregate. partsupp's availqty*supplycost is proxied by lineitem
+    revenue attributed to suppliers of one nation.
+
+    Scale: the per-part agg shuffles on l_partkey; the global total is a
+    single-row broadcast; threshold filter is free. Cents-exact sums make
+    the cross-engine > comparison deterministic."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    total = rev.agg((F.sum(F.round(F.col("part_value") * 100).cast("long")) / 100.0).alias("tot"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tot") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1)
+SELECT l_partkey, part_value
+FROM rev
+WHERE part_value > (SELECT sum(CAST(round(part_value * 100) AS BIGINT)) / 100.0 FROM rev) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q16(spark, sf_dir):
+    """Q16 shape: supplier count per part attribute triple, excluding a
+    supplier blocklist — distinct-count agg + anti join. The comment-based
+    complaint filter is proxied by s_acctbal < 0 (no comment columns in
+    the synthetic schema); part↔supplier relationships come from lineitem
+    (no partsupp).
+
+    Scale: the blocklist is tiny → broadcast anti join; distinct pairs
+    are reduced map-side before the (brand, type, size) shuffle."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 20)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand != 'Brand#1' AND p_type != 'PROMO' AND p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20(spark, sf_dir):
+    """Q20 shape: suppliers who dominate supply of a part family — nested
+    aggregate threshold + semi-join chain. partsupp availqty is proxied
+    by shipped quantity: a (part, supplier) pair qualifies when the
+    supplier shipped >30% of that part's 1995 volume.
+
+    Scale: one shuffle on (partkey, suppkey) for pair sums; the per-part
+    total is a window over the same partitioning (no extra shuffle);
+    qualifying suppkeys are tiny → broadcast semi join into supplier."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    pair = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pair.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.3 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE starts_with(p_name, 'small')
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1, 2)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pair p
+    WHERE qty > 0.3 * (SELECT sum(qty) FROM pair p2 WHERE p2.l_partkey = p.l_partkey))
+ORDER BY s_name
+"""
+
+
+def q21(spark, sf_dir):
+    """Q21 shape: suppliers who kept multi-supplier orders waiting —
+    EXISTS + NOT EXISTS correlated self-joins on the fact table. The
+    synthetic schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 60 days.
+
+    Scale: late lines are computed once and reused for both the outer
+    rows and the NOT EXISTS side; the EXISTS becomes a left-semi and the
+    NOT EXISTS a left-anti, both shuffling on l_orderkey (same key →
+    Spark reuses the exchange). Supplier/nation broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F' AND r_name = 'AMERICA'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "count_star": count_star,
+    "tpch_q2": q2,
+    "tpch_q9": q9,
+    "tpch_q11": q11,
+    "tpch_q16": q16,
+    "tpch_q20": q20,
+    "tpch_q21": q21,
     "tpch_q7": q7,
     "tpch_q8": q8,
     "tpch_q13": q13,
@@ -615,6 +956,12 @@ QUERIES = {
 
 ORACLES = {
     "count_star": "SELECT count(*) AS cnt FROM lineitem",
+    "tpch_q2": Q2_ORACLE,
+    "tpch_q9": Q9_ORACLE,
+    "tpch_q11": Q11_ORACLE,
+    "tpch_q16": Q16_ORACLE,
+    "tpch_q20": Q20_ORACLE,
+    "tpch_q21": Q21_ORACLE,
     "tpch_q7": Q7_ORACLE,
     "tpch_q8": Q8_ORACLE,
     "tpch_q13": Q13_ORACLE,
