@@ -103,6 +103,24 @@ class Engine:
             reader = reader.option(k, v)
         reader.load(path).createOrReplaceTempView(name)
 
+    def create_bucketed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        n_buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        path: str | None = None,
+    ) -> DataFrame:
+        """Materialize ``df`` as a catalog-managed bucketed table and
+        return the bucketed scan (free extension — the reference has no
+        write path). Joins/aggregations on the bucket key then skip their
+        shuffle (see sources.write_bucketed_table)."""
+        from .sources import read_bucketed_table, write_bucketed_table
+
+        write_bucketed_table(df, name, n_buckets, bucket_cols, sort_cols, path)
+        return read_bucketed_table(self.spark, name)
+
     def create_view(self, name: str, query: str, or_replace: bool = True) -> None:
         """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210)."""
         df = self.spark.sql(query)

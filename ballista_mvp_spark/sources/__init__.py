@@ -117,9 +117,45 @@ def write_table(
         w = w.partitionBy(*partition_by)
     if bucket_by:
         n, cols = bucket_by
-        w = w.bucketBy(n, *cols)
-        raise NotImplementedError(
-            "bucketBy requires saveAsTable + a metastore-backed catalog; "
-            "wire a warehouse dir before using bucketed sinks"
+        raise ValueError(
+            "bucketed sinks need a catalog table name — use "
+            "write_bucketed_table(df, name, n, cols, path=...)"
         )
     w.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed sink — the 100 TB co-located-join pattern (free extension;
+    the reference has no write path at all).
+
+    Spark bucketing hash-partitions file layout by ``bucket_cols`` into
+    ``n_buckets`` files per write task and records the spec in the session
+    catalog; a later join or aggregation on the bucket key reads both
+    sides pre-partitioned and skips the shuffle entirely (verified in
+    tests/test_sources_types.py: SortMergeJoin with zero Exchange).
+    ``sort_cols`` additionally sorts within buckets, removing the
+    sort step of a sort-merge join. At 100 TB, bucketing the fact tables
+    on the join key once at ingest amortizes every subsequent
+    fact-fact join."""
+    w = df.write.mode(mode).format(file_format).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (the bucketing spec
+    only survives via the catalog — a plain ``read.parquet`` of the same
+    files loses it and re-shuffles)."""
+    return spark.table(table)

@@ -105,3 +105,16 @@ def test_trunc_number_negative(spark):
     df = spark.createDataFrame([(-3.77,), (3.77,)], "x double")
     got = sorted(r.t for r in df.select(trunc_number(F.col("x"), 1).alias("t")).collect())
     assert got == [-3.7, 3.7]
+
+
+def test_engine_bucketed_table(spark, tmp_path):
+    eng = Engine(spark=spark, seed=11)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    back = eng.create_bucketed_table(
+        "eng_bucketed", df, 4, ["k"], sort_cols=["k"], path=str(tmp_path / "eng_bucketed")
+    )
+    try:
+        assert back.count() == 100
+        assert spark.catalog.tableExists("eng_bucketed")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eng_bucketed")

@@ -106,3 +106,33 @@ def test_plan_facts_digest(spark):
     assert facts.broadcast_joins >= 1
     assert facts.pushed_filters, "expected pushed filters on the lineitem scan"
     assert facts.has_take_ordered
+
+
+def test_bucketed_join_skips_shuffle(spark, scratch):
+    """Bucketed sink round-trip: two tables bucketed on the join key join
+    with a SortMergeJoin and ZERO Exchange operators — the 100 TB
+    co-located fact-join pattern."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    sources.write_bucketed_table(
+        orders, "orders_b", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=os.path.join(scratch, "orders_b"),
+    )
+    sources.write_bucketed_table(
+        li, "lineitem_b", 4, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=os.path.join(scratch, "lineitem_b"),
+    )
+    ob = sources.read_bucketed_table(spark, "orders_b")
+    lb = sources.read_bucketed_table(spark, "lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
