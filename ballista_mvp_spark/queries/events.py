@@ -290,8 +290,54 @@ def streaming_sessionize(spark, sf_dir):
     return run_stateful_sessionize_batchfile(spark, sf_dir)
 
 
+def streaming_session_close(spark, sf_dir):
+    """Event-time-timeout streaming sessionization (emit-on-close): one
+    row per FINALIZED session — closed mid-stream by an over-gap event or
+    closed by the watermark timing out end+gap (EventTimeTimeout no-data
+    batch). Sessions still open at end-of-stream stay in state and are
+    NOT emitted; the oracle applies the same closure rule in SQL."""
+    from ..streaming import run_session_close_batchfile
+
+    df = run_session_close_batchfile(spark, sf_dir, 1800)
+    return df.select(
+        "user_id",
+        F.round("session_start", 6).alias("session_start"),
+        F.round("session_end", 6).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+STREAMING_SESSION_CLOSE_ORACLE = """
+WITH e AS (SELECT user_id, epoch(ts) AS t, event_id FROM events),
+flg AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM e),
+sid AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg),
+sess AS (
+  SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events
+  FROM sid GROUP BY 1, 2),
+last_s AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY 1)
+SELECT sess.user_id, round(session_start, 6) AS session_start,
+       round(session_end, 6) AS session_end, CAST(n_events AS INT) AS n_events
+FROM sess JOIN last_s ON sess.user_id = last_s.user_id
+WHERE sess.sid < last_s.max_sid
+   OR session_end + 1800 <= (SELECT max(t) FROM e)
+ORDER BY sess.user_id, session_start
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "streaming_session_close": streaming_session_close,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "streaming_sessionize": streaming_sessionize,
@@ -305,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
+    "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,

@@ -57,7 +57,7 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = tumbling_agg(src)
     qname = f"tumbling_{uuid.uuid4().hex[:8]}"
     q = (
@@ -145,6 +145,101 @@ def stateful_sessionize(
     )
 
 
+def sessionize_on_close(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+):
+    """Event-time-timeout sessionization: emits one row PER SESSION, when
+    the session closes — either because a later event for the same user
+    exceeded the inactivity gap (in-batch closure) or because the
+    watermark passed last_event + gap with no activity
+    (GroupStateTimeout.EventTimeTimeout → Spark schedules a no-data
+    micro-batch and hands the timed-out group back to the function).
+
+    This is the production shape for session analytics: downstream gets
+    finalized sessions exactly once, and state is strictly bounded — one
+    open session per active user, reclaimed on timeout. Timestamps are
+    carried as double epoch seconds (timezone-proof across the Arrow
+    boundary).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple[float, float, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts in pdf["ts"]:
+                    t = ts.timestamp()
+                    if start is None:
+                        start, last, n = t, t, 1
+                    elif t - last > gap_seconds:
+                        closed.append((start, last, n))
+                        start, last, n = t, t, 1
+                    else:
+                        last, n = t, n + 1
+            state.update((start, last, n))
+            # close the open session when the event-time watermark passes
+            # last + gap (milliseconds epoch)
+            state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return events.withWatermark("ts", "0 seconds").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start double, session_end double, n_events int",
+        stateStructType="start double, last double, n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_session_close_batchfile(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Drive emit-on-close sessionization over the events parquet. With a
+    0-second watermark, after the data batch the watermark sits at
+    max(ts), so the trailing no-data batch times out every open session
+    whose last event is at least ``gap`` before stream end; sessions still
+    inside the gap at end-of-stream remain open (exactly the streaming
+    semantics — asserted against a batch recomputation in
+    tests/test_streaming.py)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = sessionize_on_close(src.select("user_id", "ts", "event_id"), gap_seconds)
+    qname = f"sessclose_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("user_id", "session_start")
+
+
 def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800) -> DataFrame:
     """Drive stateful sessionization through the streaming engine over the
     events parquet (single micro-batch → final state per user == batch
@@ -158,7 +253,7 @@ def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seco
         .parquet(sf_dir)
     )
     if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = stateful_sessionize(src.select("user_id", "ts", "event_id"), gap_seconds)
     qname = f"sess_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(qname).start()

@@ -43,3 +43,40 @@ def test_sliding_windows_overlap(spark):
     sliding = sliding_agg(ev, "1 hour", "15 minutes").agg(F.sum("n").alias("s")).head().s
     # each event falls in exactly 4 overlapping 1h/15min windows
     assert sliding == 4 * tumbling
+
+
+def test_session_emit_on_close_equals_batch(spark):
+    """Event-time-timeout sessions: streaming emits exactly the sessions a
+    batch recomputation says are closed (gap-closed mid-stream, or
+    timed out because end-of-stream watermark passed end+gap)."""
+    from pyspark.sql import Window as W
+
+    from ballista_mvp_spark.streaming import run_session_close_batchfile
+
+    gap = 1800
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", F.col("ts").cast("double").alias("t"), "event_id")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("t").over(w))
+        .withColumn("new_s", (F.col("prev").isNull() | (F.col("t") - F.col("prev") > gap)).cast("int"))
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("session_start"), F.max("t").alias("session_end"),
+             F.count("*").alias("n_events"))
+    )
+    gmax = ev.agg(F.max("t")).head()[0]
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    expected = {
+        (r.user_id, round(r.session_start, 6), round(r.session_end, 6), r.n_events)
+        for r in sess.join(last_sid, "user_id")
+        .filter((F.col("sid") < F.col("max_sid")) | (F.col("session_end") + gap <= gmax))
+        .collect()
+    }
+    got = {
+        (r.user_id, round(r.session_start, 6), round(r.session_end, 6), r.n_events)
+        for r in run_session_close_batchfile(spark, SF_SMALL, gap).collect()
+    }
+    assert got == expected and len(got) > 0
