@@ -197,6 +197,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Substring-subsumption dedup via k-gram containment — the scalable
+    stand-in for suffix-array substring dedup: C(A,B) = |A∩B| / min(|A|,|B|)
+    over word-k-gram shingle sets is ≈1 exactly when the smaller document's
+    content appears inside the larger one (a containment Jaccard misses:
+    a 10-line doc embedded in a 1000-line doc has Jaccard ~0.01 but
+    containment 1.0). Output is directed: (contained, container) with the
+    smaller shingle set as ``contained`` (ties broken by lower id) — the
+    drop-list side for a training-data pipeline.
+
+    Same inverted-index plan as ngram_jaccard_pairs: one shuffle on the
+    shingle key, stop-shingle cap bounds the self-join fan-out at scale."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = sh.select(F.col("_id").alias("a"), "s")
+    b = sh.select(F.col("_id").alias("b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb"))
+    cont = F.col("c") / F.least(F.col("sza"), F.col("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .filter(cont >= threshold)
+        .select(
+            F.when(F.col("szb") < F.col("sza"), F.col("b")).otherwise(F.col("a")).alias("contained"),
+            F.when(F.col("szb") < F.col("sza"), F.col("a")).otherwise(F.col("b")).alias("container"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 def simhash64(text: Column, shingle_k: int = 3) -> Column:
     """64-bit SimHash as a long, built from shingle xxhash64 bit votes —
     pure column expressions (no explode: bit sums via transform+aggregate

@@ -85,6 +85,36 @@ ORDER BY a, b
 """
 
 
+def dedup_containment(spark, sf_dir):
+    """Directed substring-subsumption dedup: word-3-gram containment
+    C = common / min(|A|,|B|) ≥ 0.5 flags the smaller document as
+    contained in the larger — the drop-list for subsumed docs (suffix-
+    array substring dedup's scalable analogue). Fully oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5).orderBy(
+        "contained", "container"
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS g FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT CASE WHEN sb.sz < sa.sz THEN b ELSE a END AS contained,
+       CASE WHEN sb.sz < sa.sz THEN a ELSE b END AS container,
+       round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / least(sa.sz, sb.sz) >= 0.5
+ORDER BY contained, container
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs with exact-Jaccard verification
     (xxhash64 signatures → DuckDB cannot replicate → rows-only; recall vs
@@ -423,6 +453,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keys": dedup_exact_keys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -443,6 +474,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
+    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,

@@ -106,3 +106,22 @@ def test_ivf_ann_recall_and_determinism(spark):
     approx = {(r.query_id, r.neighbor_id) for r in r1}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_containment_planted(spark):
+    """A short doc whose text is verbatim inside a long doc must surface
+    as (contained=short, container=long) with containment 1.0, while a
+    Jaccard test at the same threshold would miss it."""
+    from ballista_mvp_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " plus a very long unrelated tail " + \
+        " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "совсем other content unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    rows = D.containment_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.9).collect()
+    assert [(r.contained, r.container, r.containment) for r in rows] == [(1, 2, 1.0)]
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.9).collect()
+    assert jac == []
