@@ -110,3 +110,67 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     from .dedup import shingles
 
     return F.array_min(F.transform(shingles(text, window), lambda s: F.xxhash64(s)))
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character 3-grams of the normalized text (array<string>) —
+    pure column expressions, whole-stage-codegen friendly."""
+    n = normalize_text(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(n) - 2, F.lit(1))),
+        lambda i: F.substring(n, i, 3),
+    )
+    return F.array_distinct(grams)
+
+
+def lang_trigram_profiles(docs: DataFrame, lang_col: str, text_col: str, top_n: int = 200) -> DataFrame:
+    """Cavnar-Trenkle rank profiles: per language, the ``top_n`` char
+    trigrams by document frequency, weighted ``top_n + 1 - rank`` (ties
+    broken lexicographically → fully deterministic). Distributed build:
+    one explode + (lang, trigram) shuffle; the result is tiny
+    (langs × top_n rows) — broadcast it at scoring time."""
+    from pyspark.sql import Window as W
+
+    tri = docs.select(
+        F.col(lang_col).alias("plang"), F.explode(char_trigrams(F.col(text_col))).alias("tri")
+    )
+    counts = tri.groupBy("plang", "tri").agg(F.count("*").alias("c"))
+    w = W.partitionBy("plang").orderBy(F.col("c").desc(), F.col("tri"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("plang", "tri", (F.lit(top_n + 1) - F.col("rk")).cast("long").alias("w"))
+    )
+
+
+def langid_trigram(
+    docs: DataFrame, id_col: str, lang_col: str, text_col: str, top_n: int = 200
+) -> DataFrame:
+    """Char-n-gram language ID: score = sum of profile weights over the
+    document's distinct trigrams; argmax with alphabetical tie-break;
+    'und' when no profile trigram hits. Scoring is one explode + a
+    broadcast join against the profiles + per-doc argmax — no shuffle of
+    the corpus beyond the doc-id aggregation."""
+    from pyspark.sql import Window as W
+
+    prof = lang_trigram_profiles(docs, lang_col, text_col, top_n)
+    tri = docs.select(
+        F.col(id_col).alias("_id"), F.explode(char_trigrams(F.col(text_col))).alias("tri")
+    )
+    scores = (
+        tri.join(F.broadcast(prof), "tri")
+        .groupBy("_id", "plang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = W.partitionBy("_id").orderBy(F.col("score").desc(), F.col("plang"))
+    best = scores.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.col(lang_col).alias("lang"))
+        .join(best, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "lang",
+            F.coalesce(F.col("plang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("best_score"),
+        )
+    )

@@ -369,6 +369,41 @@ FROM s ORDER BY doc_id
 """
 
 
+def text_langid_ngram(spark, sf_dir):
+    """Char-trigram rank-profile language ID (Cavnar-Trenkle): per-lang
+    top-200 trigram profiles built distributed from the labeled corpus,
+    broadcast to score each doc (sum of rank weights over distinct
+    trigrams, argmax, alphabetical tie-break, 'und' on zero hits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.langid_trigram(docs, "doc_id", "lang", "text", top_n=200).orderBy("doc_id")
+
+
+TEXT_LANGID_NGRAM_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM documents),
+idx AS (SELECT doc_id, lang, n,
+               unnest(generate_series(1, greatest(length(n) - 2, 1))) AS g
+        FROM base),
+trid AS (SELECT DISTINCT doc_id, lang, substr(n, g, 3) AS tri FROM idx),
+prof AS (
+  SELECT lang AS plang, tri, count(*) AS c,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rk
+  FROM trid GROUP BY 1, 2),
+prof_top AS (SELECT plang, tri, 201 - rk AS w FROM prof WHERE rk <= 200),
+sc AS (SELECT doc_id, plang, sum(w) AS score
+       FROM trid JOIN prof_top USING (tri) GROUP BY 1, 2),
+best AS (SELECT doc_id, plang, score,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         FROM sc)
+SELECT b.doc_id, b.lang,
+       coalesce(best.plang, 'und') AS pred_lang,
+       CAST(coalesce(best.score, 0) AS BIGINT) AS best_score
+FROM base b LEFT JOIN best ON b.doc_id = best.doc_id AND best.rn = 1
+ORDER BY b.doc_id
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text + duplicate-group
     accounting over fingerprints."""
@@ -464,6 +499,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -481,6 +517,7 @@ ORACLES = {
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
+    "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,

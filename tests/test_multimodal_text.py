@@ -67,3 +67,31 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r.fp for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_langid_trigram_crafted_corpus(spark):
+    """Char-trigram rank-profile langid classifies a genuinely
+    multilingual corpus perfectly when train == score (the synthetic
+    documents table shares one vocabulary across lang labels, so it
+    can't test discrimination — this corpus can)."""
+    rows = []
+    samples = {
+        "en": ["the quick brown fox jumps over the lazy dog near the river",
+               "she walked through the quiet streets looking for the old house"],
+        "de": ["der schnelle braune fuchs springt über den faulen hund am fluss",
+               "sie ging durch die stillen strassen und suchte das alte haus"],
+        "fr": ["le renard brun rapide saute par dessus le chien paresseux",
+               "elle marchait dans les rues calmes cherchant la vieille maison"],
+    }
+    i = 0
+    for lang, texts in samples.items():
+        for t in texts:
+            rows.append((i, lang, t))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pred = TX.langid_trigram(docs, "doc_id", "lang", "text", top_n=50)
+    got = {r.doc_id: (r.lang, r.pred_lang, r.best_score) for r in pred.collect()}
+    assert len(got) == len(rows)
+    for _id, (lang, pred_lang, score) in got.items():
+        assert pred_lang == lang, f"doc {_id}: predicted {pred_lang}, want {lang}"
+        assert score > 0
