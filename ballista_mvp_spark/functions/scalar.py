@@ -108,7 +108,11 @@ FUNCTIONS: dict[str, object] = {
     # math (SURVEY.md §2.8 Math row)
     "Abs": F.abs, "Acos": F.acos, "Asin": F.asin, "Atan": F.atan, "Atan2": F.atan2,
     "Ceil": F.ceil, "Cos": F.cos, "Exp": F.exp, "Floor": F.floor, "Ln": F.log,
-    "Log": F.log10, "Log10": F.log10, "Log2": F.log2, "Power": F.pow,
+    # DataFusion Log is log(x)=log10(x) AND log(base, x); Spark's 2-arg
+    # F.log takes (base, col) in the same order as DataFusion's log(b, x)
+    # (base must be a Python float — Spark restriction).
+    "Log": lambda *a: F.log10(a[0]) if len(a) == 1 else F.log(a[0], a[1]),
+    "Log10": F.log10, "Log2": F.log2, "Power": F.pow,
     "Round": F.round, "Signum": F.signum, "Sin": F.sin, "Sqrt": F.sqrt,
     "Tan": F.tan, "Trunc": trunc_number, "Random": F.rand,
     # string

@@ -182,6 +182,71 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_cosine_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by hyperplane-LSH bucket —
+    the scale path for `cosine_dup_pairs` (which is all-pairs unless given
+    a scope). Only pairs colliding in ≥1 of `n_tables` bucket tables are
+    scored, so the candidate set is O(N²·tables/2^planes) instead of
+    O(N²), then an exact cosine verify applies `threshold`.
+
+    Plan shape (mirrors dedup.minhash_lsh_pairs): slim (id, tbl, bucket)
+    table persisted once (signatures are higher-order-fn expressions that
+    Catalyst will not CSE across a self-join), oversized buckets dropped
+    (`max_bucket` bounds the pair explosion under skew), pair join carries
+    ids only, vectors re-attached just for the verify.
+
+    Recall is (1-θ/π)^planes per table; size `n_planes` with
+    estimate_bucket_width at production N. The defaults (3, 8) are tuned
+    for the synthetic corpus whose "dups" sit at cos 0.4-0.51 (θ≈60°,
+    the hardest regime) — at a production near-dup threshold (≥0.9,
+    θ≤26°) the same structure holds ≥0.93 recall with 8+ planes and a
+    far smaller candidate set."""
+    tables = hyperplanes(dim, n_planes, n_tables, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _signature(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.tbl").alias("tbl"), F.col("_s.bucket").alias("bucket"))
+    bucketed = bucketed.persist()
+    bucket_sizes = bucketed.groupBy("tbl", "bucket").agg(F.count("*").alias("_n"))
+    bucketed = bucketed.join(
+        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)), ["tbl", "bucket"], "left_anti"
+    )
+    pairs = (
+        bucketed.select("tbl", "bucket", F.col("_id").alias("a"))
+        .join(bucketed.select("tbl", "bucket", F.col("_id").alias("b")), ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    vmap = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        pairs.join(vmap.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a")
+        .join(vmap.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_ann_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -136,9 +136,26 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs at
-    oracle scale; the production form blocks by LSH bucket first
-    (operators/similarity.cosine_dup_pairs scope arg)."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4) blocked by
+    hyperplane-LSH bucket (operators/similarity.lsh_cosine_dup_pairs) —
+    the headline O(N·tables/2^planes·bucket) scale path. Bucket
+    membership is not SQL-replicable → rows-only; recall ≥ 0.8 vs the
+    exact all-pairs ground truth (dedup_embedding_exact) asserted in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.lsh_cosine_dup_pairs(
+        emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_planes=3, n_tables=8,
+    ).orderBy("a", "b")
+
+
+def dedup_embedding_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs — the
+    oracle ground truth / recall reference for dedup_embedding. The
+    cartesian form is intentionally NOT the headline path; at scale use
+    lsh_cosine_dup_pairs (or cosine_dup_pairs with a blocking scope)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -492,6 +509,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_exact": dedup_embedding_exact,
     "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -511,7 +529,7 @@ ORACLES = {
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
-    "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
+    "dedup_embedding_exact": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,

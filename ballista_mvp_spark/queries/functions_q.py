@@ -21,7 +21,14 @@ import pandas as pd  # module-level: pandas_udf resolves stringified type hints 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import current_time, date_bin, digest, similar_to, trunc_number
+from ..functions.scalar import (
+    FUNCTIONS,
+    current_time,
+    date_bin,
+    digest,
+    similar_to,
+    trunc_number,
+)
 from ..tables import load_table
 
 
@@ -52,6 +59,7 @@ def fn_math(spark, sf_dir):
         F.round(F.log(x + 1), 9).alias("ln_v"),
         F.round(F.log10(x + 1), 9).alias("log10_v"),
         F.round(F.log2(x + 1), 9).alias("log2_v"),
+        F.round(FUNCTIONS["Log"](2.0, x + 1), 9).alias("logb_v"),
         F.round(F.pow(x, 2), 6).alias("pow_v"),
         F.round(x * 3.14159, 2).alias("round_v"),
         F.signum(x - 25).alias("sign_v"),
@@ -76,6 +84,7 @@ SELECT l_orderkey, l_linenumber,
        round(ln(l_quantity + 1), 9) AS ln_v,
        round(log10(l_quantity + 1), 9) AS log10_v,
        round(log2(l_quantity + 1), 9) AS log2_v,
+       round(log(2.0, l_quantity + 1), 9) AS logb_v,
        round(pow(l_quantity, 2), 6) AS pow_v,
        round(l_quantity * 3.14159, 2) AS round_v,
        CAST(CASE WHEN l_quantity - 25 > 0 THEN 1.0 WHEN l_quantity - 25 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sign_v,

@@ -91,6 +91,28 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert all(r.rank <= 5 for r in S.lsh_ann_topk(emb, queries, dim=64, k=5).collect())
 
 
+def test_lsh_embedding_dedup_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    exact = {
+        (r.a, r.b)
+        for r in S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    assert exact, "testdata should contain cos>=0.4 pairs"
+    blocked = {
+        (r.a, r.b)
+        for r in S.lsh_cosine_dup_pairs(
+            emb, dim=64, threshold=0.4, n_planes=3, n_tables=8
+        ).collect()
+    }
+    # verified-pairs property: the exact cosine filter runs on candidates,
+    # so every reported pair IS an exact pair (precision 1.0)
+    assert blocked <= exact
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.8, f"LSH-blocked dedup recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_ivf_ann_recall_and_determinism(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
