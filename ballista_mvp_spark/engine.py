@@ -121,6 +121,16 @@ class Engine:
         write_bucketed_table(df, name, n_buckets, bucket_cols, sort_cols, path)
         return read_bucketed_table(self.spark, name)
 
+    def create_database(self, name: str, if_not_exists: bool = True) -> None:
+        """``CREATE SCHEMA/DATABASE`` ≅ CreateCatalogSchemaNode
+        (datafusion.proto:192-202). Spark databases are namespaces in the
+        session catalog; ``USE <db>``/qualified names work afterwards."""
+        clause = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(f"CREATE DATABASE {clause}`{name}`")
+
+    def list_databases(self) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
     def create_view(self, name: str, query: str, or_replace: bool = True) -> None:
         """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210)."""
         df = self.spark.sql(query)
@@ -168,6 +178,38 @@ class Engine:
             return job_id, df.collect()
         finally:
             sc.setJobGroup("", "")
+
+    def run_job_with_metrics(self, df: DataFrame, description: str = ""):
+        """Like :meth:`run_job`, but also returns rolled-up runtime
+        metrics (rows, scan/shuffle bytes, exchange counts, stage/task
+        counts) — the analogue of the reference's per-job metrics REST
+        surface (api/handlers.rs:184-243). Returns
+        ``(job_id, rows, QueryMetrics)``."""
+        import time
+
+        from .plans.metrics import collect_plan_metrics
+
+        sc = self.spark.sparkContext
+        t0 = time.monotonic()
+        job_id, rows = self.run_job(df, description)
+        wall = time.monotonic() - t0
+        qm = collect_plan_metrics(df)
+        qm.output_rows = len(rows)
+        qm.wall_time_sec = round(wall, 3)
+        tracker = sc.statusTracker()
+        spark_jobs = tracker.getJobIdsForGroup(job_id)
+        qm.num_jobs = len(spark_jobs)
+        stage_ids = set()
+        for jid in spark_jobs:
+            info = tracker.getJobInfo(jid)
+            if info:
+                stage_ids.update(info.stageIds)
+        qm.num_stages = len(stage_ids)
+        for sid in stage_ids:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo:
+                qm.num_tasks += sinfo.numCompletedTasks
+        return job_id, rows, qm
 
     def cancel_job(self, job_id: str) -> None:
         self.spark.sparkContext.cancelJobGroup(job_id)

@@ -66,6 +66,78 @@ def test_engine_lifecycle(spark):
     assert "struct" in eng.table_schema("t_li")
 
 
+def test_engine_create_database(spark):
+    eng = Engine(spark=spark)
+    eng.create_database("eng_db_test")
+    try:
+        assert "eng_db_test" in eng.list_databases()
+        eng.create_database("eng_db_test")  # IF NOT EXISTS: no error
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS eng_db_test")
+
+
+def test_engine_runtime_metrics_tpch_q3(spark):
+    """Per-query runtime metrics (≅ reference api/handlers.rs:184-243):
+    tpch_q3 is a fact-fact join + agg, so its executed plan must report
+    non-zero shuffle traffic, file-scan rows, and completed tasks."""
+    from ballista_mvp_spark.queries.tpch import q3
+
+    eng = Engine(spark=spark, seed=11)
+    job_id, rows, qm = eng.run_job_with_metrics(q3(spark, SF_SMALL), "q3 metrics")
+    assert len(job_id) == 7 and rows
+    assert qm.output_rows == len(rows)
+    assert qm.scan_rows > 0 and qm.scan_files > 0
+    assert qm.num_shuffle_exchanges >= 1
+    assert qm.shuffle_records_written > 0
+    assert qm.shuffle_bytes_written > 0
+    assert qm.num_broadcast_exchanges >= 1  # dim joins stay broadcast
+    assert qm.num_stages >= 1 and qm.num_tasks >= 1
+    assert qm.wall_time_sec > 0
+    d = qm.as_dict()
+    assert d["shuffle_records_written"] == qm.shuffle_records_written
+
+
+def test_engine_metrics_bucketed_join_zero_exchanges(spark):
+    """The bucketed co-located join must report ZERO shuffle exchanges in
+    its runtime metrics — the metric surface sees what the plan assertion
+    in test_sources_types.test_bucketed_join_skips_shuffle sees."""
+    import os
+
+    from ballista_mvp_spark import sources
+    from ballista_mvp_spark.tables import load_table
+    from tests.test_sources_types import SCRATCH
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    sources.write_bucketed_table(
+        orders, "orders_mb", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=os.path.join(SCRATCH, "orders_mb"),
+    )
+    sources.write_bucketed_table(
+        li, "lineitem_mb", 4, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=os.path.join(SCRATCH, "lineitem_mb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = sources.read_bucketed_table(spark, "orders_mb")
+        lb = sources.read_bucketed_table(spark, "lineitem_mb")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy("o_orderstatus").count()
+        eng = Engine(spark=spark, seed=12)
+        _, rows, qm = eng.run_job_with_metrics(joined, "bucketed join")
+        assert rows
+        # the join itself is exchange-free; the only shuffle is the final
+        # 3-group aggregation, whose traffic is a few hundred bytes
+        assert qm.num_shuffle_exchanges <= 1
+        assert qm.shuffle_records_written <= 32 * 3
+        assert qm.num_broadcast_exchanges == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_mb")
+        spark.sql("DROP TABLE IF EXISTS lineitem_mb")
+
+
 def test_date_bin_shim(spark):
     from ballista_mvp_spark.functions.scalar import date_bin
 
