@@ -96,6 +96,11 @@ class Engine:
         if if_not_exists and name in [t.name for t in self.spark.catalog.listTables()]:
             return
         fmt = _FORMAT_ALIASES[file_format.lower()]
+        if fmt == "avro":
+            from .sources import read_avro
+
+            read_avro(self.spark, path, schema).createOrReplaceTempView(name)
+            return
         reader = self.spark.read.format(fmt)
         if schema:
             reader = reader.schema(schema)
@@ -216,6 +221,96 @@ class Engine:
 
     def jobs(self) -> dict[str, str]:
         return dict(self._jobs)
+
+    # -- remote SQL service (≅ Flight SQL endpoint, flight_sql.rs:445-579) --
+    def publish_table(self, name: str, df: DataFrame) -> None:
+        """Make a DataFrame visible to REMOTE sessions as
+        ``global_temp.<name>`` — plain temp views are session-scoped, so
+        they are invisible across the connection boundary (the analogue of
+        the reference registering tables on the shared SessionContext that
+        Flight SQL sessions resolve against, flight_sql.rs:505-520)."""
+        df.createOrReplaceGlobalTempView(name)
+
+    def publish_testdata(self, sf_dir: str) -> None:
+        from .tables import TABLES, load_table
+
+        for name in TABLES:
+            self.publish_table(name, load_table(self.spark, sf_dir, name))
+
+    def serve(self, port: int = 10000, host: str = "localhost") -> int:
+        """Start the remote SQL endpoint (HiveThriftServer2 sharing this
+        session's SparkContext) — the Spark-native analogue of the
+        reference's Flight SQL service (scheduler flight_sql.rs:445-499:
+        handshake/session, :566-579: statement execution; here the
+        hive2 wire protocol provides the same lifecycle: connect,
+        authenticate, execute, fetch). Remote clients (beeline / any
+        hive2 JDBC driver) connect to ``jdbc:hive2://host:port`` and see
+        every table published via :meth:`publish_table` under
+        ``global_temp``. Returns the bound port."""
+        hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+        hc.set("hive.server2.thrift.port", str(port))
+        hc.set("hive.server2.thrift.bind.host", host)
+        jvm = self.spark.sparkContext._jvm
+        self._thrift_server = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+            self.spark._jsparkSession.sqlContext()
+        )
+        self._thrift_port = port
+        return port
+
+    def serve_connect(self, port: int = 15002) -> int:
+        """Start the Spark Connect gRPC service on this session's context
+        (the second remote surface; the in-container Python lacks grpcio,
+        so the *client* path is exercised where available and the service
+        liveness is asserted at the TCP layer — see COVERAGE.md)."""
+        jsc = self.spark.sparkContext._jsc.sc()
+        # binding port is read from the context's SparkConf at service start
+        jsc.conf().set("spark.connect.grpc.binding.port", str(port))
+        jvm = self.spark.sparkContext._jvm
+        jvm.org.apache.spark.sql.connect.service.SparkConnectService.start(jsc)
+        self._connect_port = port
+        return port
+
+    def remote_sql(self, sql: str, timeout: int = 180) -> tuple[list[str], list[tuple]]:
+        """Execute SQL against this engine's thrift endpoint from a REAL
+        second process (beeline, the stock hive2 JDBC client) — proving
+        the network round-trip, not an in-process shortcut. Returns
+        (column_names, rows-as-string-tuples); csv2 output, so embedded
+        commas in values would need quoting-aware parsing."""
+        import os
+        import subprocess
+
+        beeline = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "beeline")
+        out = subprocess.run(
+            [
+                beeline,
+                "-u",
+                f"jdbc:hive2://localhost:{self._thrift_port}",
+                "--outputformat=csv2",
+                "--silent=true",
+                "-e",
+                sql,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"beeline failed: {out.stderr[-500:]}")
+        lines = []
+        for raw in out.stdout.splitlines():
+            # the connection prompt is glued to the first payload line
+            if "jdbc:hive2://" in raw:
+                raw = raw.split("> ", 1)[-1]
+            if raw.strip():
+                lines.append(raw)
+        header, *data = lines
+        return header.split(","), [tuple(r.split(",")) for r in data]
+
+    def stop_serving(self) -> None:
+        srv = getattr(self, "_thrift_server", None)
+        if srv is not None:
+            srv.stop()
+            self._thrift_server = None
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN ≅ ExplainNode (datafusion.proto:219-227)."""

@@ -61,20 +61,48 @@ def read_csv(
     return r.csv(path)
 
 
+# spark-sql_2.13-4.1.2.jar bundles the Avro classes but not the
+# DataSourceRegister short-name entry, so `format("avro")` fails while the
+# fully-qualified provider works. Try the short name first (correct on a
+# standard deployment), then the FQCN.
+_AVRO_PROVIDERS = ("avro", "org.apache.spark.sql.avro.AvroFileFormat")
+
+
+def _is_source_missing(e: Exception) -> bool:
+    return "Failed to find data source" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e)
+
+
 def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
-    """AvroScanExecNode (datafusion.proto:1169-1171). The spark-avro
-    module is a separate jar; absent in this container → a clear error
-    naming the requirement (import-try gating per environment rules)."""
-    r = spark.read
-    if schema:
-        r = r.schema(schema)
-    try:
-        return r.format("avro").load(path)
-    except Exception as e:  # noqa: BLE001
-        raise NotImplementedError(
-            "Avro scan requires the spark-avro package on the classpath "
-            "(org.apache.spark:spark-avro; not bundled in this container)"
-        ) from e
+    """AvroScanExecNode (datafusion.proto:1169-1171)."""
+    err: Exception | None = None
+    for provider in _AVRO_PROVIDERS:
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        try:
+            return r.format(provider).load(path)
+        except Exception as e:  # noqa: BLE001
+            if not _is_source_missing(e):
+                raise
+            err = e
+    raise NotImplementedError(
+        "Avro scan requires the spark-avro classes on the classpath "
+        "(org.apache.spark:spark-avro)"
+    ) from err
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (free extension, used by the round-trip test)."""
+    err: Exception | None = None
+    for provider in _AVRO_PROVIDERS:
+        try:
+            df.write.mode(mode).format(provider).save(path)
+            return
+        except Exception as e:  # noqa: BLE001
+            if not _is_source_missing(e):
+                raise
+            err = e
+    raise NotImplementedError("spark-avro classes not on the classpath") from err
 
 
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:

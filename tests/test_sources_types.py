@@ -64,9 +64,25 @@ def test_partitioned_scan_prunes(spark, scratch):
     ).count()
 
 
-def test_avro_gated(spark):
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        sources.read_avro(spark, "/nonexistent")
+def test_avro_roundtrip(spark, scratch):
+    """Avro scan (AvroScanExecNode, datafusion.proto:1169-1171): the
+    container's spark-sql jar bundles the Avro classes without the
+    short-name registration, so read_avro resolves the FQCN provider.
+    Round-trip: write nation as avro, read back, values identical."""
+    nation = load_table(spark, SF_SMALL, "nation")
+    path = os.path.join(scratch, "nation_avro")
+    sources.write_avro(nation.select("n_nationkey", "n_name", "n_regionkey"), path)
+    back = sources.read_avro(spark, path)
+    assert back.count() == nation.count()
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert got == want
+    # engine DDL path resolves avro too
+    from ballista_mvp_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.create_external_table("nation_avro_t", path, "avro")
+    assert spark.sql("SELECT count(*) AS n FROM nation_avro_t").head().n == nation.count()
 
 
 def test_unsigned_widening():
