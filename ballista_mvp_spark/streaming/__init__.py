@@ -115,17 +115,25 @@ def stateful_sessionize(
         else:
             last_ts, n_sessions, n_events, max_len, cur_len = None, 0, 0, 0, 0
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                t = ts.timestamp()
-                if last_ts is None or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                    cur_len = 1
-                else:
-                    cur_len += 1
-                max_len = max(max_len, cur_len)
-                n_events += 1
-                last_ts = t
+            # vectorized session walk: gap test via shift, session ids via
+            # cumsum, per-session lengths via groupby — no Python per-row loop
+            ts = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9  # epoch s
+            prev = ts.shift(1)
+            if last_ts is not None:
+                prev.iloc[0] = last_ts
+            new_session = prev.isna() | ((ts - prev) > gap_seconds)
+            sid = new_session.cumsum()  # 0 ⇒ continues the carried session
+            lengths = ts.groupby(sid).size()
+            if not new_session.iloc[0]:
+                lengths.iloc[0] += cur_len  # first run extends the open session
+            n_sessions += int(new_session.sum())
+            n_events += len(pdf)
+            max_len = max(max_len, int(lengths.max()))
+            cur_len = int(lengths.iloc[-1])
+            last_ts = float(ts.iloc[-1])
         state.update((last_ts, n_sessions, n_events, max_len, cur_len))
         yield pd.DataFrame(
             {
@@ -178,16 +186,32 @@ def sessionize_on_close(
             else:
                 start, last, n = None, None, 0
             for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
                 pdf = pdf.sort_values(["ts", "event_id"])
-                for ts in pdf["ts"]:
-                    t = ts.timestamp()
-                    if start is None:
-                        start, last, n = t, t, 1
-                    elif t - last > gap_seconds:
-                        closed.append((start, last, n))
-                        start, last, n = t, t, 1
-                    else:
-                        last, n = t, n + 1
+                # vectorized: gap test via shift, session ids via cumsum,
+                # (start, end, count) per session via groupby aggregates
+                ts = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+                prev = ts.shift(1)
+                if last is not None:
+                    prev.iloc[0] = last
+                new_session = prev.isna() | ((ts - prev) > gap_seconds)
+                sid = new_session.cumsum()  # 0 ⇒ continues the carried session
+                g = ts.groupby(sid)
+                starts = g.first()
+                ends = g.last()
+                counts = g.size()
+                if not new_session.iloc[0]:  # first run extends the open session
+                    starts.iloc[0] = start
+                    counts.iloc[0] += n
+                # every session but the last closed inside this chunk
+                for i in range(len(counts) - 1):
+                    closed.append(
+                        (float(starts.iloc[i]), float(ends.iloc[i]), int(counts.iloc[i]))
+                    )
+                start = float(starts.iloc[-1])
+                last = float(ends.iloc[-1])
+                n = int(counts.iloc[-1])
             state.update((start, last, n))
             # close the open session when the event-time watermark passes
             # last + gap (milliseconds epoch)
