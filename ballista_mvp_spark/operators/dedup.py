@@ -94,11 +94,14 @@ def minhash_lsh_pairs(
     # two projections: materialize the per-shingle base hashes as a real
     # column first — Catalyst does not CSE a subexpression repeated inside
     # 32 higher-order functions, so inlining minhash_signature here would
-    # hash every shingle string 32× instead of once
+    # hash every shingle string 32× instead of once. PERSISTED because the
+    # normalize→split→shingle pass is the operator's dominant cost and
+    # both the signature path and the verify path consume it (without the
+    # persist it would run once per side of the candidate join too).
     hs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_hs"),
-    )
+    ).persist()
     sig = hs.select(
         "_id",
         F.array(
@@ -138,8 +141,11 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    # exact-Jaccard verify: re-attach shingle arrays only for candidates
-    shmap = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    # exact-Jaccard verify on the HASHED shingle sets (set Jaccard is
+    # hash-invariant up to 2^-64 collisions): reuses the persisted _hs —
+    # no second normalize/shingle pass — and compares 8-byte longs
+    # instead of strings in the intersect/union
+    shmap = hs.select("_id", F.array_distinct("_hs").alias("_sh"))
     verified = (
         pairs.join(shmap.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a")), "a")
         .join(shmap.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b")), "b")
