@@ -26,7 +26,7 @@ CORE = [
     "window_row_number", "window_lag_lead", "window_agg_rows_frame",
     "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
     "events_hourly", "events_sessionize",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding", "sim_topk",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_exact", "sim_topk",
     "text_quality", "text_langid", "multimodal_meta", "multimodal_frames",
 ]
 
@@ -47,6 +47,7 @@ def test_registry_shape():
     rows_only = set(ALL_QUERIES) - set(ALL_ORACLES)
     assert rows_only == {
         "agg_approx",
+        "dedup_embedding",
         "fn_hash_full",
         "fn_misc",
         "dedup_minhash",
