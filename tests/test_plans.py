@@ -53,6 +53,18 @@ def test_sim_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_dedup_embedding_has_no_cartesian(spark):
+    """The headline embedding-dedup must be bucket-blocked: an equi-join
+    on (tbl, bucket), never CartesianProduct / BroadcastNestedLoop —
+    the O(N²) plan is reserved for the _exact oracle baseline."""
+    from ballista_mvp_spark.queries.extensions import dedup_embedding
+
+    plan = _plan(dedup_embedding(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_column_pruning_reaches_scan(spark):
     from pyspark.sql import functions as F
 
