@@ -97,6 +97,34 @@ def predict_lang(text: Column) -> Column:
     return F.when(best == 0, "und").otherwise(out)
 
 
+# PII patterns — written in the regex subset common to Java (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# scrub order matters: emails contain dot-runs an aggressive ipv4 pattern
+# could clip, so emails are replaced first
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (email / phone / IPv4) — scan-speed
+    column expressions; the detection half of a training-data PII pass."""
+    return {kind: _count_matches(text, pat) for kind, pat in PII_PATTERNS.items()}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact PII in place: each match replaced with a <KIND> tag. Chained
+    JVM-side regexp_replace (Spark replaces all occurrences); at 100 TB
+    this is a pure map over the scan — no shuffle, no Python."""
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit document fingerprint: md5 of the normalized
     text (lowercase, collapsed whitespace). Exact-dedup key."""

@@ -421,6 +421,51 @@ ORDER BY b.doc_id
 """
 
 
+def text_pii(spark, sf_dir):
+    """PII detect + redact (operators/text.pii_counts / pii_scrub) — the
+    standard training-data scrubbing pass. The synthetic corpus contains
+    no PII, so the query first plants a deterministic email/phone/IP per
+    document (derived from doc_id, replicated verbatim in the oracle SQL)
+    and then certifies both the per-kind counts and the fully scrubbed
+    text against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ph 555-123-4567 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    t = docs.select("doc_id", planted.alias("t2"))
+    counts = TX.pii_counts(F.col("t2"))
+    return t.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+        TX.pii_scrub(F.col("t2")).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com ph 555-123-4567 ip 10.0.0.' || (doc_id % 256) AS t2
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS scrubbed
+FROM t ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text + duplicate-group
     accounting over fingerprints."""
@@ -519,6 +564,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
+    "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
@@ -537,6 +583,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
 }

@@ -95,3 +95,32 @@ def test_langid_trigram_crafted_corpus(spark):
     for _id, (lang, pred_lang, score) in got.items():
         assert pred_lang == lang, f"doc {_id}: predicted {pred_lang}, want {lang}"
         assert score > 0
+
+
+def test_pii_scrub_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "host 192.168.0.1 is fine"),
+            (4, "clean text with no identifiers"),
+        ],
+        "id long, t string",
+    )
+    c = TX.pii_counts(F.col("t"))
+    out = {
+        r.id: (r.e, r.p, r.i, r.s)
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            TX.pii_scrub(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert out[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert out[2] == (0, 2, 0, "call <PHONE> or <PHONE>")
+    assert out[3] == (0, 0, 1, "host <IPV4> is fine")
+    assert out[4] == (0, 0, 0, "clean text with no identifiers")
