@@ -351,3 +351,54 @@ def keep_survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFram
     of a duplicate pair (keep-smallest-id policy; deterministic)."""
     losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components of the near-dup
+    pair graph, component id = min node id in the component (the canonical
+    survivor a training pipeline keeps one copy of per cluster).
+
+    `nodes`: one column `id` (every doc, so singletons get their own
+    component); `edges`: columns (a, b), undirected.
+
+    Iterative distributed min-label propagation: each round every node
+    takes min(own label, neighbor labels) via an edge join + min-agg —
+    label tables stay (id, comp) narrow, each round is one shuffle, and
+    lineage is cut with localCheckpoint so round N's plan doesn't replay
+    rounds 1..N-1. Converges in O(graph diameter) rounds with a driver-side
+    fixpoint test (a 1-row count per round — the loop count is O(log-ish),
+    not O(rows); near-dup clusters have tiny diameters). At extreme scale
+    swap in alternating large-star/small-star (Kiveris et al. 2014), which
+    converges in O(log^2 n) rounds with the same join-agg primitive."""
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")), "b")
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr.select(F.col("a").alias("id"), "nbr_min"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

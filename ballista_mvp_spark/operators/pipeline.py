@@ -1,0 +1,252 @@
+"""Training-data pipeline operators beyond the reference's surface
+(extension family, same tier as operators/dedup.py — the reference has no
+analogue; its closest surface is DistinctNode + aggregates, reference:
+ballista/core/proto/datafusion.proto:267-269):
+
+- hash_split       — deterministic train/val/test assignment from a salted
+                     md5 of the id. Pure column expressions: at 100 TB the
+                     split is a zero-shuffle map over the scan, stable
+                     across runs/engines (md5 is engine-portable, unlike
+                     xxhash/rand-based sampling), and adding data never
+                     reassigns existing rows.
+- pack_sequences   — concat-then-chunk sequence packing: assign each doc a
+                     global token start-offset and a fixed-budget sequence
+                     id. The global prefix-sum is computed DISTRIBUTED:
+                     per-chunk partial sums → tiny chunk-prefix table
+                     (broadcast) → within-chunk window. No global
+                     single-partition window over the corpus.
+- repetition_metrics — Gopher-style repetition signals (top-n-gram
+                     fraction, duplicated-n-gram fraction for n=1,2,3) via
+                     one tagged explode + two hash aggregates, both
+                     map-side combinable.
+- tfidf_topk       — per-doc top-k terms by tf-idf; doc-frequency table is
+                     broadcast (vocabulary ≪ corpus), corpus size via a
+                     broadcast 1-row aggregate — the only full shuffle is
+                     the (doc, term) count.
+- decontaminate    — eval-set n-gram contamination against a training
+                     corpus: distinct hashed k-gram inverted check via
+                     LEFT SEMI join (train side reduced to a distinct
+                     shingle set — the scalable Dodge-et-al style 13-gram
+                     decontamination pattern, here with configurable k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+
+def _hex_digit(c: Column) -> Column:
+    """Value of one lowercase hex char via ascii arithmetic — expressible
+    identically in every SQL dialect (no conv()/strtol dependency)."""
+    a = F.ascii(c)
+    return a - 48 - F.when(a >= 97, 39).otherwise(0)
+
+
+def hash_bucket(id_col: Column, salt: str = "split", buckets: int = 256) -> Column:
+    """Deterministic bucket in [0, 256) from the first two hex chars of
+    md5(salt:id). Engine-portable (md5 everywhere); `buckets` must be 256
+    for the two-hex-char form."""
+    assert buckets == 256
+    h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    return (
+        _hex_digit(F.substring(h, 1, 1)) * 16 + _hex_digit(F.substring(h, 2, 1))
+    ).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split",
+    train: int = 205,
+    val: int = 230,
+) -> DataFrame:
+    """Train/val/test assignment: bucket < train → 'train', < val → 'val',
+    else 'test' (defaults ≈ 80/10/10 over 256 buckets). Adding new rows
+    never moves existing ones between splits — the property that matters
+    for a long-lived training corpus."""
+    b = hash_bucket(F.col(id_col), salt)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train, "train")
+        .when(F.col("bucket") < val, "val")
+        .otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    seq_len: int = 2048,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Concat-then-chunk packing: docs in `id_col` order are laid head to
+    tail in one token stream; sequence s covers offsets [s*seq_len,
+    (s+1)*seq_len). Emits (id, n_tok, start_off, seq_id, seq_off).
+
+    Distributed prefix sum — the scale-critical part: a naive
+    `sum().over(Window.orderBy(id))` collapses the corpus into ONE
+    partition. Instead: (1) per-chunk token sums (hash agg, map-side
+    combined), (2) running prefix over the chunk table — a single-
+    partition window, but over corpus/chunk rows (~25k rows at 100M docs),
+    (3) broadcast-join the chunk prefix back and add a within-chunk
+    window partitioned BY chunk. No stage ever holds more than one chunk
+    per task."""
+    d = df.select(F.col(id_col).alias("_id"), n_tokens.cast("long").alias("n_tok"))
+    d = d.withColumn("_g", F.floor(F.col("_id") / chunk))
+    gsums = d.groupBy("_g").agg(F.sum("n_tok").alias("_gs"))
+    gw = W.orderBy("_g").rowsBetween(W.unboundedPreceding, -1)
+    prefix = gsums.select(
+        "_g", F.coalesce(F.sum("_gs").over(gw), F.lit(0)).alias("_pre")
+    )
+    inw = W.partitionBy("_g").orderBy("_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        d.join(F.broadcast(prefix), "_g")
+        .withColumn(
+            "start_off", F.col("_pre") + F.coalesce(F.sum("n_tok").over(inw), F.lit(0))
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tok",
+            "start_off",
+            F.floor(F.col("start_off") / seq_len).cast("long").alias("seq_id"),
+            (F.col("start_off") % seq_len).cast("long").alias("seq_off"),
+        )
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams (repetition analysis needs multiplicity,
+    unlike dedup.shingles)."""
+    if n == 1:
+        return toks
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per n in `ns`:
+    top{n}_frac = occurrences of the most frequent n-gram / total n-grams;
+    dup{n}_frac = occurrences belonging to n-grams seen >1 time / total.
+    (Gopher 'repetition removal', Rae et al. 2021 — token-denominated here
+    because the synthetic corpus is single-line.)
+
+    Plan: ONE tagged explode (n, gram) → (doc, n, gram) count with
+    map-side combine → per-doc conditional aggregate. Two shuffles total
+    regardless of len(ns), both narrow."""
+    toks = tokens(F.col(text_col))
+
+    # closure factory, NOT a `n=n` default arg: higher-order-function
+    # lambdas dispatch on arity, and a default arg makes Spark parse this
+    # as the 2-arg (element, index) form with n bound to the array index
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(F.array(*[F.transform(_ngrams(toks, n), _tag(n)) for n in ns]))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(tagged).alias("_t")).select(
+        "_id", F.col("_t.n").alias("n"), F.col("_t.g").alias("g")
+    )
+    counts = ex.groupBy("_id", "n", "g").agg(F.count("*").alias("c"))
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        tot = F.sum(F.when(is_n, F.col("c"))).alias(f"_tot{n}")
+        top = F.max(F.when(is_n, F.col("c"))).alias(f"_top{n}")
+        dup = F.sum(F.when(is_n & (F.col("c") > 1), F.col("c"))).alias(f"_dup{n}")
+        aggs += [tot, top, dup]
+    per_doc = counts.groupBy("_id").agg(*aggs)
+    out = [F.col("_id").alias(id_col)]
+    for n in ns:
+        out.append(F.round(F.col(f"_top{n}") / F.col(f"_tot{n}"), 6).alias(f"top{n}_frac"))
+        out.append(
+            F.round(
+                F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / F.col(f"_tot{n}"), 6
+            ).alias(f"dup{n}_frac")
+        )
+    return per_doc.select(*out)
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf (idf = ln((N+1)/(df+1))); ties
+    broken by term ascending → fully deterministic.
+
+    Plan: the only corpus-scale shuffle is the (doc, term) count. Document
+    frequency aggregates that table by term (vocabulary-sized — broadcast
+    back), and the corpus row count is a broadcast 1-row aggregate, NOT a
+    collected scalar — no driver round-trip, the whole plan is one DAG."""
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    nd = df.agg(F.count("*").alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.round(F.col("tf") * F.log((F.col("_nd") + 1) / (F.col("df_t") + 1)), 6))
+    )
+    w = W.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "df_t", "score", "rank")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Eval-set contamination check: for each eval document, the count and
+    fraction of its distinct word-k-gram shingles that appear anywhere in
+    the training corpus (the n-gram-overlap decontamination used for LLM
+    eval hygiene; 13-grams in GPT-3's dedup, configurable here).
+
+    Plan: train side collapses to a DISTINCT hashed-shingle set (8-byte
+    keys, one agg shuffle); eval shingles LEFT SEMI join against it (the
+    semi join never materializes train rows); per-doc hit counts are a
+    final narrow agg. Counts are hash-invariant (xxhash64 collisions at
+    2^-64), so the string-shingle oracle certifies them."""
+    tr = (
+        train.select(
+            F.explode(
+                F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+            ).alias("s")
+        )
+        .distinct()
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
+    )
+    sizes = ev.select("_id", F.size("_sh").alias("n_shingles"))
+    hits = (
+        ev.select("_id", F.explode("_sh").alias("s"))
+        .join(tr, "s", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("contamination"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

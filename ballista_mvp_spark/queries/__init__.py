@@ -17,11 +17,12 @@ from __future__ import annotations
 from . import events as _events
 from . import extensions as _extensions
 from . import functions_q as _functions_q
+from . import pipeline as _pipeline
 from . import relational as _relational
 from . import tpch as _tpch
 from . import windows as _windows
 
-_MODULES = (_tpch, _relational, _functions_q, _windows, _events, _extensions)
+_MODULES = (_tpch, _relational, _functions_q, _windows, _events, _extensions, _pipeline)
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
@@ -47,14 +48,16 @@ _CERT_FIRST = [
     "window_row_number", "window_rank_ties", "window_lag_lead",
     "window_first_last_nth", "window_agg_rows_frame", "window_agg_range_frame",
     # §2.7/§2.8 expression + scalar-function families, §2.9 UDF surfaces
-    "fn_math", "fn_string", "fn_string2", "fn_regex", "fn_hash",
+    # (fn_string reps the string family; fn_string2 certifies locally)
+    "fn_math", "fn_string", "fn_regex", "fn_hash",
     "fn_datetime", "fn_conditional", "fn_array_struct",
     "udf_pandas_scalar", "udaf_apply_in_pandas",
     # §2.5 aggregate modifiers / forms
     "agg_distinct_filter", "agg_median", "agg_array_agg",
     "agg_grouping_sets", "agg_cube", "agg_rollup", "agg_approx",
-    # extensions: dedup
-    "dedup_exact", "dedup_exact_keys", "dedup_ngram_jaccard",
+    # extensions: dedup (dedup_exact_keys certifies locally — same family
+    # as dedup_exact)
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_containment", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_embedding_exact",
     # extensions: similarity / SCD
@@ -67,8 +70,12 @@ _CERT_FIRST = [
     # events: as-of/range joins, retention; structured streaming
     "events_asof_join", "events_range_join", "events_retention",
     "streaming_tumbling", "streaming_sessionize",
-    # flagship TPC-H continuity
-    "tpch_q1", "tpch_q3",
+    # training-pipeline family (round-2 additions) + the iterative
+    # connected-components operator
+    "pipeline_split", "pipeline_pack", "dedup_clusters",
+    # flagship TPC-H continuity (q1; q3 certifies locally + had a round-1
+    # driver row)
+    "tpch_q1",
 ]
 assert len(_CERT_FIRST) == 50, len(_CERT_FIRST)
 _missing = [n for n in _CERT_FIRST if n not in ALL_QUERIES]

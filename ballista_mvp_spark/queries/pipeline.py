@@ -1,0 +1,237 @@
+"""Training-pipeline operator certification: deterministic splits,
+sequence packing, repetition metrics, tf-idf keywords, eval-set
+decontamination, and duplicate-cluster labeling (operators/pipeline.py +
+operators/dedup.connected_components).
+
+All six are fully oracle-certified: every operator here was designed on
+engine-portable primitives (md5 buckets, string n-grams or hash-invariant
+counts, windowed prefix sums, recursive reachability) precisely so DuckDB
+can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import pipeline as P
+from ..operators import text as TX
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def pipeline_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (~80/10/10): salted
+    md5 bucket in [0,256), zero-shuffle, stable under corpus growth."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.hash_split(docs, "doc_id").select("doc_id", "bucket", "split").orderBy(
+        "doc_id"
+    )
+
+
+PIPELINE_SPLIT_ORACLE = """
+WITH h AS (SELECT doc_id, md5('split:' || doc_id) AS m FROM documents),
+d AS (SELECT doc_id,
+        CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+             ELSE ascii(substr(m, 1, 1)) - 48 END AS d1,
+        CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+             ELSE ascii(substr(m, 2, 1)) - 48 END AS d2
+      FROM h)
+SELECT doc_id, CAST(d1 * 16 + d2 AS INT) AS bucket,
+       CASE WHEN d1 * 16 + d2 < 205 THEN 'train'
+            WHEN d1 * 16 + d2 < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM d ORDER BY doc_id
+"""
+
+
+def pipeline_pack(spark, sf_dir):
+    """Concat-then-chunk sequence packing at seq_len=2048: global token
+    start-offset per doc via a DISTRIBUTED prefix sum (chunked partials +
+    broadcast chunk-prefix — never a single-partition corpus window)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.pack_sequences(
+        docs, "doc_id", TX.word_count(F.col("text")), seq_len=2048, chunk=64
+    ).orderBy("doc_id")
+
+
+PIPELINE_PACK_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM d)
+SELECT doc_id, n_tok, start_off,
+       CAST(floor(start_off / 2048.0) AS BIGINT) AS seq_id,
+       CAST(start_off % 2048 AS BIGINT) AS seq_off
+FROM o ORDER BY doc_id
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: most-frequent and
+    duplicated n-gram fractions for n = 1, 2, 3 in one tagged explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.repetition_metrics(docs, "doc_id", "text", ns=(1, 2, 3)).orderBy("doc_id")
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gr FROM toks
+  UNION ALL
+  SELECT doc_id, 2, array_to_string(t[i:i+1], ' ')
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, 3, array_to_string(t[i:i+2], ' ')
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks)),
+c AS (SELECT doc_id, n, gr, count(*) AS c FROM g GROUP BY 1, 2, 3),
+a AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = 1 THEN c END) AS tot1, max(CASE WHEN n = 1 THEN c END) AS top1,
+         sum(CASE WHEN n = 1 AND c > 1 THEN c END) AS dup1,
+         sum(CASE WHEN n = 2 THEN c END) AS tot2, max(CASE WHEN n = 2 THEN c END) AS top2,
+         sum(CASE WHEN n = 2 AND c > 1 THEN c END) AS dup2,
+         sum(CASE WHEN n = 3 THEN c END) AS tot3, max(CASE WHEN n = 3 THEN c END) AS top3,
+         sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS dup3
+  FROM c GROUP BY doc_id)
+SELECT doc_id,
+       round(top1 * 1.0 / tot1, 6) AS top1_frac, round(coalesce(dup1, 0) * 1.0 / tot1, 6) AS dup1_frac,
+       round(top2 * 1.0 / tot2, 6) AS top2_frac, round(coalesce(dup2, 0) * 1.0 / tot2, 6) AS dup2_frac,
+       round(top3 * 1.0 / tot3, 6) AS top3_frac, round(coalesce(dup3, 0) * 1.0 / tot3, 6) AS dup3_frac
+FROM a ORDER BY doc_id
+"""
+
+
+def text_tfidf(spark, sf_dir):
+    """Per-doc top-3 keywords by tf-idf; doc-frequency and corpus-size
+    sides broadcast, single corpus-scale shuffle on (doc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.tfidf_topk(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+TEXT_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM documents),
+sc AS (SELECT doc_id, term, tf, df_t,
+              round(tf * ln((nd + 1) * 1.0 / (df_t + 1)), 6) AS score
+       FROM tf JOIN dft USING (term) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, term, tf, df_t, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def text_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: word-8-gram overlap of the src0 slice
+    against the rest of the corpus (train side reduced to a distinct
+    hashed-shingle set, LEFT SEMI probe — counts are hash-invariant, so
+    the string-shingle oracle certifies them exactly)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    return P.decontaminate(tr, ev, "doc_id", "text", shingle_k=8).orderBy("doc_id")
+
+
+TEXT_DECONTAMINATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, source, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+tr AS (SELECT DISTINCT s FROM sh WHERE source != 'src0'),
+ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles FROM ev GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_contaminated FROM ev JOIN tr USING (s) GROUP BY 1)
+SELECT sizes.doc_id, n_shingles,
+       CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(n_contaminated, 0) * 1.0 / greatest(n_shingles, 1), 6) AS contamination,
+       coalesce(n_contaminated, 0) > 0 AS contaminated
+FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+ORDER BY sizes.doc_id
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster labeling: connected components over the exact
+    n-gram-Jaccard near-dup graph (threshold 0.2), component id = min
+    doc_id, plus cluster size. Iterative min-label propagation (the one
+    genuinely iterative algorithm in the registry) — certified against a
+    DuckDB recursive-CTE reachability oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.2)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = D.connected_components(nodes, pairs.select("a", "b"))
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("component"), "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+cp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b FROM cp
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.2),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.id AS doc_id, comp.component, cs.cluster_size
+FROM comp JOIN cs USING (component) ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pipeline_split": pipeline_split,
+    "pipeline_pack": pipeline_pack,
+    "text_repetition": text_repetition,
+    "text_tfidf": text_tfidf,
+    "text_decontaminate": text_decontaminate,
+    "dedup_clusters": dedup_clusters,
+}
+
+ORACLES = {
+    "pipeline_split": PIPELINE_SPLIT_ORACLE,
+    "pipeline_pack": PIPELINE_PACK_ORACLE,
+    "text_repetition": TEXT_REPETITION_ORACLE,
+    "text_tfidf": TEXT_TFIDF_ORACLE,
+    "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+}

@@ -28,6 +28,8 @@ CORE = [
     "events_hourly", "events_sessionize",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_exact", "sim_topk",
     "text_quality", "text_langid", "multimodal_meta", "multimodal_frames",
+    "pipeline_split", "pipeline_pack", "text_repetition", "text_tfidf",
+    "text_decontaminate", "dedup_clusters",
 ]
 
 NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
