@@ -51,6 +51,36 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def token_hashes(col: Column) -> Column:
+    """xxhash64 per whitespace token — the one string-hash pass every
+    hashed-shingle operator builds on."""
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def hashed_shingles(th: Column, k: int) -> Column:
+    """Distinct word-k-gram shingle KEYS from a token-hash array: shingle
+    key = xxhash64 of k consecutive token hashes. No k-gram string is ever
+    materialized (vs hashing shingles(): saves the concat_ws allocation of
+    ~len(doc) k-word strings per row — the dominant cost of every shingle
+    pipeline). Set semantics are hash-invariant vs string shingles up to
+    2^-64 collisions, so DuckDB string-shingle oracles still certify
+    counts/Jaccard built on these keys.
+
+    `th` MUST be a materialized column (write token_hashes() through a
+    select first): Catalyst does not CSE a subexpression repeated inside
+    higher-order functions, and this expression references `th` k times
+    per element. Out-of-range F.get (the short-document fallback gram)
+    yields null, which xxhash64 skips — deterministic."""
+    if k == 1:
+        return F.array_distinct(th)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(*[F.get(th, i - 1 + j) for j in range(k)]),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Keep the smallest id per exact key. Deterministic (unlike
     dropDuplicates, which keeps an arbitrary row per partition order)."""
@@ -98,10 +128,11 @@ def minhash_lsh_pairs(
     # normalize→split→shingle pass is the operator's dominant cost and
     # both the signature path and the verify path consume it (without the
     # persist it would run once per side of the candidate join too).
-    hs = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_hs"),
-    ).persist()
+    hs = (
+        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_hs"))
+        .persist()
+    )
     sig = hs.select(
         "_id",
         F.array(
@@ -145,7 +176,7 @@ def minhash_lsh_pairs(
     # hash-invariant up to 2^-64 collisions): reuses the persisted _hs —
     # no second normalize/shingle pass — and compares 8-byte longs
     # instead of strings in the intersect/union
-    shmap = hs.select("_id", F.array_distinct("_hs").alias("_sh"))
+    shmap = hs.select("_id", F.col("_hs").alias("_sh"))
     verified = (
         pairs.join(shmap.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a")), "a")
         .join(shmap.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b")), "b")
@@ -181,10 +212,11 @@ def _shingle_index(
     - the join key is xxhash64(shingle): an 8-byte shuffle key instead of
       a multi-word string (set-overlap counts are hash-invariant up to
       2^-64 collisions)."""
-    arr = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
-    ).persist()
+    arr = (
+        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
+        .persist()
+    )
     sizes = arr.select("_id", F.size("_sh").alias("sz"))
     sh = arr.select("_id", F.explode("_sh").alias("s"))
     hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
@@ -287,11 +319,8 @@ def simhash_signatures(
     100 TB the groupBy form also map-side-combines, so the shuffle stays
     O(docs), not O(shingles)."""
     ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(shingles(F.col(text_col), shingle_k), lambda t: F.xxhash64(t))
-        ).alias("h"),
-    )
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+    ).select("_id", F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("h"))
     # votes: count of set bits per position vs total shingles
     votes = ex.groupBy("_id").agg(
         F.count("*").alias("_n"),
@@ -371,11 +400,20 @@ def connected_components(
     fixpoint test (a 1-row count per round — the loop count is O(log-ish),
     not O(rows); near-dup clusters have tiny diameters). At extreme scale
     swap in alternating large-star/small-star (Kiveris et al. 2014), which
-    converges in O(log^2 n) rounds with the same join-agg primitive."""
-    sym = edges.select("a", "b").union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    converges in O(log^2 n) rounds with the same join-agg primitive.
+
+    Two structural choices that matter: the edge list is checkpointed ONCE
+    (its upstream — typically the whole near-dup pair pipeline — must not
+    re-execute every round), and the iteration runs only over
+    edge-incident nodes; singletons (the overwhelming majority of a
+    corpus) never enter the loop and are labeled by a final left join."""
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint()
+    active = sym.select(F.col("a").alias("id")).distinct()
+    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")), "b")
@@ -401,4 +439,6 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels
+    return nodes.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import shingles, tokens
+from .dedup import hashed_shingles, token_hashes, tokens
 
 
 def _hex_digit(c: Column) -> Column:
@@ -140,8 +140,27 @@ def repetition_metrics(
 
     Plan: ONE tagged explode (n, gram) → (doc, n, gram) count with
     map-side combine → per-doc conditional aggregate. Two shuffles total
-    regardless of len(ns), both narrow."""
-    toks = tokens(F.col(text_col))
+    regardless of len(ns), both narrow. Grams are shuffled as 8-byte
+    xxhash64 keys, never strings: each token is string-hashed ONCE (a
+    materialized column — Catalyst does not CSE a repeated subexpression
+    across higher-order functions), and an n-gram key is a hash of n
+    token hashes. Count metrics are hash-invariant up to 2^-64
+    collisions, so the string-n-gram oracle still certifies them."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    th = F.col("_th")
+
+    def _gram_hashes(n: int) -> Column:
+        if n == 1:
+            return th
+        # positions beyond the array end (the short-document fallback gram)
+        # yield null, which xxhash64 skips — deterministic on both ends
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(*[F.get(th, i - 1 + j) for j in range(n)]),
+        )
 
     # closure factory, NOT a `n=n` default arg: higher-order-function
     # lambdas dispatch on arity, and a default arg makes Spark parse this
@@ -149,8 +168,8 @@ def repetition_metrics(
     def _tag(n: int):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
 
-    tagged = F.flatten(F.array(*[F.transform(_ngrams(toks, n), _tag(n)) for n in ns]))
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(tagged).alias("_t")).select(
+    tagged = F.flatten(F.array(*[F.transform(_gram_hashes(n), _tag(n)) for n in ns]))
+    ex = base.select("_id", F.explode(tagged).alias("_t")).select(
         "_id", F.col("_t.n").alias("n"), F.col("_t.g").alias("g")
     )
     counts = ex.groupBy("_id", "n", "g").agg(F.count("*").alias("c"))
@@ -219,17 +238,13 @@ def decontaminate(
     final narrow agg. Counts are hash-invariant (xxhash64 collisions at
     2^-64), so the string-shingle oracle certifies them."""
     tr = (
-        train.select(
-            F.explode(
-                F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
-            ).alias("s")
-        )
+        train.select(token_hashes(F.col(text_col)).alias("_th"))
+        .select(F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
         .distinct()
     )
     ev = eval_df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
-    )
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+    ).select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
     sizes = ev.select("_id", F.size("_sh").alias("n_shingles"))
     hits = (
         ev.select("_id", F.explode("_sh").alias("s"))
