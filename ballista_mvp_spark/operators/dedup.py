@@ -26,7 +26,7 @@ explosion, mirroring production near-dup pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -441,4 +441,72 @@ def connected_components(
             break
     return nodes.select("id").join(labels, "id", "left").select(
         "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal (C4-style line dedup
+    generalized to fixed token spans — the practical approximation of
+    exact-substring dedup, Lee et al. 2021): documents are cut into
+    non-overlapping `span`-token windows; every window that occurs more
+    than once in the corpus is kept ONLY at its first occurrence
+    (min (doc, position)) and dropped everywhere else; surviving spans
+    are re-joined into the deduplicated text.
+
+    Emits (id, n_spans, n_kept, n_dropped, text_dedup).
+
+    Plan shape — one corpus-scale shuffle: spans travel as
+    (id, pos, xxhash64-of-token-hashes) 24-byte rows, never strings;
+    first-occurrence is row_number()==1 over (partition by span-hash),
+    i.e. a single hash shuffle with no join back. Reconstruction
+    re-slices the ORIGINAL token array per doc (a collect_list of kept
+    positions, grouped by doc — bounded by doc length), so span text is
+    never shuffled. A span duplicated across millions of docs makes one
+    hot hash partition; the window only sorts that one group and at that
+    multiplicity the rows are near-identical — cap upstream with a
+    frequency filter if a corpus has a degenerate boilerplate span.
+
+    The reference has no span/near-dup surface at all (only DistinctNode,
+    reference ballista/core/proto/datafusion.proto:267-269); this is part
+    of the training-pipeline extension family."""
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        "_id", "_tk", F.transform("_tk", lambda t: F.xxhash64(t)).alias("_th")
+    )
+    th = F.col("_th")
+    sp = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th), F.lit(span)),
+                lambda s: F.struct(
+                    s.alias("pos"),
+                    F.xxhash64(*[F.get(th, s - 1 + j) for j in range(span)]).alias("h"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+    first = F.row_number().over(
+        W.partitionBy("h").orderBy("_id", "pos")
+    )
+    kept = sp.withColumn("_rn", first).filter(F.col("_rn") == 1)
+    kept_pos = kept.groupBy("_id").agg(F.sort_array(F.collect_list("pos")).alias("_kp"))
+    kp = F.coalesce(F.col("_kp"), F.array())
+    return (
+        base.join(kept_pos, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.ceil(F.size("_tk") / F.lit(span)).cast("long").alias("n_spans"),
+            F.size(kp).cast("long").alias("n_kept"),
+            (F.ceil(F.size("_tk") / F.lit(span)) - F.size(kp)).cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ", F.flatten(F.transform(kp, lambda s: F.slice(F.col("_tk"), s, span)))
+            ).alias("text_dedup"),
+        )
     )

@@ -265,3 +265,63 @@ def decontaminate(
             (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixture
+    primitive: keep a row iff its salted md5 bucket (hash_bucket, [0,256))
+    falls below round(rate*256) for its stratum. Rate resolution is
+    1/256 ≈ 0.4%.
+
+    Properties that matter for a long-lived corpus: membership is a pure
+    function of (salt, id) — re-running on a grown corpus never flips an
+    existing row, strata can be re-weighted without reshuffling survivors
+    of unchanged strata, and there is NO shuffle at any scale (a filter at
+    scan speed; compare F.sample, which is per-partition-order dependent
+    and non-reproducible across repartitions). Engine-portable (md5), so
+    a DuckDB oracle replays membership exactly."""
+    b = hash_bucket(F.col(id_col), salt)
+    thr: Column | None = None
+    for key, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == key
+        lim = F.lit(int(round(rate * 256)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr_col = (
+        thr.otherwise(int(round(default_rate * 256)))
+        if thr is not None
+        else F.lit(int(round(default_rate * 256)))
+    )
+    return df.withColumn("bucket", b).filter(F.col("bucket") < thr_col)
+
+
+def quota_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    score: Column,
+    quota: int,
+) -> DataFrame:
+    """Per-domain quota: keep the `quota` best-scoring documents of each
+    domain (ties broken by id — fully deterministic). The domain-balance
+    primitive of corpus curation (cap any one crawl/source's share).
+
+    Scale shape: rank-then-filter compiles to Spark's WindowGroupLimit
+    (asserted in tests/test_plans.py) — each map task pre-prunes to its
+    local top-`quota` per domain BEFORE the shuffle, so the exchange
+    carries O(domains * quota * tasks) rows, not the corpus; the final
+    per-domain sort touches only survivors. A skewed domain therefore
+    costs its map-side prune, not a corpus-wide hot partition."""
+    w = W.partitionBy(domain_col).orderBy(F.col("_score").desc(), F.col(id_col))
+    return (
+        df.withColumn("_score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .drop("_score")
+    )

@@ -202,3 +202,69 @@ def langid_trigram(
             F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("best_score"),
         )
     )
+
+
+# Gopher-style document filter (Rae et al. 2021 §A1.1): the canonical
+# heuristic gate a pretraining corpus passes before dedup. The two
+# line-shape rules (bullet-start / ellipsis-end fractions) need multi-line
+# documents and are omitted; repetition gates live in
+# pipeline.repetition_metrics.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_report(df, id_col: str, text_col: str):
+    """Per-document Gopher quality signals and pass/fail flags:
+
+    - f_word_count:  50 <= word count <= 100000
+    - f_mean_len:    3 <= mean word length <= 10
+    - f_alpha:       >= 80% of words contain an alphabetic character
+    - f_symbol:      symbol-to-word ratio ('#' or '...') <= 0.1
+    - f_stopwords:   >= 2 distinct required stopwords present
+    - keep:          all of the above
+
+    Pure column expressions over ONE materialized token array (Catalyst
+    does not CSE a repeated split across expressions, so the array is
+    written through a select first) — scan-speed, zero shuffle at any
+    scale. Ratios are rounded to 6dp so the flag thresholds compare
+    identically in Spark and the DuckDB oracle."""
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias("_txt"),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    nz = F.greatest(n, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.char_length(x)) / nz, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / nz, 6
+    )
+    sym_ratio = F.round(
+        F.size(F.regexp_extract_all(F.col("_txt"), F.lit(r"#|\.\.\."), 0)) / nz, 6
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    sw_hits = F.size(F.filter(F.array_distinct(t), lambda x: F.array_contains(req, x)))
+    out = base.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_word_ratio"),
+        sw_hits.cast("long").alias("req_stopword_hits"),
+    )
+    f_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    f_ml = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    f_al = F.col("alpha_word_frac") >= 0.8
+    f_sy = F.col("symbol_word_ratio") <= 0.1
+    f_sw = F.col("req_stopword_hits") >= 2
+    return out.select(
+        "*",
+        f_wc.alias("f_word_count"),
+        f_ml.alias("f_mean_len"),
+        f_al.alias("f_alpha"),
+        f_sy.alias("f_symbol"),
+        f_sw.alias("f_stopwords"),
+        (f_wc & f_ml & f_al & f_sy & f_sw).alias("keep"),
+    )

@@ -218,6 +218,147 @@ FROM comp JOIN cs USING (component) ORDER BY doc_id
 """
 
 
+def dedup_spans(spark, sf_dir):
+    """Corpus-wide duplicated-span removal (C4 line dedup generalized to
+    10-token spans; the exact-substring-dedup approximation of Lee et al.
+    2021): every span occurring more than once survives only at its
+    first (doc, position) occurrence; surviving spans are re-joined into
+    the deduplicated text. One 24-byte-row shuffle; span strings never
+    leave the map side."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.span_dedup(docs, "doc_id", "text", span=10).orderBy("doc_id")
+
+
+DEDUP_SPANS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sp AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 10)) AS pos FROM base),
+ss AS (SELECT doc_id, pos, array_to_string(t[pos:pos+9], ' ') AS s FROM sp),
+r AS (SELECT doc_id, pos, s,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+      FROM ss),
+k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(s, ' ' ORDER BY pos) AS text_dedup
+      FROM r WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_spans FROM base)
+SELECT tot.doc_id, n_spans,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n_spans - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(text_dedup, '') AS text_dedup
+FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+def text_gopher(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1): per-document
+    signals (word count, mean word length, alphabetic-word fraction,
+    symbol ratio, required-stopword hits) and pass/fail flags — pure
+    column expressions, scan-speed at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.gopher_report(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_GOPHER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1), 6) AS mean_word_len,
+         round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / greatest(len(t), 1), 6) AS alpha_word_frac,
+         round(len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / greatest(len(t), 1), 6) AS symbol_word_ratio,
+         CAST(len(list_filter(list_distinct(t),
+              x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
+           AS req_stopword_hits
+  FROM base)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio, req_stopword_hits,
+       n_words BETWEEN 50 AND 100000 AS f_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS f_mean_len,
+       alpha_word_frac >= 0.8 AS f_alpha,
+       symbol_word_ratio <= 0.1 AS f_symbol,
+       req_stopword_hits >= 2 AS f_stopwords,
+       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND alpha_word_frac >= 0.8 AND symbol_word_ratio <= 0.1
+         AND req_stopword_hits >= 2 AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def pipeline_mixture(spark, sf_dir):
+    """Deterministic stratified data-mixture sampling: downweight 'en' to
+    25% and 'de' to 50% by salted md5 bucket; other languages pass
+    through. Zero-shuffle scan-speed filter; membership is a pure
+    function of (salt, doc_id), so corpus growth never flips a row."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        P.stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "de": 0.5}, salt="mix")
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_MIXTURE_ORACLE = """
+WITH h AS (SELECT doc_id, lang, source, md5('mix:' || doc_id) AS m FROM documents),
+d AS (SELECT doc_id, lang, source,
+        CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+             ELSE ascii(substr(m, 1, 1)) - 48 END * 16 +
+        CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+             ELSE ascii(substr(m, 2, 1)) - 48 END AS bucket
+      FROM h)
+SELECT doc_id, lang, source, CAST(bucket AS INT) AS bucket
+FROM d
+WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'de' THEN 128 ELSE 256 END
+ORDER BY doc_id
+"""
+
+
+def pipeline_quota(spark, sf_dir):
+    """Per-source quota capping: keep the 10 best documents of each
+    source by the composite quality score (ties by doc_id). Compiles to
+    WindowGroupLimit — map tasks pre-prune to their local top-10 per
+    source before the shuffle (plan-asserted in tests/test_plans.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        P.quota_cap(docs, "doc_id", "source", TX.quality_score(F.col("text")), 10)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+PIPELINE_QUOTA_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+         greatest(length(text), 1) AS nc
+  FROM documents),
+m AS (
+  SELECT doc_id, source,
+         round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / nc, 6) AS punct_r,
+         round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6) AS digit_r,
+         round(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+               * 1.0 / greatest(len(t), 1), 6) AS sw_ratio,
+         len(t) AS n_words
+  FROM base),
+q AS (
+  SELECT doc_id, source,
+         round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+               + (CASE WHEN punct_r + digit_r < 0.2 THEN 1.0
+                       ELSE greatest(0.0, 1.0 - (punct_r + digit_r)) END) * 0.4
+               + least(sw_ratio * 5, 1.0) * 0.2, 6) AS qs
+  FROM m),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id) AS rk
+      FROM q)
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 10 ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -225,6 +366,10 @@ QUERIES = {
     "text_tfidf": text_tfidf,
     "text_decontaminate": text_decontaminate,
     "dedup_clusters": dedup_clusters,
+    "dedup_spans": dedup_spans,
+    "text_gopher": text_gopher,
+    "pipeline_mixture": pipeline_mixture,
+    "pipeline_quota": pipeline_quota,
 }
 
 ORACLES = {
@@ -234,4 +379,8 @@ ORACLES = {
     "text_tfidf": TEXT_TFIDF_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "dedup_spans": DEDUP_SPANS_ORACLE,
+    "text_gopher": TEXT_GOPHER_ORACLE,
+    "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
+    "pipeline_quota": PIPELINE_QUOTA_ORACLE,
 }

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ballista_mvp_spark.operators import dedup as D
 from ballista_mvp_spark.operators import pipeline as P
+from ballista_mvp_spark.operators import text as TX
 
 
 def test_hash_split_stable_and_proportional(spark):
@@ -66,3 +67,65 @@ def test_decontaminate_flags_planted_overlap(spark):
     }
     assert out[10][1] is True and out[10][0] == 3  # 10 tokens -> 3 distinct 8-grams
     assert out[11] == (0, False)
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    # doc 1 and doc 2 share an identical 5-token span; doc 2's copy must
+    # be dropped, doc 1 (smaller id) keeps it. Unique spans all survive.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e one two three four five"),
+            (2, "a b c d e six seven eight nine ten"),
+            (3, "u v w x y z q r s t"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in D.span_dedup(df, "id", "text", span=5).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 0
+    assert out[1]["text_dedup"] == "a b c d e one two three four five"
+    assert out[2]["n_spans"] == 2 and out[2]["n_dropped"] == 1
+    assert out[2]["text_dedup"] == "six seven eight nine ten"
+    assert out[3]["n_dropped"] == 0 and out[3]["text_dedup"] == "u v w x y z q r s t"
+
+
+def test_stratified_sample_is_deterministic_and_stable_under_growth(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.when(F.col("id") % 2 == 0, "en").otherwise("de")).alias("lang")
+    )
+    kept1 = {r["id"] for r in P.stratified_sample(df, "id", "lang", {"en": 0.25}).collect()}
+    # en downsampled to ~25%, de untouched
+    n_en = sum(1 for i in kept1 if i % 2 == 0)
+    assert 500 * 0.15 < n_en < 500 * 0.35
+    assert sum(1 for i in kept1 if i % 2 == 1) == 500
+    # growing the corpus never flips an existing row's membership
+    grown = spark.range(0, 2000).select(
+        F.col("id"), (F.when(F.col("id") % 2 == 0, "en").otherwise("de")).alias("lang")
+    )
+    kept2 = {r["id"] for r in P.stratified_sample(grown, "id", "lang", {"en": 0.25}).collect()}
+    assert {i for i in kept2 if i < 1000} == kept1
+
+
+def test_quota_cap_respects_quota_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i % 7)) for i in range(60)], ["id", "dom", "sc"]
+    )
+    out = P.quota_cap(df, "id", "dom", F.col("sc"), 5)
+    rows = out.collect()
+    assert len(rows) == 15
+    for dom in ("s0", "s1", "s2"):
+        grp = sorted([r for r in rows if r["dom"] == dom], key=lambda r: r["rk"])
+        assert [r["rk"] for r in grp] == [1, 2, 3, 4, 5]
+        # scores non-increasing; equal scores resolved by ascending id
+        for a, b in zip(grp, grp[1:]):
+            assert (a["sc"], -a["id"]) >= (b["sc"], -b["id"])
+
+
+def test_gopher_report_flags(spark):
+    good = "the quick brown fox and the lazy dog have to be of use " * 5
+    df = spark.createDataFrame(
+        [(1, good), (2, "zz " * 60), (3, "### ... ### " * 30)], ["id", "text"]
+    )
+    out = {r["id"]: r for r in TX.gopher_report(df, "id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["f_stopwords"] is False
+    assert out[3]["keep"] is False and out[3]["f_symbol"] is False

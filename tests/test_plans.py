@@ -74,3 +74,12 @@ def test_column_pruning_reaches_scan(spark):
     plan = _formatted(li)
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_orderkey" in schema and "l_extendedprice" not in schema
+
+
+def test_quota_cap_is_window_group_limit(spark):
+    """Per-domain top-k must pre-prune map-side (WindowGroupLimit), so the
+    shuffle carries O(domains * quota * tasks) rows, not the corpus."""
+    from ballista_mvp_spark.queries.pipeline import pipeline_quota
+
+    plan = _plan(pipeline_quota(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
