@@ -6,7 +6,10 @@ ROWS/RANGE frame specs (:651-676) — but cannot execute them distributed
 (scheduler/src/planner.rs:138-141 raises NotImplemented). Spark runs them
 distributed natively, so this module certifies the declared surface and
 deliberately exceeds the reference's execution gap. GROUPS frames have no
-Spark equivalent and are documented unsupported (SURVEY.md §2.6 caveat).
+native Spark (or DuckDB) equivalent; window_agg_groups_frame emulates
+them exactly via a RANGE frame over dense_rank (peer rows share a rank,
+so rank distance counts peer groups), certified against an independent
+group-total + lag/lead oracle formulation.
 
 Determinism rules: ROW_NUMBER/NTILE/LAG/LEAD/NTH_VALUE are only well-
 defined over a total order → every orderBy carries a unique tiebreaker.
@@ -236,6 +239,60 @@ ORDER BY o_custkey, order_seq
 """
 
 
+def window_agg_groups_frame(spark, sf_dir):
+    """GROUPS frame (datafusion.proto:651-676 frame unit 2), emulated:
+    Spark has no native GROUPS frames, but `GROUPS BETWEEN a PRECEDING
+    AND b FOLLOWING` over key k is exactly a RANGE frame of [-a, +b] over
+    `dense_rank()` of k — peer rows share a dense_rank value, so rank
+    distance counts peer GROUPS, not rows. Two windows over the SAME
+    (partition, order): one sort, one shuffle.
+
+    Exercised on a tie-heavy key (order date within priority). The frame
+    sum is carried as integer cents — sum(double) over a frame is
+    accumulation-order-sensitive and a round(x, 2) straddle would flap
+    the oracle hash."""
+    o = _t(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    ).withColumn("_dr", F.dense_rank().over(wo))
+    wg = W.partitionBy("o_orderpriority").orderBy("_dr").rangeBetween(-1, 1)
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum("_c").over(wg).cast("long").alias("grp_sum_cents"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("grp_n"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_AGG_GROUPS_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+g AS (
+  SELECT o_orderpriority, o_orderdate,
+         sum(cents) AS gs, count(*) AS gn
+  FROM c GROUP BY 1, 2),
+w AS (
+  SELECT o_orderpriority, o_orderdate,
+         gs + coalesce(lag(gs)  OVER p, 0) + coalesce(lead(gs) OVER p, 0) AS grp_sum_cents,
+         gn + coalesce(lag(gn)  OVER p, 0) + coalesce(lead(gn) OVER p, 0) AS grp_n
+  FROM g
+  WINDOW p AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+SELECT c.o_orderkey, c.o_orderpriority, c.o_orderdate,
+       CAST(w.grp_sum_cents AS BIGINT) AS grp_sum_cents,
+       CAST(w.grp_n AS BIGINT) AS grp_n
+FROM c JOIN w ON c.o_orderpriority = w.o_orderpriority
+             AND c.o_orderdate = w.o_orderdate
+ORDER BY c.o_orderkey
+"""
+
+
 QUERIES = {
     "window_row_number": window_row_number,
     "window_rank_ties": window_rank_ties,
@@ -244,6 +301,7 @@ QUERIES = {
     "window_first_last_nth": window_first_last_nth,
     "window_agg_rows_frame": window_agg_rows_frame,
     "window_agg_range_frame": window_agg_range_frame,
+    "window_agg_groups_frame": window_agg_groups_frame,
     "window_running_total": window_running_total,
 }
 
@@ -255,5 +313,6 @@ ORACLES = {
     "window_first_last_nth": WINDOW_FIRST_LAST_NTH_ORACLE,
     "window_agg_rows_frame": WINDOW_AGG_ROWS_ORACLE,
     "window_agg_range_frame": WINDOW_AGG_RANGE_ORACLE,
+    "window_agg_groups_frame": WINDOW_AGG_GROUPS_ORACLE,
     "window_running_total": WINDOW_RUNNING_ORACLE,
 }
