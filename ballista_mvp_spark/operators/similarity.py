@@ -319,3 +319,74 @@ def estimate_bucket_width(n_vectors: int, target_bucket: int = 1 << 14) -> int:
     """Planes needed so expected bucket size ≈ target (capacity planning
     helper for the 100 TB path)."""
     return max(1, int(math.ceil(math.log2(max(n_vectors / target_bucket, 2)))))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal over
+    an embedding column. A seeded k-means coarse quantizer assigns every
+    vector to a cell; cosine pairs are scored ONLY within a cell; any id
+    that pairs (cos >= threshold) with a smaller id is marked a duplicate
+    (keep-smallest-id — deterministic, matching keep_survivors).
+
+    Emits every input row as (id, cell, centroid_sim, is_dup) so the
+    caller can either filter survivors or audit what was dropped.
+
+    Scale shape: the pair stage is cosine_dup_pairs scoped by cell —
+    pair work is sum(|cell|^2) instead of N^2, and cells are sized
+    n_cells ~= sqrt(N) (fit the quantizer on a sample at 10^9+ vectors,
+    as with ivf_ann_topk). Cross-cell near-dups are the recall loss the
+    paper accepts; tighten by raising n_cells more slowly than N or
+    probing neighbor cells. The quantizer is impl-defined (pyspark.ml
+    KMeans), so certification is rows-only + planted-duplicate and
+    cross-run-determinism pytests rather than a DuckDB oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(dists), 1)
+    cells = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        best["cell"].alias("cell"),
+    ).persist()
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    pairs = cosine_dup_pairs(
+        cells, id_col=id_col, vec_col=vec_col, threshold=threshold, scope=F.col("cell")
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return (
+        cells.join(losers.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.round(cosine(F.col(vec_col), F.element_at(cent_lit, F.col("cell") + 1)), 6).alias(
+                "centroid_sim"
+            ),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -162,6 +162,20 @@ def dedup_embedding_exact(spark, sf_dir):
     return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy("a", "b")
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/similarity.semantic_dedup):
+    seeded k-means cells + within-cell cosine pairs (cos ≥ 0.4) +
+    keep-smallest-id survivor labeling over every row. The quantizer is
+    impl-defined (pyspark.ml KMeans) → rows-only; planted-duplicate and
+    determinism pytests in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_cells=16
+    ).orderBy("vec_id")
+
+
 DEDUP_EMBEDDING_ORACLE = """
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -555,6 +569,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_exact": dedup_embedding_exact,
+    "dedup_semantic": dedup_semantic,
     "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,

@@ -147,3 +147,41 @@ def test_containment_planted(spark):
     assert [(r.contained, r.container, r.containment) for r in rows] == [(1, 2, 1.0)]
     jac = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.9).collect()
     assert jac == []
+
+
+def test_semantic_dedup_planted_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # plant two exact copies of vector 0 under fresh ids — they MUST land
+    # in the same k-means cell (identical vectors) and be flagged dups of
+    # the original (keep-smallest-id)
+    v0 = emb.filter(F.col("vec_id") == 0)
+    planted = emb.union(
+        v0.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    ).union(v0.select((F.col("vec_id") + 10_001).alias("vec_id"), "embedding", "label"))
+    out1 = S.semantic_dedup(planted, "vec_id", "embedding", threshold=0.95, n_cells=8)
+    rows1 = {r["vec_id"]: r for r in out1.collect()}
+    assert len(rows1) == planted.count()  # every row labeled, none dropped
+    assert rows1[10_000]["is_dup"] and rows1[10_001]["is_dup"]
+    assert not rows1[0]["is_dup"]  # smallest id survives
+    assert rows1[0]["cell"] == rows1[10_000]["cell"] == rows1[10_001]["cell"]
+    assert rows1[10_000]["centroid_sim"] == rows1[0]["centroid_sim"]
+    # seeded quantizer → identical output across runs
+    out2 = S.semantic_dedup(planted, "vec_id", "embedding", threshold=0.95, n_cells=8)
+    assert sorted(out1.collect()) == sorted(out2.collect())
+
+
+def test_semantic_dedup_within_cell_agreement_with_exact(spark):
+    """Within a cell, semantic_dedup must flag EXACTLY the ids the exact
+    all-pairs cosine threshold flags (the cell blocking is the only
+    approximation)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4, n_cells=8)
+    cells = {r["vec_id"]: r["cell"] for r in out.collect()}
+    flagged = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+    exact_pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    same_cell_losers = {r["b"] for r in exact_pairs if cells[r["a"]] == cells[r["b"]]}
+    assert same_cell_losers <= flagged
