@@ -180,6 +180,23 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def streaming_dedup(spark, sf_dir):
+    """Streaming deduplication: first event per (user, event_type, hour)
+    through the streaming state store, watermark bounding dedup state.
+    The surviving physical row is arrival-order dependent, so the
+    certified output is the key set — exact vs a batch SELECT DISTINCT."""
+    from ..streaming import run_stream_dedup_batchfile
+
+    return run_stream_dedup_batchfile(spark, sf_dir)
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour
+FROM events ORDER BY user_id, event_type, hour
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (extension — absent from the reference, SURVEY.md §2.4):
     for every 'view' event, the most recent 'purchase' value by the same
@@ -341,6 +358,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_dedup": streaming_dedup,
     "events_retention": events_retention,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
@@ -355,6 +373,7 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
+    "streaming_dedup": STREAMING_DEDUP_ORACLE,
     "events_retention": EVENTS_RETENTION_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,

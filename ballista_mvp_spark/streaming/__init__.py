@@ -296,3 +296,39 @@ def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seco
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per (user, event_type, hour)
+    via dropDuplicates over the STREAMING engine with a watermark bounding
+    the dedup state (keys older than the watermark are evicted — without
+    it, stream-dedup state grows forever).
+
+    Which PHYSICAL row survives per key depends on arrival order (non-
+    deterministic across partitioned replay), so the certified output is
+    the KEY SET itself — exactly `SELECT DISTINCT user_id, event_type,
+    hour` in the batch oracle, while the execution path exercised is the
+    streaming state store."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    keyed = (
+        src.withWatermark("ts", "2 hours")
+        .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), TS_FMT))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
+    qname = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = keyed.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("user_id", "event_type", "hour")

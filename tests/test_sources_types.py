@@ -152,3 +152,25 @@ def test_bucketed_join_skips_shuffle(spark, scratch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_jsonl_roundtrip_documents(spark, scratch):
+    """JSONL (newline-delimited JSON — the de-facto training-corpus
+    interchange format) round trip: write_table(format='json') emits one
+    JSON object per line; read_json scans it back, schema pinned (no
+    inference pass at scale)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    path = os.path.join(scratch, "docs_jsonl")
+    sources.write_table(docs, path, file_format="json")
+    # raw file content is genuinely newline-delimited JSON objects
+    import glob, json
+
+    part = sorted(glob.glob(os.path.join(path, "part-*")))[0]
+    with open(part) as fh:
+        first = fh.readline()
+    assert json.loads(first)["doc_id"] is not None
+    back = sources.read_json(spark, path, schema="doc_id bigint, text string, lang string")
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    b = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    assert a == b
