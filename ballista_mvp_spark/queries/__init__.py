@@ -45,37 +45,37 @@ for _m in _MODULES:
 # (tools/run_oracle.py, run in CI/pytest) and by round 1's driver rows.
 _CERT_FIRST = [
     # §2.6 windows (6 of 8; ntile + running_total certify locally)
+    # (first_last_nth + agg_rows_frame certify locally — same family as
+    # the lag_lead and range/groups frame reps)
     "window_row_number", "window_rank_ties", "window_lag_lead",
-    "window_first_last_nth", "window_agg_rows_frame", "window_agg_range_frame",
+    "window_agg_range_frame", "window_agg_groups_frame",
     # §2.7/§2.8 expression + scalar-function families, §2.9 UDF surfaces
     # (fn_string reps the string family; fn_string2 certifies locally)
     "fn_math", "fn_string", "fn_regex", "fn_hash",
     "fn_datetime", "fn_conditional", "fn_array_struct",
     "udf_pandas_scalar", "udaf_apply_in_pandas",
     # §2.5 aggregate modifiers / forms
+    # (cube/rollup certify locally — same grouping-sets family)
     "agg_distinct_filter", "agg_median", "agg_array_agg",
-    "agg_grouping_sets", "agg_cube", "agg_rollup", "agg_approx",
+    "agg_grouping_sets", "agg_approx",
     # extensions: dedup (dedup_exact_keys certifies locally — same family
-    # as dedup_exact)
+    # as dedup_exact; dedup_embedding_exact is dedup_embedding's local
+    # ground truth)
     "dedup_exact", "dedup_ngram_jaccard",
     "dedup_containment", "dedup_minhash", "dedup_simhash",
-    "dedup_embedding", "dedup_embedding_exact",
+    "dedup_embedding", "dedup_semantic", "dedup_spans", "dedup_clusters",
     # extensions: similarity / SCD
     "scd2_merge_customers", "sim_topk", "sim_ann_lsh", "sim_ann_ivf",
-    # extensions: text analysis
+    # extensions: text analysis + corpus curation
     "text_tokens", "text_quality", "text_langid", "text_langid_ngram",
-    "text_fingerprint",
-    # extensions: multimodal
-    "multimodal_meta", "multimodal_features", "multimodal_frames",
+    "text_fingerprint", "text_gopher",
+    # extensions: multimodal (frames certifies locally — same family)
+    "multimodal_meta", "multimodal_features",
     # events: as-of/range joins, retention; structured streaming
     "events_asof_join", "events_range_join", "events_retention",
-    "streaming_tumbling", "streaming_sessionize",
-    # training-pipeline family (round-2 additions) + the iterative
-    # connected-components operator
-    "pipeline_split", "pipeline_pack", "dedup_clusters",
-    # flagship TPC-H continuity (q1; q3 certifies locally + had a round-1
-    # driver row)
-    "tpch_q1",
+    "streaming_tumbling", "streaming_sessionize", "streaming_dedup",
+    # training-pipeline family
+    "pipeline_split", "pipeline_pack", "pipeline_mixture", "pipeline_quota",
 ]
 assert len(_CERT_FIRST) == 50, len(_CERT_FIRST)
 _missing = [n for n in _CERT_FIRST if n not in ALL_QUERIES]

@@ -29,7 +29,8 @@ CORE = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_exact", "sim_topk",
     "text_quality", "text_langid", "multimodal_meta", "multimodal_frames",
     "pipeline_split", "pipeline_pack", "text_repetition", "text_tfidf",
-    "text_decontaminate", "dedup_clusters",
+    "text_decontaminate", "dedup_clusters", "dedup_spans", "text_gopher",
+    "pipeline_mixture", "pipeline_quota", "window_agg_groups_frame",
 ]
 
 NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
@@ -57,6 +58,7 @@ def test_registry_shape():
         "sim_ann_lsh",
         "sim_ann_ivf",
         "multimodal_features",
+        "dedup_semantic",
     }
 
 
