@@ -429,6 +429,61 @@ UNION ALL SELECT 4, 'd' ORDER BY id
 """
 
 
+def sql_subquery_exists_in(spark, sf_dir):
+    """Correlated EXISTS + NOT IN subqueries through the SQL entry —
+    DataFusion's SubqueryAliasNode + decorrelation surface
+    (datafusion.proto:292-296). Catalyst decorrelates both to semi/anti
+    hash joins (never a per-row re-execution), so the shape scales the
+    same as the explicit-join form."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(SQL_SUBQUERY_EXISTS_IN)
+
+
+SQL_SUBQUERY_EXISTS_IN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+ORDER BY c_custkey
+"""
+
+
+def sql_subquery_scalar(spark, sf_dir):
+    """Scalar subqueries through the SQL entry: an uncorrelated scalar in
+    the WHERE (max/2 — exact, no float-accumulation straddle) and a
+    correlated scalar count in the SELECT list. Catalyst turns the former
+    into a broadcast literal, the latter into an outer join + agg."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders))
+                    AS BIGINT) AS n_big_orders
+        FROM customer c
+        WHERE c_custkey <= 300
+        ORDER BY c_custkey
+        """
+    )
+
+
+SQL_SUBQUERY_SCALAR_ORACLE = """
+SELECT c_custkey,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders))
+            AS BIGINT) AS n_big_orders
+FROM customer c
+WHERE c_custkey <= 300
+ORDER BY c_custkey
+"""
+
+
 # -- aggregation (SURVEY.md §2.5) --------------------------------------------
 
 
@@ -741,6 +796,8 @@ QUERIES = {
     "intersect_op": intersect_op,
     "except_op": except_op,
     "values_inline": values_inline,
+    "sql_subquery_exists_in": sql_subquery_exists_in,
+    "sql_subquery_scalar": sql_subquery_scalar,
     "agg_basic": agg_basic,
     "agg_stats": agg_stats,
     "agg_distinct_filter": agg_distinct_filter,
@@ -778,6 +835,8 @@ ORACLES = {
     "intersect_op": INTERSECT_ORACLE,
     "except_op": EXCEPT_ORACLE,
     "values_inline": VALUES_ORACLE,
+    "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
+    "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
     "agg_basic": AGG_BASIC_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,
     "agg_distinct_filter": AGG_DISTINCT_FILTER_ORACLE,

@@ -83,3 +83,14 @@ def test_quota_cap_is_window_group_limit(spark):
 
     plan = _plan(pipeline_quota(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
+
+
+def test_subqueries_decorrelate_to_joins(spark):
+    """EXISTS / NOT IN through the SQL entry must become semi/anti hash
+    joins (Catalyst decorrelation) — never a cartesian or per-row
+    re-execution."""
+    from ballista_mvp_spark.queries.relational import sql_subquery_exists_in
+
+    plan = _plan(sql_subquery_exists_in(spark, SF_SMALL))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
