@@ -247,6 +247,54 @@ def lsh_cosine_dup_pairs(
     )
 
 
+def fit_quantizer(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int = 42,
+    max_sample: int = 4096,
+    n_iter: int = 20,
+) -> list[list[float]]:
+    """Coarse k-means quantizer fit on a bounded DETERMINISTIC sample —
+    the FAISS-style production design: quantizer training is a driver-side
+    problem on O(cells·256) sampled vectors (one bounded collect, the only
+    one in this module); cell ASSIGNMENT — the corpus-scale work — stays a
+    JVM-side argmin over centroid literals. Sample membership is
+    xxhash64-ranked (pure function of id — reproducible regardless of
+    partitioning), init is seeded k-means++, iteration is vectorized
+    numpy Lloyd. Deterministic end to end."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(1, min(n_cells, len(x))):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    c = np.array(centers)
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newc = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else c[j] for j in range(len(c))]
+        )
+        if np.allclose(newc, c):
+            break
+        c = newc
+    return [list(map(float, row)) for row in c]
+
+
 def ivf_ann_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -262,17 +310,12 @@ def ivf_ann_topk(
     re-ranks exactly within them. The industrial scale path when trained
     centroids are available (vs hyperplane LSH which needs no training).
 
-    Implementation: pyspark.ml KMeans (seeded → deterministic) fits on
-    the candidate set; cell assignment is a JVM-side argmin over centroid
-    literals (no model.transform in the serving path, so the operator
-    composes as a plain DataFrame function). At 10⁹ vectors use
-    n_cells≈√N and fit on a sample."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = candidates.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    Implementation: quantizer fit by fit_quantizer (driver-side seeded
+    k-means on a bounded deterministic sample — see its docstring for why
+    that is the 10⁹-vector design); cell assignment is a JVM-side argmin
+    over centroid literals, so the operator composes as a plain DataFrame
+    function with no ML-fit job in the serving path."""
+    centroids = fit_quantizer(candidates, id_col, vec_col, n_cells, seed)
 
     def dist2(vec: Column, center: list[float]) -> Column:
         return F.aggregate(
@@ -340,18 +383,14 @@ def semantic_dedup(
 
     Scale shape: the pair stage is cosine_dup_pairs scoped by cell —
     pair work is sum(|cell|^2) instead of N^2, and cells are sized
-    n_cells ~= sqrt(N) (fit the quantizer on a sample at 10^9+ vectors,
-    as with ivf_ann_topk). Cross-cell near-dups are the recall loss the
-    paper accepts; tighten by raising n_cells more slowly than N or
-    probing neighbor cells. The quantizer is impl-defined (pyspark.ml
-    KMeans), so certification is rows-only + planted-duplicate and
+    n_cells ~= sqrt(N). The quantizer is fit by fit_quantizer
+    (driver-side seeded k-means on a bounded deterministic sample — the
+    10^9-vector design); assignment stays JVM-side. Cross-cell near-dups
+    are the recall loss the paper accepts; tighten by raising n_cells
+    more slowly than N or probing neighbor cells. The quantizer is
+    impl-defined, so certification is rows-only + planted-duplicate and
     cross-run-determinism pytests rather than a DuckDB oracle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = df.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
 
     def dist2(vec: Column, center: list[float]) -> Column:
         return F.aggregate(
