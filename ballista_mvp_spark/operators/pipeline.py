@@ -325,3 +325,21 @@ def quota_cap(
         .filter(F.col("rk") <= quota)
         .drop("_score")
     )
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str, salt: str = "order", n: int | None = None
+) -> DataFrame:
+    """Deterministic global training-order shuffle: sort by
+    (md5(salt:id), id). Epoch N = a new salt — reproducible order with no
+    stored permutation, stable under corpus growth debugging (a row's
+    relative order vs surviving rows never changes).
+
+    Scale shape: orderBy compiles to a RANGE-partitioned sort (sampled
+    bounds) — every partition sorts locally, no single-partition stage;
+    writing the result preserves order per output file. With `n`, the
+    plan collapses to TakeOrderedAndProject (partial per-partition top-n
+    before one merge)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", h).orderBy("shuffle_key", id_col)
+    return out.limit(n) if n is not None else out

@@ -359,6 +359,24 @@ FROM r WHERE rk <= 10 ORDER BY source, rk
 """
 
 
+def pipeline_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: first 100 docs of the
+    epoch-'order' permutation (sort on md5(salt:id) — range-partitioned
+    sort; the limit compiles to TakeOrderedAndProject, never a global
+    single-partition sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.shuffle_order(docs, "doc_id", salt="order", n=100).select(
+        "doc_id", "shuffle_key"
+    )
+
+
+PIPELINE_SHUFFLE_ORACLE = """
+SELECT doc_id, md5('order:' || doc_id) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -370,6 +388,7 @@ QUERIES = {
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
     "pipeline_quota": pipeline_quota,
+    "pipeline_shuffle": pipeline_shuffle,
 }
 
 ORACLES = {
@@ -383,4 +402,5 @@ ORACLES = {
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
+    "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
 }

@@ -190,3 +190,19 @@ def test_engine_bucketed_table(spark, tmp_path):
         assert spark.catalog.tableExists("eng_bucketed")
     finally:
         spark.sql("DROP TABLE IF EXISTS eng_bucketed")
+
+
+def test_engine_insert_into_writable_table(spark, tmp_path):
+    """DML through the SQL entry: CREATE TABLE ... USING parquet LOCATION
+    (a writable catalog table, vs create_external_table's read-only view)
+    then INSERT INTO VALUES / INSERT INTO SELECT, read back exactly."""
+    eng = Engine(spark=spark)
+    loc = str(tmp_path / "ins_tbl")
+    eng.sql(f"CREATE TABLE ins_tbl (id BIGINT, tag STRING) USING parquet LOCATION '{loc}'")
+    try:
+        eng.sql("INSERT INTO ins_tbl VALUES (1, 'a'), (2, 'b')")
+        eng.sql("INSERT INTO ins_tbl SELECT 3 AS id, 'c' AS tag")
+        rows = {(r.id, r.tag) for r in eng.sql("SELECT id, tag FROM ins_tbl").collect()}
+        assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    finally:
+        eng.sql("DROP TABLE IF EXISTS ins_tbl")
