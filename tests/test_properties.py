@@ -1,0 +1,83 @@
+"""Property-based invariants (hypothesis) for the pipeline primitives —
+the contracts that must hold for ANY corpus, not just the synthetic one:
+
+- hash_split is a pure function of (salt, id) matching an independent
+  python md5 reimplementation (engine portability — the property that
+  lets DuckDB replay membership),
+- pack_sequences offsets tile the token stream with no gaps for any
+  token-count vector (the distributed prefix sum is exact),
+- span_dedup conserves spans: kept spans across the corpus == distinct
+  spans, and an all-unique corpus passes through unchanged.
+
+Each example is a Spark round trip, so examples are few and small; the
+sf-scale behavior of the same operators is covered by the oracle gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ballista_mvp_spark.operators import dedup as D
+from ballista_mvp_spark.operators import pipeline as P
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30, unique=True))
+@settings(**SETTINGS)
+def test_hash_split_matches_python_md5(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: (r["bucket"], r["split"]) for r in P.hash_split(df, "id").collect()}
+    for i in ids:
+        b = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:2], 16)
+        want = "train" if b < 205 else ("val" if b < 230 else "test")
+        assert got[i] == (b, want)
+
+
+@given(ns=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_pack_sequences_tiles_any_stream(spark, ns):
+    df = spark.createDataFrame(list(enumerate(ns)), "id long, n long")
+    rows = P.pack_sequences(df, "id", F.col("n"), seq_len=64, chunk=7).orderBy("id").collect()
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        assert r["seq_id"] == off // 64 and r["seq_off"] == off % 64
+        off += r["n_tok"]
+
+
+WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=24
+)
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_span_dedup_conserves_distinct_spans(spark, docs):
+    span = 4
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "id long, text string"
+    )
+    out = D.span_dedup(df, "id", "text", span=span).collect()
+    # python ground truth: spans in (id, pos) order, first occurrence kept
+    seen, kept_per_doc = set(), {}
+    for i, ws in enumerate(docs):
+        kept = []
+        for s in range(0, len(ws), span):
+            gram = tuple(ws[s : s + span])
+            if gram not in seen:
+                seen.add(gram)
+                kept.append(" ".join(gram))
+        kept_per_doc[i] = " ".join(kept)
+    for r in out:
+        assert r["text_dedup"] == kept_per_doc[r["id"]]
+        assert r["n_kept"] + r["n_dropped"] == r["n_spans"]
+    assert sum(r["n_kept"] for r in out) == len(seen)
