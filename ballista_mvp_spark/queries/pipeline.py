@@ -377,6 +377,95 @@ ORDER BY shuffle_key, doc_id LIMIT 100
 """
 
 
+def pipeline_funnel(spark, sf_dir):
+    """The end-to-end curation funnel — the flagship training-data
+    pipeline chained as ONE declarative plan: Gopher quality gate (the
+    four rules that discriminate on this corpus; the stopword rule zeroes
+    it out by construction) → exact dedup (min-id per md5 fingerprint) →
+    stratified mixture (en halved, salt 'funnel') → train/val/test split;
+    emits per-stage surviving-document counts. Every stage is
+    deterministic, so the whole funnel is DuckDB-certified. Catalyst
+    fuses the gate into the scan; the only corpus-scale shuffles are the
+    dedup groupBy and the split/mixture stages' none (pure maps)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = TX.gopher_report(docs, "doc_id", "text").filter(
+        "f_word_count AND f_mean_len AND f_alpha AND f_symbol"
+    )
+    kept = docs.join(g.select("doc_id"), "doc_id")
+    dd = D.exact_dedup(kept, TX.fingerprint(F.col("text")), "doc_id").join(
+        kept.select("doc_id", "lang"), "doc_id"
+    )
+    mixed = P.stratified_sample(dd, "doc_id", "lang", {"en": 0.5}, salt="funnel")
+    split = P.hash_split(mixed.select("doc_id"), "doc_id")
+
+    def stage(name, df):
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_total", docs)
+        .unionAll(stage("1_quality", kept))
+        .unionAll(stage("2_dedup", dd))
+        .unionAll(stage("3_mixture", mixed))
+        .unionAll(
+            split.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(F.concat(F.lit("4_split_"), F.col("split")).alias("stage"), "n_docs")
+        )
+        .orderBy("stage")
+    )
+
+
+PIPELINE_FUNNEL_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, text, lang,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1), 6) AS mwl,
+         round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / greatest(len(t), 1), 6) AS af,
+         round(len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / greatest(len(t), 1), 6) AS sym
+  FROM base),
+kept AS (
+  SELECT doc_id, text, lang FROM m
+  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+    AND af >= 0.8 AND sym <= 0.1),
+dd AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+ddrows AS (SELECT k.doc_id, k.lang FROM kept k JOIN dd USING (doc_id)),
+bkt AS (
+  SELECT doc_id, lang, m2 AS h FROM (SELECT doc_id, lang, md5('funnel:' || doc_id) AS m2 FROM ddrows)),
+mixed AS (
+  SELECT doc_id FROM bkt
+  WHERE (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1)) - 87
+              ELSE ascii(substr(h,1,1)) - 48 END * 16 +
+         CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1)) - 87
+              ELSE ascii(substr(h,2,1)) - 48 END)
+        < CASE lang WHEN 'en' THEN 128 ELSE 256 END),
+sb AS (
+  SELECT doc_id,
+         (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1)) - 87
+               ELSE ascii(substr(h,1,1)) - 48 END * 16 +
+          CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1)) - 87
+               ELSE ascii(substr(h,2,1)) - 48 END) AS b
+  FROM (SELECT doc_id, md5('split:' || doc_id) AS h FROM mixed))
+SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT) FROM kept
+UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT) FROM ddrows
+UNION ALL SELECT '3_mixture', CAST(count(*) AS BIGINT) FROM mixed
+UNION ALL
+SELECT concat('4_split_', CASE WHEN b < 205 THEN 'train'
+                               WHEN b < 230 THEN 'val' ELSE 'test' END),
+       CAST(count(*) AS BIGINT)
+FROM sb GROUP BY 1
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -389,6 +478,7 @@ QUERIES = {
     "pipeline_mixture": pipeline_mixture,
     "pipeline_quota": pipeline_quota,
     "pipeline_shuffle": pipeline_shuffle,
+    "pipeline_funnel": pipeline_funnel,
 }
 
 ORACLES = {
@@ -403,4 +493,5 @@ ORACLES = {
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
     "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
+    "pipeline_funnel": PIPELINE_FUNNEL_ORACLE,
 }
