@@ -180,6 +180,60 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def events_gapfill(spark, sf_dir):
+    """Time-series gap filling: the dense (event_type × hour) grid over
+    the corpus's [min, max] hour range with zero-filled counts for silent
+    hours — the step every downstream window/forecast op needs before it
+    can assume regular spacing.
+
+    Scale shape: the hour grid is sequence(min, max, 1 hour) exploded
+    from a broadcast 1-row aggregate (grid size = hours × types, tiny vs
+    events), then a LEFT join from grid to the hourly rollup — the only
+    corpus-scale work is the rollup itself (two-phase agg, one shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            F.date_format("h", TS_FMT).alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b), INTERVAL 1 HOUR)) AS h) g),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       grid.event_type AS event_type,
+       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN hourly ON grid.h = hourly.h AND grid.event_type = hourly.event_type
+ORDER BY hour, grid.event_type
+"""
+
+
 def streaming_dedup(spark, sf_dir):
     """Streaming deduplication: first event per (user, event_type, hour)
     through the streaming state store, watermark bounding dedup state.
@@ -359,6 +413,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "streaming_sessionize": streaming_sessionize,
     "streaming_dedup": streaming_dedup,
+    "events_gapfill": events_gapfill,
     "events_retention": events_retention,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
@@ -374,6 +429,7 @@ ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
+    "events_gapfill": EVENTS_GAPFILL_ORACLE,
     "events_retention": EVENTS_RETENTION_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,

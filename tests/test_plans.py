@@ -94,3 +94,16 @@ def test_subqueries_decorrelate_to_joins(spark):
     plan = _plan(sql_subquery_exists_in(spark, SF_SMALL))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_strings(spark):
+    """dedup_spans' corpus-scale exchange must carry (id, pos, span-hash)
+    rows — span hashes are longs, span STRINGS never leave the map side —
+    and there must be no cartesian anywhere."""
+    from ballista_mvp_spark.queries.pipeline import dedup_spans
+
+    plan = _plan(dedup_spans(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the window's partition key is the span hash column `h`
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "hashpartitioning(h#" in plan
