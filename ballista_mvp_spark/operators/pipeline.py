@@ -343,3 +343,42 @@ def shuffle_order(
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     out = df.withColumn("shuffle_key", h).orderBy("shuffle_key", id_col)
     return out.limit(n) if n is not None else out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic token-budget subset: walk the corpus in shuffle_order
+    (md5(salt:id)) and keep rows while the running token total stays
+    under `budget` — the "give me a random-but-reproducible 10B-token
+    slice" primitive of data mixing. A row is kept iff the tokens BEFORE
+    it (in hash order) fit the budget, so the subset is a prefix of the
+    global shuffle: stable, and nested budgets are nested subsets.
+
+    Distributed prefix sum, same discipline as pack_sequences: the chunk
+    key is the first two hex chars of the row's md5 (256 buckets whose
+    lexicographic order IS the global sort-prefix order, so per-chunk
+    partials compose into an exact global prefix) — per-chunk sums →
+    tiny broadcast chunk-prefix → within-chunk window. No corpus-wide
+    single-partition stage."""
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        n_tokens.cast("long").alias("n_tok"),
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))).alias("_h"),
+    ).withColumn("_g", F.substring("_h", 1, 2))
+    gsums = d.groupBy("_g").agg(F.sum("n_tok").alias("_gs"))
+    gw = W.orderBy("_g").rowsBetween(W.unboundedPreceding, -1)
+    prefix = gsums.select("_g", F.coalesce(F.sum("_gs").over(gw), F.lit(0)).alias("_pre"))
+    inw = W.partitionBy("_g").orderBy("_h", "_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        d.join(F.broadcast(prefix), "_g")
+        .withColumn(
+            "tokens_before", F.col("_pre") + F.coalesce(F.sum("n_tok").over(inw), F.lit(0))
+        )
+        .filter(F.col("tokens_before") < budget)
+        .select(F.col("_id").alias(id_col), "n_tok", "tokens_before")
+    )

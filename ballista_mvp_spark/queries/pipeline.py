@@ -466,6 +466,33 @@ ORDER BY stage
 """
 
 
+def pipeline_budget(spark, sf_dir):
+    """Deterministic token-budget subset: keep docs in md5-shuffle order
+    while the running word-count total stays under 5000 tokens (nested
+    budgets give nested subsets; distributed prefix sum, no
+    single-partition stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.token_budget_sample(
+        docs, "doc_id", TX.word_count(F.col("text")), budget=5000, salt="budget"
+    ).orderBy("doc_id")
+
+
+PIPELINE_BUDGET_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+         md5('budget:' || doc_id) AS h
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM d)
+SELECT doc_id, n_tok, tokens_before
+FROM o WHERE tokens_before < 5000 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -479,6 +506,7 @@ QUERIES = {
     "pipeline_quota": pipeline_quota,
     "pipeline_shuffle": pipeline_shuffle,
     "pipeline_funnel": pipeline_funnel,
+    "pipeline_budget": pipeline_budget,
 }
 
 ORACLES = {
@@ -494,4 +522,5 @@ ORACLES = {
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
     "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_funnel": PIPELINE_FUNNEL_ORACLE,
+    "pipeline_budget": PIPELINE_BUDGET_ORACLE,
 }

@@ -129,3 +129,19 @@ def test_gopher_report_flags(spark):
     assert out[1]["keep"] is True
     assert out[2]["keep"] is False and out[2]["f_stopwords"] is False
     assert out[3]["keep"] is False and out[3]["f_symbol"] is False
+
+
+def test_token_budget_sample_is_nested_prefix(spark):
+    df = spark.range(0, 300).select(F.col("id"), (F.col("id") % 50 + 1).alias("n"))
+    small = P.token_budget_sample(df, "id", F.col("n"), budget=500)
+    big = P.token_budget_sample(df, "id", F.col("n"), budget=2000)
+    s = {r["id"] for r in small.collect()}
+    b = {r["id"] for r in big.collect()}
+    assert s and s < b  # nested budgets -> nested subsets
+    # every kept row's tokens_before is the exact hash-order prefix sum
+    rows = sorted(big.collect(), key=lambda r: r["tokens_before"])
+    acc = 0
+    for r in rows:
+        assert r["tokens_before"] == acc
+        acc += r["n_tok"]
+    assert all(r["tokens_before"] < 2000 for r in rows)
