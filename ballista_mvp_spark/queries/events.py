@@ -180,6 +180,43 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def events_trailing_window(spark, sf_dir):
+    """Time-interval RANGE frame: per event, the count and value-sum of
+    the same user's events in the trailing hour [ts-1h, ts] — the frame
+    variant (interval offsets over event time) the numeric
+    window_agg_range_frame doesn't exercise. Spark expresses it as a
+    RANGE frame over epoch seconds; the oracle uses DuckDB's native
+    INTERVAL frame. Sum carried as integer value-cents (frame sums of
+    doubles are accumulation-order-sensitive)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("_e").rangeBetween(-3600, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("ts_s"),
+            F.col("ts").cast("long").alias("_e"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .withColumn("trail_n", F.count("*").over(w).cast("long"))
+        .withColumn("trail_sum_cents", F.sum("_c").over(w).cast("long"))
+        .drop("_c", "_e")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_TRAILING_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(count(*) OVER tw AS BIGINT) AS trail_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER tw AS BIGINT) AS trail_sum_cents
+FROM events
+WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def events_gapfill(spark, sf_dir):
     """Time-series gap filling: the dense (event_type × hour) grid over
     the corpus's [min, max] hour range with zero-filled counts for silent
@@ -414,6 +451,7 @@ QUERIES = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_dedup": streaming_dedup,
     "events_gapfill": events_gapfill,
+    "events_trailing_window": events_trailing_window,
     "events_retention": events_retention,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
@@ -430,6 +468,7 @@ ORACLES = {
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
     "events_gapfill": EVENTS_GAPFILL_ORACLE,
+    "events_trailing_window": EVENTS_TRAILING_WINDOW_ORACLE,
     "events_retention": EVENTS_RETENTION_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
