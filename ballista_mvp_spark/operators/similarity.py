@@ -80,24 +80,49 @@ def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[
     ]
 
 
+def _bucket_of(vec: Column, planes_col: Column) -> Column:
+    """Bucket id = sign-bit string of the vector against each plane in
+    `planes_col` (array<array<double>>). Plane p contributes bit 1<<p when
+    the projection is non-negative — identical semantics to summing
+    per-plane literals, but expressed over an array column so the whole
+    signature is a handful of Catalyst nodes."""
+    return F.aggregate(
+        F.transform(
+            planes_col,
+            lambda plane, p: F.when(
+                F.aggregate(
+                    F.zip_with(vec, plane, lambda x, wgt: x * wgt),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.call_function("shiftleft", F.lit(1), p),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, b: acc + b,
+    )
+
+
 def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = sign-bit string of the vector against each plane."""
-    bits = []
-    for p, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, wgt: x * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out
+    """Bucket id for ONE hyperplane table, shipped as a single nested-array
+    literal (one Catalyst Literal node instead of planes*dim nodes — the
+    naive per-float F.lit form costs seconds of driver-side plan compile at
+    production plane counts)."""
+    return _bucket_of(vec, F.lit([[float(w) for w in p] for p in planes]))
+
+
+def _signatures_all(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """array<struct<tbl,bucket>> — every table's signature in one compact
+    expression over a single triple-nested literal. Replaces the per-table
+    F.array(F.struct(...)) explosion that dominated plan-compile time."""
+    lit = F.lit([[[float(w) for w in p] for p in planes] for planes in tables])
+    return F.transform(
+        lit,
+        lambda planes, t: F.struct(
+            t.alias("tbl"), _bucket_of(vec, planes).alias("bucket")
+        ),
+    )
 
 
 def lsh_ann_topk(
@@ -117,16 +142,7 @@ def lsh_ann_topk(
     tables = hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, side: str) -> DataFrame:
-        sig = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), _signature(F.col(vec_col), planes).alias("bucket")
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("_s")
+        sig = F.explode(_signatures_all(F.col(vec_col), tables)).alias("_s")
         return df.select(
             F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_v"), sig
         ).select(
@@ -214,17 +230,7 @@ def lsh_cosine_dup_pairs(
     tables = hyperplanes(dim, n_planes, n_tables, seed)
     bucketed = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _signature(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("_s"),
+        F.explode(_signatures_all(F.col(vec_col), tables)).alias("_s"),
     ).select("_id", F.col("_s.tbl").alias("tbl"), F.col("_s.bucket").alias("bucket"))
     bucketed = bucketed.persist()
     bucket_sizes = bucketed.groupBy("tbl", "bucket").agg(F.count("*").alias("_n"))
@@ -295,6 +301,25 @@ def fit_quantizer(
     return [list(map(float, row)) for row in c]
 
 
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d,cell>>: squared L2 distance from `vec` to every
+    centroid. Centroids ship as ONE nested-array literal, so the whole
+    n_cells*dim distance computation is a few Catalyst nodes — the naive
+    per-float F.lit form built a >1000-node tree that cost ~3 s of
+    driver-side compile per query at 16x64."""
+    return F.transform(
+        F.lit([[float(x) for x in c] for c in centroids]),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
+    )
+
+
 def ivf_ann_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -317,21 +342,8 @@ def ivf_ann_topk(
     function with no ML-fit job in the serving path."""
     centroids = fit_quantizer(candidates, id_col, vec_col, n_cells, seed)
 
-    def dist2(vec: Column, center: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     def nearest_cells(df: DataFrame, side: str, n: int) -> DataFrame:
-        dists = F.array(
-            *[
-                F.struct(dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        top = F.slice(F.array_sort(dists), 1, n)
+        top = F.slice(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1, n)
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_v"),
@@ -391,29 +403,13 @@ def semantic_dedup(
     impl-defined, so certification is rows-only + planted-duplicate and
     cross-run-determinism pytests rather than a DuckDB oracle."""
     centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
-
-    def dist2(vec: Column, center: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.element_at(F.array_sort(dists), 1)
+    best = F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)
     cells = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias(vec_col),
         best["cell"].alias("cell"),
     ).persist()
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
+    cent_lit = F.lit(centroids)
     pairs = cosine_dup_pairs(
         cells, id_col=id_col, vec_col=vec_col, threshold=threshold, scope=F.col("cell")
     )
