@@ -92,6 +92,41 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    corpus: DataFrame, batch: DataFrame, key: Column, id_col: str
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the shape a long-lived
+    training corpus actually runs: a NEW batch of documents is checked
+    against the already-ingested corpus, never corpus-vs-corpus again.
+    Each batch row is labeled `dup_corpus` (its key already exists in the
+    corpus), `dup_batch` (a smaller-id batch row has the same key), or
+    `new`. Deterministic: survivors are exactly the `new` rows.
+
+    Scale shape: the corpus side is reduced to DISTINCT keys before the
+    join (one agg, map-side combined), then ONE shuffle on the key joins
+    corpus membership; the within-batch min-id uses a window over the
+    SAME key partitioning, so Catalyst reuses the exchange instead of
+    shuffling twice. The corpus never re-reads its payload columns —
+    only 16-byte keys move."""
+    b = batch.select(F.col(id_col), key.alias("_k"))
+    seen = corpus.select(key.alias("_k")).distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    w = W.partitionBy("_k")
+    return (
+        b.join(seen, "_k", "left")
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_in_corpus"), F.lit(False)).alias("in_corpus"),
+            F.when(F.col("_in_corpus"), F.lit("dup_corpus"))
+            .when(F.col(id_col) > F.col("_min_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
     """MinHash signature as an array<long>: sig[j] = min over shingles of
     xxhash64(j, base_hash(shingle)). The expensive string hash runs ONCE

@@ -382,3 +382,86 @@ def token_budget_sample(
         .filter(F.col("tokens_before") < budget)
         .select(F.col("_id").alias(id_col), "n_tok", "tokens_before")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter of
+    an embedding/RAG/training pipeline: document tokens are cut into
+    windows of `size` tokens starting every `stride` tokens (overlap =
+    size - stride), so no span longer than `stride` is ever lost at a
+    boundary. Every document emits at least one chunk. Output: (id,
+    n_tok, chunk_id, chunk_start, chunk_tokens, chunk_text).
+
+    Scale shape: tokenize → explode is a pure map over the scan — zero
+    shuffles, embarrassingly parallel, and the chunk fan-out is bounded
+    by n_tok/stride per row. Token arrays never cross a stage boundary;
+    only the emitted chunk rows do."""
+    t = tokens(F.col(text_col))
+    d = df.select(
+        F.col(id_col), t.alias("_t"), F.size(t).cast("long").alias("n_tok")
+    )
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.col("n_tok") - size) / F.lit(float(stride))), F.lit(0)
+        )
+        + 1
+    ).cast("int")
+    start = (F.col("chunk_id").cast("long") * stride).alias("chunk_start")
+    return d.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).select(
+        id_col,
+        "n_tok",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start,
+        F.least(F.col("n_tok") - F.col("chunk_id") * stride, F.lit(size))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, size)
+        ).alias("chunk_text"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler — the data-quality observability primitive
+    a curation pipeline runs before/after every stage: per column, row
+    count, null count, exact distinct count, and min/max (as strings, so
+    heterogeneous columns share one schema). Output: one row per column.
+
+    Scale shape: a single global aggregate; the multi-column exact
+    COUNT(DISTINCT) compiles to one Expand + two-phase hash aggregate
+    (map-side partials per column), so the corpus is read once. At 100 TB
+    swap count_distinct for approx_count_distinct (HLL) per column if the
+    exact expand is too wide — the output contract is unchanged."""
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("_p")).select("_p.*")

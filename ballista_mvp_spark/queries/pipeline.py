@@ -493,6 +493,107 @@ FROM o WHERE tokens_before < 5000 ORDER BY doc_id
 """
 
 
+def pipeline_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (operators/pipeline.
+    chunk_documents): 64-token windows every 48 tokens (16-token overlap)
+    — the context-window splitter of an embedding/RAG pipeline. Pure
+    tokenize→explode map, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, "doc_id", "text", size=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+PIPELINE_CHUNK_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM base),
+c AS (SELECT doc_id, t, n_tok,
+             unnest(generate_series(0, CAST(greatest(ceil((n_tok - 64) / 48.0), 0) AS INT))) AS ci
+      FROM n)
+SELECT doc_id, n_tok, CAST(ci AS INT) AS chunk_id,
+       CAST(ci * 48 AS BIGINT) AS chunk_start,
+       CAST(least(n_tok - ci * 48, 64) AS BIGINT) AS chunk_tokens,
+       array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (operators/dedup.
+    incremental_dedup) — the production shape: docs with doc_id%10<2 play
+    the 'new batch', the rest the already-ingested corpus; the key is the
+    head-8-token fingerprint (catches shared-boilerplate openings, which
+    this corpus actually has). Statuses: dup_corpus / dup_batch / new;
+    all three paths are additionally certified on a planted corpus in
+    tests/test_pipeline_ops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(D.tokens(F.col("text")), 1, 8)))
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    return D.incremental_dedup(corpus, batch, key, "doc_id").orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           (string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:8],
+           ' ')) AS fp,
+         doc_id % 10 < 2 AS is_batch
+  FROM documents),
+b AS (SELECT doc_id, fp FROM f WHERE is_batch),
+seen AS (SELECT DISTINCT fp FROM f WHERE NOT is_batch),
+m AS (SELECT fp, min(doc_id) AS min_id FROM b GROUP BY fp)
+SELECT b.doc_id,
+       seen.fp IS NOT NULL AS in_corpus,
+       CASE WHEN seen.fp IS NOT NULL THEN 'dup_corpus'
+            WHEN b.doc_id > m.min_id THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM b LEFT JOIN seen USING (fp) JOIN m USING (fp)
+ORDER BY b.doc_id
+"""
+
+
+def profile_documents(spark, sf_dir):
+    """One-pass column profiler (operators/pipeline.profile_columns) over
+    every documents column: rows, nulls, exact distincts, min/max — the
+    before/after-stage observability primitive of a curation pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).orderBy("col_name")
+
+
+PROFILE_DOCUMENTS_ORACLE = r"""
+SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -507,6 +608,9 @@ QUERIES = {
     "pipeline_shuffle": pipeline_shuffle,
     "pipeline_funnel": pipeline_funnel,
     "pipeline_budget": pipeline_budget,
+    "pipeline_chunk": pipeline_chunk,
+    "dedup_incremental": dedup_incremental,
+    "profile_documents": profile_documents,
 }
 
 ORACLES = {
@@ -523,4 +627,7 @@ ORACLES = {
     "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_funnel": PIPELINE_FUNNEL_ORACLE,
     "pipeline_budget": PIPELINE_BUDGET_ORACLE,
+    "pipeline_chunk": PIPELINE_CHUNK_ORACLE,
+    "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
+    "profile_documents": PROFILE_DOCUMENTS_ORACLE,
 }

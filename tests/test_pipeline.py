@@ -145,3 +145,58 @@ def test_token_budget_sample_is_nested_prefix(spark):
         assert r["tokens_before"] == acc
         acc += r["n_tok"]
     assert all(r["tokens_before"] < 2000 for r in rows)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    text10 = " ".join(f"w{i}" for i in range(10))
+    text3 = "a b c"
+    df = spark.createDataFrame([(1, text10), (2, text3)], ["id", "text"])
+    out = P.chunk_documents(df, "id", "text", size=4, stride=3)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["id"] == 1]
+    # 10 tokens, size 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert d1[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert [r["chunk_tokens"] for r in d1] == [4, 4, 4]
+    # every token appears in some chunk (no boundary loss)
+    covered = set(" ".join(r["chunk_text"] for r in d1).split())
+    assert covered == set(text10.split())
+    # short doc -> exactly one (possibly partial) chunk
+    d2 = [r for r in rows if r["id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c" and d2[0]["chunk_tokens"] == 3
+
+
+def test_incremental_dedup_all_three_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], ["id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "brand new"), (4, "unique doc")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in D.incremental_dedup(
+            corpus, batch, F.md5(F.col("text")), "id"
+        ).collect()
+    }
+    assert out[1]["status"] == "dup_corpus" and out[1]["in_corpus"] is True
+    assert out[2]["status"] == "new"
+    assert out[3]["status"] == "dup_batch"  # min-id 2 survives within batch
+    assert out[4]["status"] == "new" and out[4]["in_corpus"] is False
+    # survivors = exactly the 'new' rows
+    assert {k for k, r in out.items() if r["status"] == "new"} == {2, 4}
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "s"]
+    )
+    out = {r["col_name"]: r for r in P.profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
