@@ -113,6 +113,17 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC scan (free extension — the reference scans parquet/csv/avro,
+    datafusion.proto:1147-1171; ORC is the remaining big columnar warehouse
+    format and is built into Spark). Predicate pushdown and column pruning
+    work as for parquet (native vectorized reader)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def read_partitioned(
     spark: SparkSession,
     base_path: str,

@@ -174,3 +174,19 @@ def test_jsonl_roundtrip_documents(spark, scratch):
     a = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     b = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, scratch):
+    """ORC round trip via the generic sink (write_table(format='orc')) +
+    read_orc; filter pushdown reaches the ORC scan like parquet."""
+    nation = load_table(spark, SF_SMALL, "nation")
+    path = os.path.join(scratch, "nation_orc")
+    sources.write_table(nation, path, file_format="orc")
+    back = sources.read_orc(spark, path)
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    a = sorted(map(tuple, nation.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    plan = back.filter(F.col("n_regionkey") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
