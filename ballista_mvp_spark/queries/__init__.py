@@ -66,9 +66,13 @@ _CERT_FIRST = [
     "dedup_embedding", "dedup_semantic", "dedup_spans", "dedup_clusters",
     # extensions: similarity / SCD
     "scd2_merge_customers", "sim_topk", "sim_ann_lsh", "sim_ann_ivf",
-    # extensions: text analysis + corpus curation
-    "text_tokens", "text_quality", "text_langid", "text_langid_ngram",
-    "text_fingerprint", "text_gopher",
+    # extensions: text analysis + corpus curation (text_langid certifies
+    # locally — text_langid_ngram reps the langid family; text_fingerprint
+    # certifies locally — same exact-dedup family as dedup_exact)
+    "text_tokens", "text_quality", "text_langid_ngram",
+    "text_gopher",
+    # extensions: observability + incremental ingest (new families)
+    "profile_documents", "dedup_incremental",
     # extensions: multimodal (frames certifies locally — same family)
     "multimodal_meta", "multimodal_features",
     # events: as-of/range joins, retention; structured streaming

@@ -15,6 +15,7 @@ SURVEY.md §2.2) — ``write_table`` below is the documented free extension.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(
@@ -198,3 +199,30 @@ def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     only survives via the catalog — a plain ``read.parquet`` of the same
     files loses it and re-shuffles)."""
     return spark.table(table)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted write — the data-layout half of scan speed
+    at 100 TB (the single-axis analogue of OPTIMIZE ... ZORDER): rows are
+    range-partitioned on ``sort_cols`` (sampled bounds, no single-
+    partition stage) and sorted within each output file, so every file
+    covers a near-disjoint key range. Parquet footer min/max stats then
+    let any later range/point predicate on the sort key skip whole files
+    and row groups instead of scanning the corpus — the difference
+    between reading 100 TB and reading the one affected key range.
+    Disjointness of per-file ranges is asserted in
+    tests/test_sources_types.py."""
+    cols = [F.col(c) for c in sort_cols]
+    d = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    d.sortWithinPartitions(*cols).write.mode(mode).format(file_format).save(path)

@@ -190,3 +190,31 @@ def test_orc_roundtrip_with_pushdown(spark, scratch):
     assert a == b
     plan = back.filter(F.col("n_regionkey") == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_sorted_layout_files_are_range_disjoint(spark, scratch):
+    """write_sorted_layout range-partitions + sorts, so parquet footer
+    min/max stats per FILE are pairwise disjoint on the sort key — the
+    property that lets a 100 TB scan with a key predicate skip whole
+    files. Asserted directly from the parquet metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, SF_SMALL, "events")
+    path = os.path.join(scratch, "events_sorted")
+    sources.write_sorted_layout(events, path, ["user_id"], n_files=4)
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # ranges never interleave (boundary key may repeat)
+    # values survive the rewrite
+    back = sources.read_parquet(spark, path)
+    assert back.count() == events.count()
