@@ -370,6 +370,57 @@ def ivf_ann_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/IO lever for
+    a 100 TB embedding corpus (4× smaller than float32, 8× than float64;
+    dot products on int8 stay SIMD-friendly downstream). Each vector
+    stores one float scale = max(|x|)/127 and q[i] = round(x[i]/scale),
+    clamped to [-127, 127]; zero vectors quantize to all-zero with scale
+    0. Pure column expressions (transform/aggregate) — zero shuffle,
+    scan-speed, and exactly reproducible in any engine (no RNG).
+
+    Output: (id, scale, qvec array<int>, max_abs_err) where max_abs_err
+    is the per-vector reconstruction error bound actually achieved —
+    always ≤ scale/2."""
+    absmax = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    # The internal name "_scale" must differ from the OUTPUT alias "scale":
+    # Spark resolves a reference appearing after `round(..) AS scale` in the
+    # same select list to that LATERAL ALIAS (the rounded value), silently
+    # shadowing the input column of the same name — qvec/err would then be
+    # computed against the rounded scale.
+    d = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), (absmax / 127.0).alias("_scale")
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("_scale") == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / F.col("_scale")).cast("int")),
+            )
+        ),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            q,
+            lambda xv, qi: F.abs(xv - qi.cast("double") * F.col("_scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return d.select(
+        id_col,
+        F.round(F.col("_scale"), 9).alias("scale"),
+        q.alias("qvec"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
 def estimate_bucket_width(n_vectors: int, target_bucket: int = 1 << 14) -> int:
     """Planes needed so expected bucket size ≈ target (capacity planning
     helper for the 100 TB path)."""

@@ -185,17 +185,19 @@ def events_trailing_window(spark, sf_dir):
     the same user's events in the trailing hour [ts-1h, ts] — the frame
     variant (interval offsets over event time) the numeric
     window_agg_range_frame doesn't exercise. Spark expresses it as a
-    RANGE frame over epoch seconds; the oracle uses DuckDB's native
-    INTERVAL frame. Sum carried as integer value-cents (frame sums of
+    RANGE frame over epoch MICROseconds — both engines' timestamp
+    precision; framing on truncated epoch seconds admits pairs 3600.x s
+    apart that the oracle's native INTERVAL frame excludes (caught at
+    sf0.1). The oracle uses DuckDB's native INTERVAL frame. Sum carried as integer value-cents (frame sums of
     doubles are accumulation-order-sensitive)."""
     e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("_e").rangeBetween(-3600, 0)
+    w = W.partitionBy("user_id").orderBy("_e").rangeBetween(-3_600_000_000, 0)
     return (
         e.select(
             "event_id",
             "user_id",
             F.date_format("ts", TS_FMT).alias("ts_s"),
-            F.col("ts").cast("long").alias("_e"),
+            F.unix_micros("ts").alias("_e"),
             F.round(F.col("value") * 100).cast("long").alias("_c"),
         )
         .withColumn("trail_n", F.count("*").over(w).cast("long"))

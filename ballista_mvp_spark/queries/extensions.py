@@ -275,6 +275,35 @@ ORDER BY query_id, rank
 """
 
 
+def sim_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.
+    quantize_embeddings) — the 4× storage/IO compression applied to an
+    embedding corpus before it hits 100 TB. Pure column expressions;
+    max_abs_err certifies the reconstruction bound per vector."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
+SIM_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(greatest(-127, least(127, round(x / scale))) AS INT) END) AS qvec
+      FROM s)
+SELECT vec_id, round(scale, 9) AS scale, qvec,
+       round(list_max(list_transform(generate_series(1, len(v)),
+                                     i -> abs(v[i] - qvec[i] * scale))), 9) AS max_abs_err
+FROM q ORDER BY vec_id
+"""
+
+
 def sim_ann_ivf(spark, sf_dir):
     """IVF ANN top-5 (k-means coarse quantizer, n_probe cells → exact
     re-rank; operators/similarity.ivf_ann_topk). Seeded/deterministic but
@@ -572,6 +601,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
+    "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
@@ -593,6 +623,7 @@ ORACLES = {
     "dedup_embedding_exact": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
+    "sim_quantize": SIM_QUANTIZE_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,

@@ -185,3 +185,22 @@ def test_semantic_dedup_within_cell_agreement_with_exact(spark):
     exact_pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
     same_cell_losers = {r["b"] for r in exact_pairs if cells[r["a"]] == cells[r["b"]]}
     assert same_cell_losers <= flagged
+
+
+def test_quantize_embeddings_bound_and_zero_vector(spark):
+    from ballista_mvp_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0]), (2, [3.0] * 3)],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # reconstruction error bound: always <= scale/2 (+ tiny rounding slack)
+    for r in out.values():
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+    # zero vector -> scale 0, all-zero qvec, zero error
+    assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0]
+    assert out[1]["max_abs_err"] == 0.0
+    # constant max vector -> q = +/-127 exactly
+    assert out[2]["qvec"] == [127, 127, 127]
+    assert out[0]["qvec"][1] == -127  # absmax element hits the rail
