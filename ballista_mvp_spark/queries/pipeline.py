@@ -594,6 +594,59 @@ ORDER BY col_name
 """
 
 
+def pipeline_leakage(spark, sf_dir):
+    """Leakage-safe split audit: after the deterministic hash split,
+    every val/test document is checked for word-8-gram overlap with the
+    TRAIN side (composition of hash_split + decontaminate — the
+    train-test contamination check a training pipeline must run before
+    an eval is trustworthy). Train side reduces to distinct hashed
+    shingles; one semi-probe per held-out doc."""
+    docs = _t(spark, sf_dir, "documents")
+    sp = P.hash_split(docs, "doc_id")
+    tr = sp.filter(F.col("split") == "train")
+    ev = sp.filter(F.col("split") != "train")
+    return (
+        P.decontaminate(tr, ev, "doc_id", "text", shingle_k=8)
+        .join(sp.select("doc_id", "split"), "doc_id")
+        .select(
+            "doc_id", "split", "n_shingles", "n_contaminated",
+            "contamination", "contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_LEAKAGE_ORACLE = r"""
+WITH h AS (SELECT doc_id, text, md5('split:' || doc_id) AS m FROM documents),
+sp AS (SELECT doc_id, text,
+        CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id, text,
+               (CASE WHEN ascii(substr(m,1,1)) >= 97 THEN ascii(substr(m,1,1)) - 87
+                     ELSE ascii(substr(m,1,1)) - 48 END) * 16 +
+               (CASE WHEN ascii(substr(m,2,1)) >= 97 THEN ascii(substr(m,2,1)) - 87
+                     ELSE ascii(substr(m,2,1)) - 48 END) AS b
+             FROM h)),
+toks AS (
+  SELECT doc_id, split,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM sp),
+idx AS (SELECT doc_id, split, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+ev AS (SELECT doc_id, split, s FROM sh WHERE split != 'train'),
+sizes AS (SELECT doc_id, split, CAST(count(*) AS INT) AS n_shingles FROM ev GROUP BY 1, 2),
+hits AS (SELECT doc_id, count(*) AS n_contaminated FROM ev JOIN tr USING (s) GROUP BY 1)
+SELECT sizes.doc_id, split, n_shingles,
+       CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(n_contaminated, 0) * 1.0 / greatest(n_shingles, 1), 6) AS contamination,
+       coalesce(n_contaminated, 0) > 0 AS contaminated
+FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+ORDER BY sizes.doc_id
+"""
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -611,6 +664,7 @@ QUERIES = {
     "pipeline_chunk": pipeline_chunk,
     "dedup_incremental": dedup_incremental,
     "profile_documents": profile_documents,
+    "pipeline_leakage": pipeline_leakage,
 }
 
 ORACLES = {
@@ -630,4 +684,5 @@ ORACLES = {
     "pipeline_chunk": PIPELINE_CHUNK_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "profile_documents": PROFILE_DOCUMENTS_ORACLE,
+    "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
 }
