@@ -394,6 +394,128 @@ def fn_misc(spark, sf_dir):
     )
 
 
+def fn_higher_order(spark, sf_dir):
+    """Higher-order array functions — the lambda-expression surface the
+    engine's array pipeline is built on (transform/filter/exists/forall/
+    aggregate/zip_with + array_sort/distinct/contains/position/slice/
+    reverse/min/max). DataFusion has no lambda expressions (SURVEY.md
+    §2.8 scopes the 73 named scalars); this certifies the strict-superset
+    Spark surface that operators/dedup.py and similarity.py rely on. All
+    JVM-side codegen — no Python in the loop."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    arr = F.array(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: F.round(x * 2.0, 6)).alias("ho_transform"),
+        F.filter(arr, lambda x: x > F.lit(0.05)).alias("ho_filter"),
+        F.exists(arr, lambda x: x > F.lit(30.0)).alias("ho_exists"),
+        F.forall(arr, lambda x: x >= F.lit(0.0)).alias("ho_forall"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("ho_aggregate"),
+        F.round(
+            F.aggregate(
+                F.zip_with(arr, F.reverse(arr), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("ho_zipdot"),
+        F.array_sort(arr).alias("arr_sorted"),
+        F.size(F.array_distinct(arr)).alias("arr_ndistinct"),
+        F.array_contains(arr, F.col("l_tax")).alias("arr_has_tax"),
+        F.array_position(F.array_sort(arr), F.col("l_quantity")).alias("arr_pos_qty"),
+        F.slice(F.array_sort(arr), 1, 2).alias("arr_low2"),
+        F.round(F.array_max(arr) - F.array_min(arr), 6).alias("arr_span"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+FN_HIGHER_ORDER_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_tax,
+         [l_quantity, l_discount, l_tax] AS arr
+  FROM lineitem WHERE l_orderkey < 300
+)
+SELECT l_orderkey, l_linenumber,
+       list_transform(arr, x -> round(x * 2.0, 6)) AS ho_transform,
+       list_filter(arr, x -> x > 0.05) AS ho_filter,
+       list_bool_or(list_transform(arr, x -> x > 30.0)) AS ho_exists,
+       list_bool_and(list_transform(arr, x -> x >= 0.0)) AS ho_forall,
+       round(list_sum(arr), 6) AS ho_aggregate,
+       round(list_sum(list_transform(generate_series(1, len(arr)),
+                                     i -> arr[i] * arr[len(arr) + 1 - i])), 6) AS ho_zipdot,
+       list_sort(arr) AS arr_sorted,
+       CAST(len(list_distinct(arr)) AS INT) AS arr_ndistinct,
+       list_contains(arr, l_tax) AS arr_has_tax,
+       CAST(list_position(list_sort(arr), l_quantity) AS BIGINT) AS arr_pos_qty,
+       list_sort(arr)[1:2] AS arr_low2,
+       round(list_max(arr) - list_min(arr), 6) AS arr_span
+FROM base
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def fn_map(spark, sf_dir):
+    """Map-type surface: construction (create_map / map_from_arrays),
+    introspection (map_keys / map_values / map_entries / size), lookup
+    (element_at / map_contains_key), and map_concat. DataFusion's type
+    system has no MAP (SURVEY.md §2.7 covers struct/array access only) —
+    free extension; key order canonicalized by sorting on both sides."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("ck"), F.col("o_custkey").cast("string"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("mk"),
+        F.element_at(m, F.lit("status")).alias("m_status"),
+        F.element_at(m, F.lit("missing")).alias("m_missing"),
+        F.map_contains_key(m, F.lit("prio")).alias("m_has_prio"),
+        F.size(m).alias("m_size"),
+        F.array_sort(F.map_keys(m2)).alias("mk3"),
+        F.element_at(m2, F.lit("ck")).alias("m_ck"),
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+            )
+        ).alias("m_kv"),
+        F.element_at(
+            F.map_from_arrays(F.array(F.lit("k")), F.array(F.col("o_custkey"))),
+            F.lit("k"),
+        ).alias("mfa_v"),
+    ).orderBy("o_orderkey")
+
+
+FN_MAP_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m,
+         MAP {'status': o_orderstatus, 'prio': o_orderpriority,
+              'ck': CAST(o_custkey AS VARCHAR)} AS m2
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT o_orderkey,
+       list_sort(map_keys(m)) AS mk,
+       (m['status'])[1] AS m_status,
+       (m['missing'])[1] AS m_missing,
+       list_contains(map_keys(m), 'prio') AS m_has_prio,
+       CAST(cardinality(m) AS INT) AS m_size,
+       list_sort(map_keys(m2)) AS mk3,
+       (m2['ck'])[1] AS m_ck,
+       list_sort(list_transform(map_entries(m),
+                                e -> e.key || '=' || e.value)) AS m_kv,
+       o_custkey AS mfa_v
+FROM base
+ORDER BY o_orderkey
+"""
+
+
 def udf_pandas_scalar(spark, sf_dir):
     """Scalar UDF surface (§2.9: the reference declares ScalarUdfExprNode,
     datafusion.proto:558-561, but registers none — Spark's pandas_udf is
@@ -461,6 +583,8 @@ QUERIES = {
     "fn_datetime": fn_datetime,
     "fn_conditional": fn_conditional,
     "fn_array_struct": fn_array_struct,
+    "fn_higher_order": fn_higher_order,
+    "fn_map": fn_map,
     "fn_misc": fn_misc,
 }
 
@@ -475,4 +599,6 @@ ORACLES = {
     "fn_datetime": FN_DATETIME_ORACLE,
     "fn_conditional": FN_CONDITIONAL_ORACLE,
     "fn_array_struct": FN_ARRAY_STRUCT_ORACLE,
+    "fn_higher_order": FN_HIGHER_ORDER_ORACLE,
+    "fn_map": FN_MAP_ORACLE,
 }
