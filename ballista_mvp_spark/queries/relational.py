@@ -414,6 +414,82 @@ EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey
 """
 
 
+def intersect_all_op(spark, sf_dir):
+    """INTERSECT ALL — multiset semantics (multiplicity = min of the two
+    sides). DataFusion lowers only the DISTINCT form (SURVEY.md §2.4);
+    the ALL variant is the standard-SQL completion. Spark plans this as
+    a single hash join on (value, replica-id) — no O(N²)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("ckey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("ckey")
+    )
+    return J.intersect(a, b, all=True).orderBy("ckey")
+
+
+INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 150000
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY ckey
+"""
+
+
+def except_all_op(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (multiplicity = left minus right,
+    floored at zero). Same standard-SQL completion as INTERSECT ALL."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("ckey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("ckey")
+    )
+    return J.except_(a, b, all=True).orderBy("ckey")
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 150000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY ckey
+"""
+
+
+def sql_lateral(spark, sf_dir):
+    """LATERAL VIEW posexplode through the SQL entry — the row-generating
+    table function surface (DataFusion exposes UNNEST; SURVEY.md §2.7's
+    GetIndexedField covers element access, this covers expansion).
+    Zero-shuffle: scan → generate → sort only for the deterministic
+    compare."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, pos, val
+        FROM (SELECT l_orderkey, l_linenumber,
+                     array(l_quantity, l_discount, l_tax) AS a
+              FROM lineitem WHERE l_orderkey < 200) t
+        LATERAL VIEW posexplode(a) x AS pos, val
+        ORDER BY l_orderkey, l_linenumber, pos
+        """
+    )
+
+
+SQL_LATERAL_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, [l_quantity, l_discount, l_tax] AS a
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+       unnest(a) AS val
+FROM base
+ORDER BY l_orderkey, l_linenumber, pos
+"""
+
+
 def values_inline(spark, sf_dir):
     """ValuesNode (datafusion.proto:212-217) + EmptyRelation `SELECT 1`
     (datafusion.proto:167-169) via a no-FROM select unioned in."""
@@ -795,7 +871,10 @@ QUERIES = {
     "union_distinct": union_distinct,
     "intersect_op": intersect_op,
     "except_op": except_op,
+    "intersect_all_op": intersect_all_op,
+    "except_all_op": except_all_op,
     "values_inline": values_inline,
+    "sql_lateral": sql_lateral,
     "sql_subquery_exists_in": sql_subquery_exists_in,
     "sql_subquery_scalar": sql_subquery_scalar,
     "agg_basic": agg_basic,
@@ -834,7 +913,10 @@ ORACLES = {
     "union_distinct": UNION_DISTINCT_ORACLE,
     "intersect_op": INTERSECT_ORACLE,
     "except_op": EXCEPT_ORACLE,
+    "intersect_all_op": INTERSECT_ALL_ORACLE,
+    "except_all_op": EXCEPT_ALL_ORACLE,
     "values_inline": VALUES_ORACLE,
+    "sql_lateral": SQL_LATERAL_ORACLE,
     "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
     "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
     "agg_basic": AGG_BASIC_ORACLE,
