@@ -445,8 +445,144 @@ ORDER BY sess.user_id, session_start
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered first-touch conversion funnel signup → view → click →
+    purchase: a user converts at step k iff the first occurrence of step
+    k's event is strictly after the first occurrence of step k-1's.
+
+    Plan: ONE shuffle — conditional MIN per (user, step) collapses each
+    user to a 4-timestamp row (map-side partial agg does most of the
+    work), then a global agg over 150 (at sf0.01; ~1e8 at 100 TB — still
+    one slim row per user) rows. No per-step joins, no event re-scan per
+    step. The reference has no funnel operator (extension surface)."""
+    e = _t(spark, sf_dir, "events")
+    steps = ["signup", "view", "click", "purchase"]
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in steps
+        ]
+    )
+    conds = [F.col("t_signup").isNotNull()]
+    for prev, cur in zip(steps, steps[1:]):
+        conds.append(conds[-1] & (F.col(f"t_{cur}") > F.col(f"t_{prev}")))
+    return per_user.agg(
+        *[
+            F.count(F.when(c, F.lit(1))).alias(f"n_{s}")
+            for s, c in zip(steps, conds)
+        ]
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT
+  count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+  count(*) FILTER (WHERE t_view > t_signup) AS n_view,
+  count(*) FILTER (WHERE t_view > t_signup AND t_click > t_view) AS n_click,
+  count(*) FILTER (WHERE t_view > t_signup AND t_click > t_view
+                     AND t_purchase > t_click) AS n_purchase
+FROM u
+"""
+
+
+def events_anomaly(spark, sf_dir):
+    """Hourly-count anomaly detection per event type: |z| > 2 vs the
+    type's own mean/stddev of hourly counts.
+
+    Plan: hourly rollup (one shuffle on (hour, type)), then per-type
+    stats via a SECOND tiny groupBy (5 rows) broadcast-joined back —
+    deliberately NOT a window over partitionBy(event_type), which at
+    100 TB would funnel every row of a type through one task. Both
+    sides guard sigma > 0."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats.where(F.col("sigma") > 0)), "event_type")
+        .where(F.abs(z) > 2)
+        .select(
+            F.date_format("hour_ts", TS_FMT).alias("hour"),
+            "event_type",
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM h GROUP BY 1)
+SELECT strftime(h.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, h.event_type, n,
+       round((n - mu) / sigma, 4) AS z
+FROM h JOIN s ON h.event_type = s.event_type
+WHERE sigma > 0 AND abs((n - mu) / sigma) > 2
+ORDER BY hour, h.event_type
+"""
+
+
+def events_cum_users(spark, sf_dir):
+    """Cumulative distinct users per event type by hour (rows emitted for
+    hours where a first-time user appears).
+
+    Spark has no COUNT(DISTINCT) OVER — the scale-correct decomposition
+    is first-seen-hour per (type, user) [the only full shuffle], roll up
+    to new-users-per-hour [tiny], then a running SUM window over the
+    already-aggregated (type, hour) table. State per window partition is
+    #hours, not #users — survives 100 TB where collect_set-over-window
+    (the naive emulation) would OOM."""
+    e = _t(spark, sf_dir, "events")
+    fs = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("first_hour")
+    )
+    nh = fs.groupBy("event_type", F.col("first_hour").alias("hour_ts")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return nh.select(
+        F.date_format("hour_ts", TS_FMT).alias("hour"),
+        "event_type",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("hour", "event_type")
+
+
+EVENTS_CUM_USERS_ORACLE = """
+WITH fs AS (
+  SELECT event_type, user_id, min(date_trunc('hour', ts)) AS first_hour
+  FROM events GROUP BY 1, 2),
+nh AS (
+  SELECT event_type, first_hour AS hour_ts, count(*) AS new_users
+  FROM fs GROUP BY 1, 2)
+SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM nh ORDER BY hour, event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_funnel": events_funnel,
+    "events_anomaly": events_anomaly,
+    "events_cum_users": events_cum_users,
     "streaming_session_close": streaming_session_close,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -464,6 +600,9 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
+    "events_funnel": EVENTS_FUNNEL_ORACLE,
+    "events_anomaly": EVENTS_ANOMALY_ORACLE,
+    "events_cum_users": EVENTS_CUM_USERS_ORACLE,
     "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,

@@ -60,6 +60,9 @@ def build_session(
         # represent; read as long and convert in tables.py (SURVEY.md §1.2:
         # ns must truncate to µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 2026-08 testdata regen: ts is plain µs NTZ-annotated; read as LTZ so
+        # event-time watermarks accept it (values identical under UTC).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")

@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _ts_to_ltz(src: DataFrame, schema) -> DataFrame:
+    """Normalize the events `ts` column to TIMESTAMP (LTZ), which
+    watermarks require. Testdata generations have shipped it as parquet
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong → convert ns→µs)
+    and as plain µs NTZ (Spark 4 infers TIMESTAMP_NTZ → cast; value-
+    identical under the engine's UTC session timezone)."""
+    kind = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if kind == "bigint":
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 def tumbling_agg(events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling-window rollup — works on both batch and
     streaming DataFrames (identical plan declaration)."""
@@ -48,6 +62,7 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     # the streaming file source wants a directory: point it at sf_dir with
     # a glob that selects only the events file
@@ -56,8 +71,7 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _ts_to_ltz(src, schema)
     agg = tumbling_agg(src)
     qname = f"tumbling_{uuid.uuid4().hex[:8]}"
     q = (
@@ -246,14 +260,14 @@ def run_session_close_batchfile(
     tests/test_streaming.py)."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _ts_to_ltz(src, schema)
     out = sessionize_on_close(src.select("user_id", "ts", "event_id"), gap_seconds)
     qname = f"sessclose_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
@@ -270,14 +284,14 @@ def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seco
     sessionization), drain to memory sink, return the table."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _ts_to_ltz(src, schema)
     out = stateful_sessionize(src.select("user_id", "ts", "event_id"), gap_seconds)
     qname = f"sess_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(qname).start()
@@ -311,14 +325,14 @@ def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state store."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _ts_to_ltz(src, schema)
     keyed = (
         src.withWatermark("ts", "2 hours")
         .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), TS_FMT))

@@ -42,10 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The driver may hand us a vanilla session without this conf; it is
         # runtime-settable, and without it the NANOS column aborts the scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 2026-08 testdata regen ships ts as plain µs (isAdjustedToUTC=false);
+        # without this, Spark 4 infers TIMESTAMP_NTZ, which watermarks reject.
+        # LTZ under the UTC session zone is value-identical to the oracle's
+        # naive read, and keeps ts predicate pushdown scan-native.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long under nanosAsLong: ns -> µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # driver-owned session without the NTZ-inference conf: cast (no-op
+        # values under UTC), so watermarks and LTZ semantics hold engine-wide.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
