@@ -54,11 +54,22 @@ def main() -> None:
     # not JIT warmup
     ALL_QUERIES["count_star"](spark, sf_dir).collect()
 
+    # Two passes per query. Pass 1 (cold) includes Catalyst planning +
+    # whole-stage-codegen compilation of each distinct plan — the headline
+    # `value`, methodology-identical across rounds. Pass 2 (warm) hits
+    # Spark's generated-class cache and measures steady-state engine
+    # throughput — the number that projects to a long-lived cluster where
+    # each plan compiles once and runs thousands of times.
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         ALL_QUERIES[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        ALL_QUERIES[name](spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -68,6 +79,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_warm": warm,
+                "warm_suite_seconds": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )
