@@ -589,7 +589,34 @@ FROM m ORDER BY media_id
 """
 
 
+def sketch_hll(spark, sf_dir):
+    """Mergeable HLL distinct-count sketches (Datasketches via Spark's
+    hll_sketch_agg): per-event-type user sketches + a global estimate
+    from hll_union_agg over the PER-TYPE SKETCHES — never re-scanning
+    the facts.
+
+    This is the 100 TB pattern for distinct counts: partial sketches are
+    a few KB each, commutatively mergeable across partitions / days /
+    sources, so incremental rollups union yesterday's sketch with
+    today's instead of re-reading 100 TB. Estimates are deterministic
+    (register-max merge is order-insensitive) but implementation-defined
+    → rows-only here; tests/test_dedup_similarity.py asserts <5% error
+    vs exact and sketch-merge == direct-global."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    per_type_est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return per_type_est.unionByName(total).orderBy("event_type")
+
+
 QUERIES = {
+    "sketch_hll": sketch_hll,
     "dedup_exact": dedup_exact,
     "dedup_exact_keys": dedup_exact_keys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

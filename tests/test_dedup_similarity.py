@@ -204,3 +204,26 @@ def test_quantize_embeddings_bound_and_zero_vector(spark):
     # constant max vector -> q = +/-127 exactly
     assert out[2]["qvec"] == [127, 127, 127]
     assert out[0]["qvec"][1] == -127  # absmax element hits the rail
+
+
+def test_sketch_hll_accuracy_and_merge(spark):
+    """HLL estimates within 5% of exact per-type distinct users, and the
+    union of per-type sketches equals a direct global sketch (the
+    incremental-rollup contract: merge partials, never re-scan)."""
+    from ballista_mvp_spark.queries.extensions import sketch_hll
+    from .conftest import SF_MID
+
+    est = {r.event_type: r.approx_users for r in sketch_hll(spark, SF_MID).collect()}
+    e = load_table(spark, SF_MID, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = e.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.05 * n), (k, est[k], n)
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est")
+    ).collect()[0].est
+    assert est["__all__"] == direct
