@@ -107,3 +107,36 @@ def test_span_dedup_shuffles_hashes_not_strings(spark):
     # the window's partition key is the span hash column `h`
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert "hashpartitioning(h#" in plan
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark):
+    """Spark injects a runtime bloom filter built from the selective side
+    of a fact-fact join into the probe side's scan (row-group skipping at
+    the source). Locally the probe side is far below the 10 GB
+    applicationSideScanSizeThreshold, so we drop the threshold to emulate
+    at-scale sizes — on a 100 TB lineitem the default config fires this
+    path with no tuning."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.tables import load_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders")
+        j = li.join(
+            o.filter(F.col("o_totalprice") > 400000),
+            li["l_orderkey"] == o["o_orderkey"],
+        ).select("l_orderkey", "o_totalprice")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
