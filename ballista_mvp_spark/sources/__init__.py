@@ -226,3 +226,40 @@ def write_sorted_layout(
         else df.repartitionByRange(*cols)
     )
     d.sortWithinPartitions(*cols).write.mode(mode).format(file_format).save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    file_format: str = "parquet",
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table directory into
+    ~target_file_mb files. The operational tail of every incremental
+    pipeline at scale — streaming/micro-batch sinks and per-partition
+    writers accrete thousands of KB-sized files per day, and scan-task
+    scheduling overhead (one task per file below maxPartitionBytes)
+    eventually dwarfs the I/O itself. Rewrites via coalesce (narrow — no
+    shuffle; merges existing partitions) into a temp dir, then swaps.
+    Returns (files_before, files_after)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _data_files(p):
+        return [
+            f
+            for f in _glob.glob(_os.path.join(p, "**", "*"), recursive=True)
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+        ]
+
+    before = _data_files(path)
+    total_mb = sum(_os.path.getsize(f) for f in before) / 1e6
+    n_out = max(1, round(total_mb / target_file_mb))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.format(file_format).load(path)
+    df.coalesce(n_out).write.mode("overwrite").format(file_format).save(tmp)
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return len(before), len(_data_files(path))

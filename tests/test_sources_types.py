@@ -218,3 +218,19 @@ def test_sorted_layout_files_are_range_disjoint(spark, scratch):
     # values survive the rewrite
     back = sources.read_parquet(spark, path)
     assert back.count() == events.count()
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Fragmented write (64 files) → compact → few files, identical data."""
+    from ballista_mvp_spark.sources import compact_table
+
+    p = str(tmp_path / "frag")
+    df = load_table(spark, SF_SMALL, "lineitem")
+    expected = df.count()
+    df.repartition(64).write.parquet(p)
+    before, after = compact_table(spark, p, target_file_mb=256)
+    assert before >= 64
+    assert after < before and after <= 4
+    out = spark.read.parquet(p)
+    assert out.count() == expected
+    assert set(out.columns) == set(df.columns)
