@@ -43,16 +43,31 @@ def _count_matches(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
 
 
+def _count_char_class(text: Column, pattern: str) -> Column:
+    """Count chars of a single-char regex class as a length difference —
+    one regex pass, no per-match array materialization (counts == matches
+    only because the class matches exactly one char)."""
+    return F.char_length(text) - F.char_length(F.regexp_replace(text, pattern, F.lit("")))
+
+
+def _count_chars_in(text: Column, chars: str) -> Column:
+    """Count occurrences of an explicit char set via translate-deletion —
+    a pure char-table pass, no regex engine at all."""
+    return F.char_length(text) - F.char_length(F.translate(text, chars, ""))
+
+
 def punct_ratio(text: Column) -> Column:
-    return F.round(_count_matches(text, r"[^\w\s]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+    return F.round(_count_char_class(text, r"[^\w\s]") / F.greatest(F.char_length(text), F.lit(1)), 6)
 
 
 def upper_ratio(text: Column) -> Column:
-    return F.round(_count_matches(text, r"[A-Z]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+    return F.round(
+        _count_chars_in(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ") / F.greatest(F.char_length(text), F.lit(1)), 6
+    )
 
 
 def digit_ratio(text: Column) -> Column:
-    return F.round(_count_matches(text, r"[0-9]") / F.greatest(F.char_length(text), F.lit(1)), 6)
+    return F.round(_count_chars_in(text, "0123456789") / F.greatest(F.char_length(text), F.lit(1)), 6)
 
 
 def stopword_hits(text: Column, lang: str = "en") -> Column:

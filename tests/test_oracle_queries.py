@@ -50,6 +50,7 @@ def test_registry_shape():
     rows_only = set(ALL_QUERIES) - set(ALL_ORACLES)
     assert rows_only == {
         "agg_approx",
+        "sketch_hll",
         "dedup_embedding",
         "fn_hash_full",
         "fn_misc",
