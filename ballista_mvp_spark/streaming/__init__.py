@@ -346,3 +346,57 @@ def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname).orderBy("user_id", "event_type", "hour")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet with ts normalized to LTZ."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _ts_to_ltz(src, schema)
+
+
+def run_incremental_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Production sink shape: stream → windowed agg → foreachBatch upsert
+    into a partitioned parquet table via DYNAMIC partition overwrite —
+    each micro-batch rewrites only the hour partitions it touched, so a
+    replayed batch (post-failure restart from the checkpoint) lands
+    idempotently instead of appending duplicates. This is the
+    exactly-once-per-partition materialization pattern for lakehouse
+    tables without a transaction log; with Delta/Iceberg the same
+    foreachBatch body becomes a MERGE.
+
+    State discipline: update-mode agg + watermark bounds state to open
+    windows; the sink cost per batch is O(touched partitions), not
+    O(table)."""
+    agg = tumbling_agg(_events_stream(spark, sf_dir))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
