@@ -458,6 +458,33 @@ ORDER BY ckey
 """
 
 
+SQL_TPCH_Q1_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def sql_tpch_q1(spark, sf_dir):
+    """The reference's flagship query (README.md:42-50) through the SQL
+    TEXT entry — the reference's primary interface is a SQL string over
+    Flight SQL; here the IDENTICAL ANSI text runs on both Spark and the
+    DuckDB oracle (dialect-shared, zero translation). Compiles to the
+    same partial/final agg plan as the DataFrame form (tpch_q1)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_TPCH_Q1_TEXT)
+
+
 def sql_lateral(spark, sf_dir):
     """LATERAL VIEW posexplode through the SQL entry — the row-generating
     table function surface (DataFusion exposes UNNEST; SURVEY.md §2.7's
@@ -874,6 +901,7 @@ QUERIES = {
     "intersect_all_op": intersect_all_op,
     "except_all_op": except_all_op,
     "values_inline": values_inline,
+    "sql_tpch_q1": sql_tpch_q1,
     "sql_lateral": sql_lateral,
     "sql_subquery_exists_in": sql_subquery_exists_in,
     "sql_subquery_scalar": sql_subquery_scalar,
@@ -916,6 +944,7 @@ ORACLES = {
     "intersect_all_op": INTERSECT_ALL_ORACLE,
     "except_all_op": EXCEPT_ALL_ORACLE,
     "values_inline": VALUES_ORACLE,
+    "sql_tpch_q1": SQL_TPCH_Q1_TEXT,
     "sql_lateral": SQL_LATERAL_ORACLE,
     "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
     "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
