@@ -578,11 +578,49 @@ FROM nh ORDER BY hour, event_type
 """
 
 
+def streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment: event stream ⋈ customer dimension
+    (broadcast per micro-batch; the stream side never shuffles for the
+    join), rolled up by market segment — certified against the identical
+    batch SQL."""
+    from ..streaming import run_stream_static_join_batchfile
+
+    return run_stream_static_join_batchfile(spark, sf_dir)
+
+
+STREAMING_ENRICH_ORACLE = """
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_v
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def streaming_join(spark, sf_dir):
+    """Stream-stream interval self-join (click → purchase by the same
+    user within 1 hour) with watermark-bounded join state — certified
+    against the batch interval join."""
+    from ..streaming import run_stream_stream_join_batchfile
+
+    return run_stream_stream_join_batchfile(spark, sf_dir)
+
+
+STREAMING_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY c.user_id, c_id, p_id
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
     "events_anomaly": events_anomaly,
     "events_cum_users": events_cum_users,
+    "streaming_enrich": streaming_enrich,
+    "streaming_join": streaming_join,
     "streaming_session_close": streaming_session_close,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -603,6 +641,8 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "events_anomaly": EVENTS_ANOMALY_ORACLE,
     "events_cum_users": EVENTS_CUM_USERS_ORACLE,
+    "streaming_enrich": STREAMING_ENRICH_ORACLE,
+    "streaming_join": STREAMING_JOIN_ORACLE,
     "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,

@@ -400,3 +400,64 @@ def run_incremental_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_stream_static_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer) — Spark re-plans the static side per micro-batch
+    and broadcasts it under the threshold, so the stream side never
+    shuffles for the join. Rollup by segment in complete mode for a
+    deterministic drain."""
+    src = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        src.join(cust, src["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("c_mktsegment")
+
+
+def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: click followed by a purchase by
+    the same user within 1 hour. Both sides carry watermarks and the join
+    condition bounds event-time distance, so join state is evicted once
+    the watermark passes c_ts + 1h — bounded state, the stream-stream
+    contract. Inner-join matches emit as soon as both sides arrive (no
+    watermark hold on output)."""
+    src = _events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "c_id", "p_id")
+    qname = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("user_id", "c_id", "p_id")
