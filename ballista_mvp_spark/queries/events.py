@@ -614,11 +614,55 @@ ORDER BY c.user_id, c_id, p_id
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Spark's NATIVE session-window operator (F.session_window — merging
+    gap-sessions inside the aggregation itself, one shuffle on user_id;
+    the same groupBy runs unchanged as a streaming query with a
+    watermark). Complements the custom applyInPandasWithState
+    sessionization (streaming_sessionize) with the built-in path.
+    Boundary semantics: a gap of EXACTLY the 30-min window starts a new
+    session, so the oracle walks gaps at microsecond precision with
+    >= 1800s."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), TS_FMT).alias("s_start"),
+            F.date_format(
+                F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES"), TS_FMT
+            ).alias("s_last"),
+            "n",
+        )
+        .orderBy("user_id", "s_start")
+    )
+
+
+EVENTS_SESSION_WINDOW_ORACLE = """
+WITH flg AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_last, count(*) AS n
+FROM sid GROUP BY user_id, sid ORDER BY user_id, s_start
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
     "events_anomaly": events_anomaly,
     "events_cum_users": events_cum_users,
+    "events_session_window": events_session_window,
     "streaming_enrich": streaming_enrich,
     "streaming_join": streaming_join,
     "streaming_session_close": streaming_session_close,
@@ -641,6 +685,7 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "events_anomaly": EVENTS_ANOMALY_ORACLE,
     "events_cum_users": EVENTS_CUM_USERS_ORACLE,
+    "events_session_window": EVENTS_SESSION_WINDOW_ORACLE,
     "streaming_enrich": STREAMING_ENRICH_ORACLE,
     "streaming_join": STREAMING_JOIN_ORACLE,
     "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
