@@ -324,3 +324,20 @@ class Engine:
 
     def table_schema(self, name: str) -> str:
         return self.spark.table(name).schema.simpleString()
+
+    def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — feeds
+        Catalyst's cost-based optimizer (join reordering, broadcast
+        decisions from real row counts instead of file sizes; the Spark
+        analogue of DataFusion's statistics-driven planning). Returns the
+        catalog stats recorded (sizeInBytes/rowCount). At 100 TB, stats
+        collection is itself a distributed scan — run it at write time,
+        not query time."""
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        stats = next((r.data_type for r in rows if r.col_name == "Statistics"), "")
+        return {"table": name, "statistics": stats}

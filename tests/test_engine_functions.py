@@ -206,3 +206,23 @@ def test_engine_insert_into_writable_table(spark, tmp_path):
         assert rows == {(1, "a"), (2, "b"), (3, "c")}
     finally:
         eng.sql("DROP TABLE IF EXISTS ins_tbl")
+
+
+def test_analyze_table_records_stats_for_cbo(spark):
+    """ANALYZE TABLE feeds Catalyst's CBO: catalog stats carry real byte
+    and row counts after analysis (join reordering / broadcast decisions
+    then use them instead of raw file sizes)."""
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    spark.sql(
+        "CREATE TABLE stats_probe USING parquet LOCATION "
+        f"'{SF_SMALL}/nation.parquet'"
+    )
+    try:
+        out = eng.analyze_table("stats_probe")
+        assert "bytes" in out["statistics"], out
+        assert "25 rows" in out["statistics"], out
+        out2 = eng.analyze_table("stats_probe", columns=["n_nationkey"])
+        assert "bytes" in out2["statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")

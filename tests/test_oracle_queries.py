@@ -31,6 +31,8 @@ CORE = [
     "pipeline_split", "pipeline_pack", "text_repetition", "text_tfidf",
     "text_decontaminate", "dedup_clusters", "dedup_spans", "text_gopher",
     "pipeline_mixture", "pipeline_quota", "window_agg_groups_frame",
+    "events_funnel", "events_anomaly", "events_cum_users",
+    "events_session_window", "sql_tpch_q1",
 ]
 
 NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
