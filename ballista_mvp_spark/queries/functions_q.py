@@ -571,7 +571,40 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def fn_decimal(spark, sf_dir):
+    """DECIMAL(18,2) exact money arithmetic — certifies the Decimal128
+    type mapping (SURVEY.md §1.2: DataFusion Decimal128(p,s) ≡ Spark
+    DecimalType(p,s), both 128-bit). Sums are EXACT — order-independent,
+    no rounding shim needed on either side — which is the whole point of
+    decimal for money at scale: 10⁹-row sums with no FP drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("sum_price"),
+            F.sum((price * (1 - disc)).cast("decimal(18,4)")).alias("sum_disc_price"),
+            F.max(price).alias("max_price"),
+            F.min(price).alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FN_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS sum_disc_price,
+       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+       min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "fn_decimal": fn_decimal,
     "fn_math": fn_math,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udaf_apply_in_pandas": udaf_apply_in_pandas,
@@ -589,6 +622,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_decimal": FN_DECIMAL_ORACLE,
     "fn_math": FN_MATH_ORACLE,
     "udf_pandas_scalar": UDF_PANDAS_ORACLE,
     "udaf_apply_in_pandas": UDAF_ORACLE,
