@@ -647,7 +647,67 @@ ORDER BY sizes.doc_id
 """
 
 
+def pipeline_validate(spark, sf_dir):
+    """Data-quality constraint gate (deequ/dbt-test-style) — the go/no-go
+    check before a corpus feeds training. All single-table rules compile
+    into ONE conditional-aggregate pass per table (no per-rule scans);
+    the referential rule is a left-anti count. At 100 TB: two fact scans
+    + one anti-join — cost independent of rule count.
+
+    Rules: documents.text NOT NULL; documents.doc_id unique;
+    documents.n_chars in [1, 10^6]; documents.lang in the known set;
+    lineitem.l_orderkey references orders.o_orderkey."""
+    docs = _t(spark, sf_dir, "documents")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    doc_rules = docs.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("text_not_null"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("doc_id_unique"),
+        F.count(
+            F.when(~F.col("n_chars").between(1, 1_000_000), 1)
+        ).alias("n_chars_range"),
+        F.count(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "unk"), 1)
+        ).alias("lang_domain"),
+    )
+    orphan = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("rule"), "violations")
+    )
+    long_rules = doc_rules.unpivot([], doc_rules.columns, "rule", "violations")
+    return (
+        long_rules.unionByName(orphan)
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("rule")
+    )
+
+
+PIPELINE_VALIDATE_ORACLE = """
+WITH d AS (
+  SELECT
+    count(*) FILTER (WHERE text IS NULL) AS text_not_null,
+    count(*) - count(DISTINCT doc_id) AS doc_id_unique,
+    count(*) FILTER (WHERE n_chars NOT BETWEEN 1 AND 1000000) AS n_chars_range,
+    count(*) FILTER (WHERE lang NOT IN ('en','de','fr','es','unk')) AS lang_domain
+  FROM documents),
+fk AS (
+  SELECT count(*) AS violations FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+long AS (
+  SELECT 'text_not_null' AS rule, text_not_null AS violations FROM d
+  UNION ALL SELECT 'doc_id_unique', doc_id_unique FROM d
+  UNION ALL SELECT 'n_chars_range', n_chars_range FROM d
+  UNION ALL SELECT 'lang_domain', lang_domain FROM d
+  UNION ALL SELECT 'lineitem_orderkey_fk', violations FROM fk)
+SELECT rule, CAST(violations AS BIGINT) AS violations, violations = 0 AS passed
+FROM long ORDER BY rule
+"""
+
+
 QUERIES = {
+    "pipeline_validate": pipeline_validate,
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
     "text_repetition": text_repetition,
@@ -668,6 +728,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_pack": PIPELINE_PACK_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
