@@ -615,8 +615,27 @@ def sketch_hll(spark, sf_dir):
     return per_type_est.unionByName(total).orderBy("event_type")
 
 
+def sketch_topk(spark, sf_dir):
+    """Approximate heavy hitters (approx_top_k): top-12 tokens across the
+    document corpus. The sketch keeps a bounded candidate map per
+    partition and merges — at 100 TB the full (term, count) table never
+    materializes, unlike the exact groupBy path. maxItemsTracked=65536
+    bounds memory; below that distinct-count the result is exact
+    (asserted vs the exact rollup in tests/test_multimodal_text.py).
+    Output re-sorted deterministically on (count DESC, item)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    sk = toks.agg(F.expr("approx_top_k(tok, 12, 65536)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), "item")
+    )
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
+    "sketch_topk": sketch_topk,
     "dedup_exact": dedup_exact,
     "dedup_exact_keys": dedup_exact_keys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

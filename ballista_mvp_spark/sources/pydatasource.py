@@ -1,0 +1,82 @@
+"""Custom Python DataSource — the user-defined-table-provider surface.
+
+The reference's catalog is built on DataFusion's pluggable TableProvider:
+every scan node (ListingTableScanNode, datafusion.proto:99-115) is one
+implementation of a provider interface users can extend. Spark 4's Python
+DataSource API is the same extension point: implement
+``DataSource``/``DataSourceReader``, register with
+``spark.dataSource.register``, and ``spark.read.format(name)`` plans the
+custom source like any built-in one — with partitions handed to executors
+for parallel reads.
+
+``SyntheticEventsDataSource`` generates a deterministic seeded event
+stream (same shape as the testdata `events` table) with one partition
+per ``n_partitions`` — each partition seeds its own RNG, so the read is
+embarrassingly parallel and reproducible: the 100 TB pattern for
+load-testing a pipeline without storing 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+)
+_TYPES = ("signup", "view", "click", "purchase", "error")
+
+
+class _EventsPartition(InputPartition):
+    def __init__(self, index: int, rows: int, seed: int):
+        self.index = index
+        self.rows = rows
+        self.seed = seed
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", 4))
+        self.rows_per_partition = int(options.get("rows_per_partition", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        return [
+            _EventsPartition(i, self.rows_per_partition, self.seed + i)
+            for i in range(self.n_partitions)
+        ]
+
+    def read(self, partition: _EventsPartition):
+        # executes ON THE EXECUTOR: per-partition RNG → deterministic,
+        # parallel, no driver-side materialization
+        import datetime
+        import random
+
+        rng = random.Random(partition.seed)
+        base = datetime.datetime(2024, 1, 1)
+        start_id = partition.index * partition.rows
+        for i in range(partition.rows):
+            ts = base + datetime.timedelta(seconds=rng.randint(0, 30 * 24 * 3600))
+            yield (
+                start_id + i,
+                ts,
+                rng.randint(0, 149),
+                _TYPES[rng.randint(0, len(_TYPES) - 1)],
+                round(rng.uniform(0.0, 100.0), 2),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -124,3 +124,29 @@ def test_pii_scrub_and_counts(spark):
     assert out[2] == (0, 2, 0, "call <PHONE> or <PHONE>")
     assert out[3] == (0, 0, 1, "host <IPV4> is fine")
     assert out[4] == (0, 0, 0, "clean text with no identifiers")
+
+
+def test_sketch_topk_exact_below_capacity(spark):
+    """With vocab ≪ maxItemsTracked the approx_top_k sketch is exact:
+    returned counts equal the exact rollup and no excluded token has a
+    higher count than the k-th returned one."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators import text as TX
+    from ballista_mvp_spark.queries.extensions import sketch_topk
+
+    got = [(r.item, r.n) for r in sketch_topk(spark, SF_SMALL).collect()]
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        r.tok: r.n
+        for r in docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(got) == 12
+    for item, n in got:
+        assert exact[item] == n, (item, n, exact[item])
+    kth = got[-1][1]
+    excluded = [n for t, n in exact.items() if t not in {i for i, _ in got}]
+    assert all(n <= kth for n in excluded)

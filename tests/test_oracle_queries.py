@@ -53,6 +53,7 @@ def test_registry_shape():
     assert rows_only == {
         "agg_approx",
         "sketch_hll",
+        "sketch_topk",
         "dedup_embedding",
         "fn_hash_full",
         "fn_misc",
