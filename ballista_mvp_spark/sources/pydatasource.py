@@ -18,7 +18,12 @@ load-testing a pipeline without storing 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _SCHEMA = (
@@ -66,6 +71,46 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming reader over the same generator: the offset
+    is the global row counter, each batch emits ``batch_rows`` rows from
+    a seeded RNG keyed by the batch's start offset — deterministic
+    replay from any checkpointed offset, which is exactly the
+    exactly-once contract a custom streaming source must honor (Spark
+    re-reads an offset range after failure and must see the same rows)."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        rows = list(self._gen(start["offset"], self.batch_rows))
+        return iter(rows), {"offset": start["offset"] + self.batch_rows}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure replay: regenerate the identical range
+        return iter(self._gen(start["offset"], end["offset"] - start["offset"]))
+
+    def _gen(self, start_offset: int, n: int):
+        import datetime
+        import random
+
+        rng = random.Random(self.seed + start_offset)
+        base = datetime.datetime(2024, 1, 1)
+        for i in range(n):
+            ts = base + datetime.timedelta(seconds=rng.randint(0, 30 * 24 * 3600))
+            yield (
+                start_offset + i,
+                ts,
+                rng.randint(0, 149),
+                _TYPES[rng.randint(0, len(_TYPES) - 1)],
+                round(rng.uniform(0.0, 100.0), 2),
+            )
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -76,6 +121,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
