@@ -263,3 +263,63 @@ def compact_table(
     _shutil.rmtree(path)
     _os.rename(tmp, path)
     return len(before), len(_data_files(path))
+
+
+def zorder_key(cols: list, bits: int = 16) -> "Column":
+    """Z-order (Morton) key over numeric columns: each column is min-max
+    rank-scaled to `bits` bits (percent_rank over the column — computed
+    by the caller via zorder_write, which avoids a per-row global rank at
+    scale by sampling bounds) and the bit positions are interleaved with
+    JVM-side shift/or expressions. Rows close in EVERY dimension land
+    close in the 1-D sort order, so parquet min/max footer stats prune
+    files for predicates on ANY clustered column — the multi-column
+    generalization of write_sorted_layout."""
+    interleaved = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
+            interleaved = interleaved.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return interleaved
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered write: scale each cluster column to [0, 2^bits)
+    using GLOBAL min/max (one tiny agg, broadcast back — NOT a global
+    rank), compute the Morton key, range-partition + sort on it, drop the
+    helper key. At 100 TB: one scan + one range shuffle, same cost shape
+    as write_sorted_layout, but point/range predicates on any of the
+    clustered columns skip files via footer stats."""
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    bounds = df.agg(*aggs)
+    scaled_df = df.join(F.broadcast(bounds))
+    scale = float(2**bits - 1)
+    scaled = [
+        (
+            (F.col(c) - F.col(f"_mn_{c}"))
+            / F.greatest(F.col(f"_mx_{c}") - F.col(f"_mn_{c}"), F.lit(1e-12))
+            * scale
+        )
+        for c in cluster_cols
+    ]
+    keyed = scaled_df.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_mn_{c}" for c in cluster_cols], *[f"_mx_{c}" for c in cluster_cols])
+        .write.mode(mode)
+        .format(file_format)
+        .save(path)
+    )

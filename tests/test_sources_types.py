@@ -301,3 +301,46 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     reader = pydatasource.SyntheticEventsStreamReader({"batch_rows": 200})
     regen = {tuple(r) for r in reader.readBetweenOffsets({"offset": 0}, {"offset": 200})}
     assert {t[0] for t in first} == {t[0] for t in regen}
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering vs 1-D sort: after clustering lineitem on
+    (l_orderkey, l_suppkey), parquet footer min/max stats prune files for
+    a point predicate on EITHER column; a 1-D l_orderkey sort leaves
+    l_suppkey ranges covering ~every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ballista_mvp_spark.sources import write_sorted_layout, zorder_write
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    zorder_write(li, zpath, ["l_orderkey", "l_suppkey"], n_files=8)
+    write_sorted_layout(li, spath, ["l_orderkey"], n_files=8)
+
+    def files_covering(path, col, value):
+        hits, total = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            total += 1
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics
+                if st.min <= value <= st.max:
+                    hits += 1
+                    break
+        return hits, total
+
+    probe = li.agg(F.expr("percentile_approx(l_suppkey, 0.5)")).collect()[0][0]
+    z_hits, z_total = files_covering(zpath, "l_suppkey", probe)
+    s_hits, s_total = files_covering(spath, "l_suppkey", probe)
+    assert z_total == 8 and s_total == 8
+    # 1-D sort can't prune the second dimension; z-order must
+    assert z_hits < s_hits, (z_hits, s_hits)
+    # data integrity: same rows back
+    assert spark.read.parquet(zpath).count() == li.count()
+    # first dimension still prunes too (no worse than half the files)
+    zo_hits, _ = files_covering(zpath, "l_orderkey", 10)
+    assert zo_hits <= 4, zo_hits
