@@ -323,3 +323,36 @@ def zorder_write(
         .format(file_format)
         .save(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE (upsert) into a parquet table without a transaction log:
+    source rows replace target rows with the same key, new keys append.
+    Unpartitioned: rewrite = target ⟕anti source ∪ source. Partitioned:
+    only the partitions the source touches are read, merged, and
+    rewritten via dynamic partition overwrite — cost O(touched
+    partitions), not O(table), the same discipline as the streaming
+    incremental sink (with Delta/Iceberg this function IS `MERGE INTO`).
+    Invariant the caller owns (same as Hive/Delta partitioned merges):
+    the partition value of a key must not change between target and
+    source — otherwise the old row lives in a partition the merge never
+    reads, and the key is duplicated.
+    The merged batch is materialized driver-free before the overwrite
+    (self-read-overwrite guard: parquet reads are lazy, so writing over
+    the directory being read requires a barrier — a localCheckpoint)."""
+    tgt = spark.read.parquet(target_path)
+    if partition_col is not None:
+        touched = source.select(partition_col).distinct()
+        tgt = tgt.join(F.broadcast(touched), partition_col, "left_semi")
+    merged = tgt.join(source, key_cols, "left_anti").unionByName(source)
+    merged = merged.localCheckpoint(eager=True)
+    w = merged.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(partition_col)
+    w.parquet(target_path)

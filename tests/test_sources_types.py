@@ -344,3 +344,41 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     # first dimension still prunes too (no worse than half the files)
     zo_hits, _ = files_covering(zpath, "l_orderkey", 10)
     assert zo_hits <= 4, zo_hits
+
+
+def test_merge_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    """MERGE semantics: updated keys replaced, new keys appended,
+    untouched rows intact — and with a partition column, files in
+    untouched partitions are not rewritten."""
+    import glob
+    import os
+
+    from ballista_mvp_spark.sources import merge_upsert
+
+    p = str(tmp_path / "cust")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    cust.write.partitionBy("c_nationkey").parquet(p)
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{p}/*/part-*.parquet")}
+    n0 = cust.count()
+
+    upd_key = cust.where("c_nationkey = 0").select("c_custkey").first().c_custkey
+    source = spark.createDataFrame(
+        [(upd_key, "UPDATED", 999.0, 0), (10**9, "BRAND_NEW", 1.0, 0)],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey long",
+    )
+    merge_upsert(spark, p, source, ["c_custkey"], partition_col="c_nationkey")
+
+    out = spark.read.parquet(p)
+    assert out.count() == n0 + 1
+    got = {r.c_custkey: (r.c_name, r.c_acctbal)
+           for r in out.where(f"c_custkey in ({upd_key}, 1000000000)").collect()}
+    assert got[upd_key] == ("UPDATED", 999.0)
+    assert got[10**9] == ("BRAND_NEW", 1.0)
+    untouched = [
+        f for f in glob.glob(f"{p}/*/part-*.parquet")
+        if "c_nationkey=0" not in f and f in before
+    ]
+    assert untouched, "expected surviving files in untouched partitions"
+    assert all(os.path.getmtime(f) == before[f] for f in untouched)
