@@ -325,6 +325,20 @@ class Engine:
     def table_schema(self, name: str) -> str:
         return self.spark.table(name).schema.simpleString()
 
+    def estimate(self, query: str) -> dict:
+        """Optimizer cost estimate for a SQL query WITHOUT executing it —
+        Catalyst's plan statistics (sizeInBytes always; rowCount when CBO
+        stats exist from analyze_table), the analogue of DataFusion's
+        per-node Statistics used for join planning."""
+        self.spark.conf.set("spark.sql.cbo.enabled", "true")
+        qe = self.spark.sql(query)._jdf.queryExecution()
+        stats = qe.optimizedPlan().stats()
+        row_count = stats.rowCount()
+        return {
+            "size_in_bytes": int(str(stats.sizeInBytes())),
+            "row_count": int(str(row_count.get())) if row_count.isDefined() else None,
+        }
+
     def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
         """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — feeds
         Catalyst's cost-based optimizer (join reordering, broadcast

@@ -226,3 +226,21 @@ def test_analyze_table_records_stats_for_cbo(spark):
         assert "bytes" in out2["statistics"]
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_estimate_uses_cbo_stats(spark):
+    """Plan-statistics estimates without execution; rowCount appears once
+    ANALYZE TABLE has fed the CBO."""
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS est_probe")
+    spark.sql(
+        f"CREATE TABLE est_probe USING parquet LOCATION '{SF_SMALL}/region.parquet'"
+    )
+    try:
+        est0 = eng.estimate("SELECT * FROM est_probe")
+        assert est0["size_in_bytes"] > 0
+        eng.analyze_table("est_probe")
+        est1 = eng.estimate("SELECT * FROM est_probe")
+        assert est1["row_count"] == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS est_probe")
