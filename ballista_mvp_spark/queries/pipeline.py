@@ -706,8 +706,68 @@ FROM long ORDER BY rule
 """
 
 
+def dedup_survivors(spark, sf_dir):
+    """Quality-aware duplicate-cluster survivor selection: within each
+    connected component of the near-dup graph keep the LONGEST document
+    (n_chars, doc_id tiebreak) — the keep-best curation rule (vs the
+    min-id rule of exact_dedup), labeling every doc rather than dropping
+    rows so downstream filters stay declarative. Plan: the dedup_clusters
+    iteration + one broadcast-sized window over components (components
+    are tiny relative to the corpus; the window shuffle carries only
+    (id, comp, n_chars))."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.2)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = D.connected_components(nodes, pairs.select("a", "b"))
+    j = comp.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+    w = W.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "n_chars",
+            (F.col("rk") == 1).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+cp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b FROM cp
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.2),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+rk AS (
+  SELECT comp.id, comp.component, d.n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY d.n_chars DESC, comp.id) AS rk
+  FROM comp JOIN documents d ON d.doc_id = comp.id)
+SELECT id AS doc_id, component, n_chars, rk = 1 AS is_survivor
+FROM rk ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_validate": pipeline_validate,
+    "dedup_survivors": dedup_survivors,
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
     "text_repetition": text_repetition,
@@ -729,6 +789,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
+    "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
     "pipeline_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_pack": PIPELINE_PACK_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
