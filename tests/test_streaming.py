@@ -114,3 +114,72 @@ def test_incremental_sink_matches_batch_and_is_idempotent(spark, tmp_path):
 
     run_incremental_sink(spark, SF_SMALL, out, str(tmp_path / "ckpt2"))
     assert read_back() == expected
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics certified across real micro-batches: once the
+    late-event watermark has advanced past a window, an event for that
+    window is DROPPED (state evicted), while fresh events aggregate.
+    Batch execution over the same files keeps the late row — the
+    difference IS the watermark contract that bounds state at scale.
+    Note Spark applies the late-event filter with the watermark of the
+    PREVIOUS batch (eviction and filtering carry separate watermarks),
+    hence the interposed batch before the late file."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+
+    def write_batch(name, rows):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string")
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.parquet(str(src_dir / name))
+        )
+        _time.sleep(1.1)  # file-source ordering is by modification time
+
+    write_batch("b1", [(i, f"2024-01-01 0{h}:10:00") for i, h in enumerate([0, 1, 5, 8, 9])])
+    write_batch("b2", [(50, "2024-01-01 11:10:00")])
+    write_batch("b3", [(100, "2024-01-01 00:20:00"),   # late: filter watermark is past hour 0
+                       (101, "2024-01-01 12:10:00")])  # fresh
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_hour = {}
+    for r in spark.table("wm_late").collect():
+        per_hour.setdefault(r.hour, []).append(r.n)
+    # hour 00 was updated only once (batch 1); the late event never re-updated it
+    assert per_hour["2024-01-01 00:00:00"] == [1], per_hour
+    # the fresh events were aggregated
+    assert per_hour["2024-01-01 11:00:00"] == [1]
+    assert per_hour["2024-01-01 12:00:00"] == [1]
+    # batch execution over the same files DOES count the late event
+    batch_h0 = (
+        spark.read.parquet(f"{src_dir}/*")
+        .where(F.date_trunc("hour", "ts") == "2024-01-01 00:00:00")
+        .count()
+    )
+    assert batch_h0 == 2
