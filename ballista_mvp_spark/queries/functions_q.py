@@ -603,8 +603,36 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def fn_json(spark, sf_dir):
+    """JSON function family: from_json (typed parse to struct),
+    get_json_object (path extract), and to_json (struct serialization) —
+    all JVM-side; Jackson parse once per row, no Python. events.props is
+    the JSON column."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k long")
+    return (
+        e.select(
+            "event_id",
+            parsed.getField("k").alias("k_struct"),
+            F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+            F.length(F.to_json(F.struct(F.col("event_type").alias("t")))).alias("j_len"),
+        )
+        .orderBy("event_id")
+    )
+
+
+FN_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+       CAST(length('{"t":"' || event_type || '"}') AS INT) AS j_len
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES = {
     "fn_decimal": fn_decimal,
+    "fn_json": fn_json,
     "fn_math": fn_math,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udaf_apply_in_pandas": udaf_apply_in_pandas,
@@ -623,6 +651,7 @@ QUERIES = {
 
 ORACLES = {
     "fn_decimal": FN_DECIMAL_ORACLE,
+    "fn_json": FN_JSON_ORACLE,
     "fn_math": FN_MATH_ORACLE,
     "udf_pandas_scalar": UDF_PANDAS_ORACLE,
     "udaf_apply_in_pandas": UDAF_ORACLE,
