@@ -633,8 +633,68 @@ def sketch_topk(spark, sf_dir):
     )
 
 
+def text_bigram_lm(spark, sf_dir):
+    """Corpus bigram language-model table: P(w2|w1) = c(w1,w2)/c(w1) for
+    the 30 most frequent bigrams. One token explode feeds BOTH counts
+    (bigrams via token + lead(token) window per doc — the (doc)-keyed
+    window shuffle is the only corpus-scale shuffle; unigram counts are
+    vocabulary-sized and broadcast back). Top-30 compiles to
+    TakeOrderedAndProject. The corpus statistic behind n-gram LM scoring
+    and perplexity-style quality filters."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "w")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    # last token of each doc starts no bigram: the denominator counts
+    # tokens that HAVE a successor, so probabilities sum to 1 per w1
+    deno = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    return (
+        bi.join(F.broadcast(deno), "w")
+        .select(
+            F.col("w").alias("w1"),
+            "w2",
+            "c12",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(30)
+    )
+
+
+TEXT_BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
+seq AS (SELECT doc_id, i, t[i] AS w,
+               CASE WHEN i < len(t) THEN t[i + 1] END AS w2
+        FROM pos),
+bi AS (SELECT w, w2, count(*) AS c12 FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2),
+deno AS (SELECT w, count(*) AS c1 FROM seq WHERE w2 IS NOT NULL GROUP BY 1)
+SELECT bi.w AS w1, w2, c12, round(c12 * 1.0 / c1, 6) AS p_cond
+FROM bi JOIN deno ON bi.w = deno.w
+ORDER BY c12 DESC, w1, w2 LIMIT 30
+"""
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
+    "text_bigram_lm": text_bigram_lm,
     "sketch_topk": sketch_topk,
     "dedup_exact": dedup_exact,
     "dedup_exact_keys": dedup_exact_keys,
@@ -662,6 +722,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_lm": TEXT_BIGRAM_LM_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,

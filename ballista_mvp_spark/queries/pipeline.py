@@ -765,8 +765,49 @@ FROM rk ORDER BY doc_id
 """
 
 
+def pipeline_epochs(spark, sf_dir):
+    """Multi-epoch deterministic reshuffle: each epoch e orders the corpus
+    by md5('epoch<e>:'||id) — a DIFFERENT but reproducible permutation per
+    epoch (the dataloader contract: same seed → same batch order, epochs
+    decorrelated). One explode of the tiny epoch list (rows × E, zero
+    shuffle) + per-epoch rank via one window over the (epoch, key) sort;
+    at corpus scale a dataloader consumes the sort order directly instead
+    of materializing ranks. Certified: first 20 positions of 3 epochs."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select("doc_id").crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("epoch")))
+    )
+    keyed = tagged.withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit("epoch"), "epoch", F.lit(":"), F.col("doc_id")))
+    )
+    w = W.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 20)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
+PIPELINE_EPOCHS_ORACLE = """
+WITH e AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+keyed AS (
+  SELECT epoch, doc_id, md5('epoch' || epoch || ':' || doc_id) AS k
+  FROM documents CROSS JOIN e),
+r AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+  FROM keyed)
+SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+FROM r WHERE pos <= 20 ORDER BY epoch, pos
+"""
+
+
 QUERIES = {
     "pipeline_validate": pipeline_validate,
+    "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
     "pipeline_split": pipeline_split,
     "pipeline_pack": pipeline_pack,
@@ -789,6 +830,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
+    "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
     "pipeline_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_pack": PIPELINE_PACK_ORACLE,
