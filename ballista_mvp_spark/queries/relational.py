@@ -873,7 +873,37 @@ ORDER BY l_returnflag, metric
 """
 
 
+def agg_quantiles(spark, sf_dir):
+    """One-pass multi-quantile: EXACT percentile over an array of
+    probabilities — one aggregation buffer per group computes p25/p50/p75
+    together (vs three separate sorts). DuckDB's quantile_cont takes the
+    same list; both sides emit arrays compared element-wise. Rounded: the
+    linear interpolation arithmetic differs in last-ulp between engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),"
+                " x -> round(x, 4))"
+            ).alias("price_quartiles"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_QUANTILES_ORACLE = """
+SELECT o_orderstatus,
+       [round(x, 4) FOR x IN quantile_cont(o_totalprice, [0.25, 0.5, 0.75])]
+         AS price_quartiles,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "agg_quantiles": agg_quantiles,
     "projection": projection,
     "agg_weighted_percentile": agg_weighted_percentile,
     "pivot_op": pivot_op,
@@ -917,6 +947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_quantiles": AGG_QUANTILES_ORACLE,
     "projection": PROJECTION_ORACLE,
     "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
     "pivot_op": PIVOT_ORACLE,
