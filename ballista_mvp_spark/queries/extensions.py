@@ -692,6 +692,19 @@ ORDER BY c12 DESC, w1, w2 LIMIT 30
 """
 
 
+def sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: 8×16 codebooks compress the 64-d float
+    vectors 32×; asymmetric-distance scan (m table lookups per candidate)
+    prunes to 50 per query, exact cosine re-ranks to top-5. Codebook fit
+    is impl-defined (sampled k-means) → rows-only; recall vs brute force
+    asserted in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    return S.pq_adc_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
     "text_bigram_lm": text_bigram_lm,
@@ -709,6 +722,7 @@ QUERIES = {
     "sim_topk": sim_topk,
     "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,

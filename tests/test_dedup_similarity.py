@@ -227,3 +227,29 @@ def test_sketch_hll_accuracy_and_merge(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est")
     ).collect()[0].est
     assert est["__all__"] == direct
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """PQ+ADC top-k: recall@5 vs brute force after exact re-rank, codes
+    really are m small ints (the 32× compression), and the pipeline is
+    deterministic across runs."""
+    from ballista_mvp_spark.queries.extensions import sim_ann_pq
+    from ballista_mvp_spark.operators import similarity as S2
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S2.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got_rows = sim_ann_pq(spark, SF_SMALL).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
+    again = {(r.query_id, r.neighbor_id) for r in sim_ann_pq(spark, SF_SMALL).collect()}
+    assert got == again
+    books = S2.fit_pq(emb, "vec_id", "embedding", dim=64)
+    codes = S2.pq_encode(emb, books, "vec_id", "embedding").collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
