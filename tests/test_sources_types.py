@@ -382,3 +382,44 @@ def test_merge_upsert_partitioned_touches_only_affected_partitions(spark, tmp_pa
     ]
     assert untouched, "expected surviving files in untouched partitions"
     assert all(os.path.getmtime(f) == before[f] for f in untouched)
+
+
+def test_jsonl_corrupt_record_modes(spark, tmp_path):
+    """Malformed-input contract for JSONL ingestion: PERMISSIVE captures
+    bad lines in _corrupt_record (pipeline quarantine pattern),
+    DROPMALFORMED silently drops them, FAILFAST raises — the three
+    dispositions a 100 TB ingest job chooses between."""
+    import pytest as _pytest
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": 3, "text": 12, "trailing\n'
+    )
+    schema = "doc_id long, text string, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2
+    good = {r.doc_id for r in rows if r._corrupt_record is None}
+    assert good == {1, 2}
+
+    dropped = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
+
+    with _pytest.raises(Exception):
+        spark.read.schema("doc_id long, text string").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()
