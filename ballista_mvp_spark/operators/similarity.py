@@ -633,3 +633,91 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style index — coarse k-means cells bound
+    WHICH candidates are scanned (n_probe/n_cells of the corpus), PQ
+    codes bound HOW MUCH is read per candidate (m bytes), exact cosine
+    re-ranks the survivors. Cell equi-join + code scan + one window;
+    at 10⁹ vectors this is the structure that serves top-k from RAM."""
+    centroids = fit_quantizer(candidates, id_col, vec_col, n_cells, seed)
+    books = fit_pq(candidates, id_col, vec_col, dim, m, ksub, seed)
+    dsub = dim // m
+
+    best_cell = F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)["cell"]
+    coded = (
+        pq_encode(candidates, books, id_col, vec_col)
+        .join(
+            candidates.select(F.col(id_col).alias("_id"), best_cell.alias("cell")),
+            "_id",
+        )
+    )
+
+    qvec = F.col("_qv")
+    lut = F.transform(
+        F.lit([[[float(x) for x in c] for c in cb] for cb in books]),
+        lambda cb, mi: F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, mi * dsub + 1, dsub), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    probe_cells = F.slice(F.array_sort(_cell_dists(qvec, centroids)), 1, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_lut", lut)
+        .withColumn("cell", F.explode(F.transform(probe_cells, lambda s: s["cell"])))
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_lut"), F.col("codes"), lambda tbl, code: F.element_at(tbl, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wa = W.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("_id"))
+    approx = (
+        coded.join(F.broadcast(q.select("query_id", "cell", "_lut")), "cell")
+        .filter(F.col("_id") != F.col("query_id"))
+        .withColumn("adc_d", adc)
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= rerank)
+        .select("query_id", F.col("_id").alias("neighbor_id"))
+    )
+    cand_vecs = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        approx.join(cand_vecs, "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+            ),
+            "query_id",
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

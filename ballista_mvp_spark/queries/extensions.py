@@ -705,6 +705,19 @@ def sim_ann_pq(spark, sf_dir):
     return S.pq_adc_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
 
 
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN: coarse cells bound WHICH candidates are scanned
+    (n_probe/n_cells of the corpus), PQ codes bound bytes-per-candidate
+    (32×), exact re-rank repairs recall — the composed FAISS-style index.
+    Rows-only (sampled k-means quantizers); recall vs brute force in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    return S.ivfpq_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
     "text_bigram_lm": text_bigram_lm,
@@ -723,6 +736,7 @@ QUERIES = {
     "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,

@@ -253,3 +253,21 @@ def test_pq_adc_recall_and_compression(spark):
     books = S2.fit_pq(emb, "vec_id", "embedding", dim=64)
     codes = S2.pq_encode(emb, books, "vec_id", "embedding").collect()
     assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
+def test_ivfpq_recall(spark):
+    """Composed IVF-PQ: recall@5 vs brute force with 4/16 cells probed."""
+    from ballista_mvp_spark.operators import similarity as S2
+    from ballista_mvp_spark.queries.extensions import sim_ann_ivfpq
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S2.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in sim_ann_ivfpq(spark, SF_SMALL).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall  # 4/16 cells probed bounds attainable recall

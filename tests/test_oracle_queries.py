@@ -61,6 +61,7 @@ def test_registry_shape():
         "dedup_simhash",
         "sim_ann_lsh",
         "sim_ann_pq",
+        "sim_ann_ivfpq",
         "sim_ann_ivf",
         "multimodal_features",
         "dedup_semantic",
