@@ -657,12 +657,45 @@ FROM sid GROUP BY user_id, sid ORDER BY user_id, s_start
 """
 
 
+def events_ohlc(spark, sf_dir):
+    """OHLC candlestick rollup per hour: open/close via MIN_BY/MAX_BY
+    (the arg-min/arg-max aggregates — FirstValue/LastValue's order-aware
+    cousins), high/low/volume alongside, all in ONE two-phase hash agg —
+    no window, no self-join, the single-shuffle form of "first and last
+    per bucket". ts is verified unique in the data, so the selectors are
+    deterministic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("hour"))
+        .agg(
+            F.min_by("value", "ts").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ts").alias("close_v"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("hour")
+    )
+
+
+EVENTS_OHLC_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       arg_min(value, ts) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       arg_max(value, ts) AS close_v,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
     "events_anomaly": events_anomaly,
     "events_cum_users": events_cum_users,
     "events_session_window": events_session_window,
+    "events_ohlc": events_ohlc,
     "streaming_enrich": streaming_enrich,
     "streaming_join": streaming_join,
     "streaming_session_close": streaming_session_close,
@@ -686,6 +719,7 @@ ORACLES = {
     "events_anomaly": EVENTS_ANOMALY_ORACLE,
     "events_cum_users": EVENTS_CUM_USERS_ORACLE,
     "events_session_window": EVENTS_SESSION_WINDOW_ORACLE,
+    "events_ohlc": EVENTS_OHLC_ORACLE,
     "streaming_enrich": STREAMING_ENRICH_ORACLE,
     "streaming_join": STREAMING_JOIN_ORACLE,
     "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
