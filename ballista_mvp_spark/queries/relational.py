@@ -902,8 +902,48 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def agg_regression(spark, sf_dir):
+    """Linear-regression aggregates (DataFusion/Spark both ship the
+    regr_* family): hourly event-count trend per event type —
+    slope/intercept/R² of n over hours-since-epoch, computed in the same
+    single two-phase agg pass as any other aggregate (the moment sums
+    are map-side combinable). Rounded: moment accumulation is
+    order-sensitive in the last ulps."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)).alias("h"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("n", "h"), 6).alias("slope"),
+            F.round(F.regr_intercept("n", "h") / 1000, 4).alias("intercept_k"),
+            F.round(F.regr_r2("n", "h"), 6).alias("r2"),
+            F.regr_count("n", "h").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_REGRESSION_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       round(regr_slope(n, h), 6) AS slope,
+       round(regr_intercept(n, h) / 1000, 4) AS intercept_k,
+       round(regr_r2(n, h), 6) AS r2,
+       CAST(regr_count(n, h) AS BIGINT) AS n_hours
+FROM hourly GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_quantiles": agg_quantiles,
+    "agg_regression": agg_regression,
     "projection": projection,
     "agg_weighted_percentile": agg_weighted_percentile,
     "pivot_op": pivot_op,
@@ -948,6 +988,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_quantiles": AGG_QUANTILES_ORACLE,
+    "agg_regression": AGG_REGRESSION_ORACLE,
     "projection": PROJECTION_ORACLE,
     "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
     "pivot_op": PIVOT_ORACLE,
