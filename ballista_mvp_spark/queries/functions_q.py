@@ -630,8 +630,44 @@ FROM events ORDER BY event_id
 """
 
 
+def fn_url(spark, sf_dir):
+    """URL function family: parse_url host/path/query-param extraction +
+    url_encode/url_decode round-trip — the normalization primitives of a
+    web-corpus pipeline (canonical host for domain quotas, stripped
+    params for dedup keys). URLs synthesized deterministically from the
+    documents table; the oracle replicates with string ops (DuckDB has no
+    parse_url)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&ref=ab"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+            F.url_decode(F.url_encode(F.col("source"))).alias("src_roundtrip"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FN_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || doc_id AS path,
+       lang AS q_lang,
+       source AS src_roundtrip
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "fn_decimal": fn_decimal,
+    "fn_url": fn_url,
     "fn_json": fn_json,
     "fn_math": fn_math,
     "udf_pandas_scalar": udf_pandas_scalar,
@@ -651,6 +687,7 @@ QUERIES = {
 
 ORACLES = {
     "fn_decimal": FN_DECIMAL_ORACLE,
+    "fn_url": FN_URL_ORACLE,
     "fn_json": FN_JSON_ORACLE,
     "fn_math": FN_MATH_ORACLE,
     "udf_pandas_scalar": UDF_PANDAS_ORACLE,

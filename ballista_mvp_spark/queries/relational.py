@@ -941,9 +941,35 @@ FROM hourly GROUP BY event_type ORDER BY event_type
 """
 
 
+def agg_boolean(spark, sf_dir):
+    """Boolean aggregates BOOL_AND/BOOL_OR (DataFusion ships both):
+    per-type data-quality flags over events — map-side combinable
+    single-bit state, the cheapest possible aggregate at scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_gt99"),
+            F.bool_and(F.col("user_id") < 1000).alias("all_small_uid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_BOOLEAN_ORACLE = """
+SELECT event_type,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 99) AS any_gt99,
+       bool_and(user_id < 1000) AS all_small_uid
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
+    "agg_boolean": agg_boolean,
     "projection": projection,
     "agg_weighted_percentile": agg_weighted_percentile,
     "pivot_op": pivot_op,
@@ -989,6 +1015,7 @@ QUERIES = {
 ORACLES = {
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
+    "agg_boolean": AGG_BOOLEAN_ORACLE,
     "projection": PROJECTION_ORACLE,
     "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
     "pivot_op": PIVOT_ORACLE,
