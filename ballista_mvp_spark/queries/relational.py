@@ -966,10 +966,37 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def agg_string(spark, sf_dir):
+    """Ordered string aggregation (DuckDB string_agg ORDER BY ≅ Spark
+    concat_ws over sort_array(collect_list)): comma-joined region names
+    per... region is 5 rows — use nations per region, the classic
+    reporting rollup. Deterministic via explicit sort of the collected
+    array (never rely on collect_list order, which is partition-order-
+    dependent)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_STRING_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
+    "agg_string": agg_string,
     "projection": projection,
     "agg_weighted_percentile": agg_weighted_percentile,
     "pivot_op": pivot_op,
@@ -1016,6 +1043,7 @@ ORACLES = {
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,
+    "agg_string": AGG_STRING_ORACLE,
     "projection": PROJECTION_ORACLE,
     "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
     "pivot_op": PIVOT_ORACLE,
