@@ -330,14 +330,18 @@ class Engine:
         Catalyst's plan statistics (sizeInBytes always; rowCount when CBO
         stats exist from analyze_table), the analogue of DataFusion's
         per-node Statistics used for join planning."""
+        prev = self.spark.conf.get("spark.sql.cbo.enabled", "false")
         self.spark.conf.set("spark.sql.cbo.enabled", "true")
-        qe = self.spark.sql(query)._jdf.queryExecution()
-        stats = qe.optimizedPlan().stats()
-        row_count = stats.rowCount()
-        return {
-            "size_in_bytes": int(str(stats.sizeInBytes())),
-            "row_count": int(str(row_count.get())) if row_count.isDefined() else None,
-        }
+        try:
+            qe = self.spark.sql(query)._jdf.queryExecution()
+            stats = qe.optimizedPlan().stats()
+            row_count = stats.rowCount()
+            return {
+                "size_in_bytes": int(str(stats.sizeInBytes())),
+                "row_count": int(str(row_count.get())) if row_count.isDefined() else None,
+            }
+        finally:
+            self.spark.conf.set("spark.sql.cbo.enabled", prev)
 
     def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
         """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — feeds

@@ -52,9 +52,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # CBO stats propagation (rowCount from ANALYZE TABLE reaches plan
-        # Statistics; join reordering stays behind its own flag)
-        .config("spark.sql.cbo.enabled", "true")
+        # spark.sql.cbo.enabled deliberately NOT set here: CBO stat
+        # derivation runs per-plan in the optimizer; Engine.estimate is the
+        # one consumer and enables it locally (save/restore) instead of
+        # taxing every query's planning time.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -257,11 +257,35 @@ def compact_table(
     before = _data_files(path)
     total_mb = sum(_os.path.getsize(f) for f in before) / 1e6
     n_out = max(1, round(total_mb / target_file_mb))
-    tmp = path.rstrip("/") + "._compact_tmp"
+    # Hive-partitioned layouts (key=value subdirs) must be rewritten with
+    # partitionBy or the compaction would silently flatten the directory
+    # tree (partition dirs become plain data columns, pruning lost).
+    part_cols: list[str] = []
+    p = path
+    while True:
+        subdirs = [
+            d
+            for d in _os.listdir(p)
+            if _os.path.isdir(_os.path.join(p, d)) and "=" in d
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        p = _os.path.join(p, subdirs[0])
     df = spark.read.format(file_format).load(path)
-    df.coalesce(n_out).write.mode("overwrite").format(file_format).save(tmp)
-    _shutil.rmtree(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = df.coalesce(n_out).write.mode("overwrite").format(file_format)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.save(tmp)
+    # Rename-aside swap: a crash at any point leaves the full table in
+    # either `path` or `bak` (never only in the tmp sibling).
+    bak = path.rstrip("/") + "._compact_bak"
+    if _os.path.exists(bak):
+        _shutil.rmtree(bak)
+    _os.rename(path, bak)
     _os.rename(tmp, path)
+    _shutil.rmtree(bak)
     return len(before), len(_data_files(path))
 
 
@@ -273,9 +297,18 @@ def zorder_key(cols: list, bits: int = 16) -> "Column":
     JVM-side shift/or expressions. Rows close in EVERY dimension land
     close in the 1-D sort order, so parquet min/max footer stats prune
     files for predicates on ANY clustered column — the multi-column
-    generalization of write_sorted_layout."""
-    interleaved = F.lit(0).cast("long")
+    generalization of write_sorted_layout.
+
+    bits * len(cols) must fit in a signed long: shiftleft positions >= 64
+    would wrap silently and corrupt the Morton order."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits({bits}) * len(cols)({n}) = {bits * n} > 63 "
+            "would overflow the interleaved long; lower bits (e.g. "
+            f"bits={63 // n})"
+        )
+    interleaved = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
@@ -346,6 +379,13 @@ def merge_upsert(
     The merged batch is materialized driver-free before the overwrite
     (self-read-overwrite guard: parquet reads are lazy, so writing over
     the directory being read requires a barrier — a localCheckpoint)."""
+    # SQL MERGE rejects a source with duplicate keys ("multiple source
+    # rows matched"); we take the permissive path: exactly one arbitrary
+    # source row per key wins (callers wanting a specific winner dedupe
+    # upstream, e.g. max-by-timestamp). Without this, every source
+    # duplicate would be appended after the anti-join removed the target
+    # row.
+    source = source.dropDuplicates(key_cols)
     tgt = spark.read.parquet(target_path)
     if partition_col is not None:
         touched = source.select(partition_col).distinct()

@@ -236,6 +236,68 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     assert set(out.columns) == set(df.columns)
 
 
+def test_compact_table_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the key=value dirs
+    (flattening them would turn partition pruning off silently)."""
+    import os
+
+    from ballista_mvp_spark.sources import compact_table
+
+    p = str(tmp_path / "part_frag")
+    df = load_table(spark, SF_SMALL, "customer")
+    expected = df.count()
+    df.repartition(16).write.partitionBy("c_nationkey").parquet(p)
+    before, after = compact_table(spark, p, target_file_mb=256)
+    assert after < before
+    # layout survives: partition dirs still present, no data files at root
+    subdirs = [d for d in os.listdir(p) if d.startswith("c_nationkey=")]
+    assert len(subdirs) == 25
+    out = spark.read.parquet(p)
+    assert out.count() == expected
+    assert set(out.columns) == set(df.columns)
+    # partition pruning still works on the compacted table
+    one = out.where("c_nationkey = 7")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == df.where("c_nationkey = 7").count()
+    assert "PartitionFilters: [isnotnull(c_nationkey" in plan
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    """bits * len(cols) > 63 would shift past the sign bit and corrupt
+    the Morton order — must raise, not wrap."""
+    import pytest as _pytest
+
+    from ballista_mvp_spark.sources import zorder_key
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError, match="overflow"):
+        zorder_key(cols, bits=16)
+    # 4 cols at bits<=15 is fine
+    assert zorder_key(cols, bits=15) is not None
+
+
+def test_merge_upsert_deduplicates_source_batch(spark, tmp_path):
+    """A source batch carrying the same key twice must yield ONE row for
+    that key after the merge (SQL MERGE would reject; we take one
+    arbitrary winner), never duplicates."""
+    from ballista_mvp_spark.sources import merge_upsert
+
+    p = str(tmp_path / "merge_dup")
+    spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k int, v string"
+    ).write.parquet(p)
+    source = spark.createDataFrame(
+        [(1, "new_a"), (1, "new_b"), (3, "ins")], "k int, v string"
+    )
+    merge_upsert(spark, p, source, ["k"])
+    out = spark.read.parquet(p)
+    rows = {r.k: r.v for r in out.collect()}
+    assert out.count() == 3  # exactly one row per key — no dup appended
+    assert rows[2] == "keep"
+    assert rows[1] in {"new_a", "new_b"}
+    assert rows[3] == "ins"
+
+
 def test_python_datasource_parallel_deterministic(spark):
     """Custom Python DataSource (the user-defined TableProvider surface):
     registered format plans like a built-in, reads run per-partition on
