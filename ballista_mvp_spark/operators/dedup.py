@@ -151,9 +151,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) with exact-Jaccard verify.
 
-    Plan: signature (narrow) → explode bands (×bands rows) → shuffle on
-    (band, band_hash) → per-bucket pair join → exact Jaccard on shingle
-    arrays (array_intersect/array_union, JVM-side) → threshold filter.
+    Plan: signature (narrow) → explode bands (×bands rows) → ONE shuffle
+    on (band, band_hash) into collect_list buckets → in-bucket pair
+    expansion as a codegen'd nested transform (the `max_bucket` cap is a
+    free size filter on the collected array, and buckets of 1 — the
+    overwhelming majority — are dropped before any pair exists) → exact
+    Jaccard on hashed shingle sets (array_intersect/array_union,
+    JVM-side) → threshold filter. An earlier shape (bucket-size groupBy +
+    broadcast anti-join cap + banded self-join + dropDuplicates) read the
+    banded table three times and shuffled it twice; this one shuffles it
+    once and produces the same pair set.
     """
     rows_per_band = num_hashes // bands
     # two projections: materialize the per-shingle base hashes as a real
@@ -178,8 +185,7 @@ def minhash_lsh_pairs(
         ).alias("_sig"),
     )
     # slim banded table: (id, band, band_hash) only — shingle arrays never
-    # enter the band shuffle, and persisting it keeps the expensive
-    # signature expression from being evaluated once per self-join side
+    # enter the band shuffle
     banded = sig.select(
         "_id",
         F.explode(
@@ -194,17 +200,30 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
-    banded = banded.persist()
-    # cap pathological buckets to bound the pair explosion at scale
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)), ["band", "bh"], "left_anti"
+    # one shuffle: bucket members collected per (band, bh); singleton
+    # buckets vanish here and pathological buckets (> max_bucket members,
+    # a boilerplate band shared corpus-wide) are capped by the same size
+    # filter — no separate bucket-size pass
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    n_ids = F.size("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n_ids - 1),
+            lambda i: F.transform(
+                F.slice(F.col("_ids"), i + 1, n_ids),
+                lambda b: F.struct(
+                    F.get(F.col("_ids"), i - 1).alias("a"), b.alias("b")
+                ),
+            ),
+        )
     )
     pairs = (
-        banded.select("band", "bh", F.col("_id").alias("a"))
-        .join(banded.select("band", "bh", F.col("_id").alias("b")), ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     # exact-Jaccard verify on the HASHED shingle sets (set Jaccard is

@@ -20,9 +20,19 @@ from . import functions_q as _functions_q
 from . import pipeline as _pipeline
 from . import relational as _relational
 from . import tpch as _tpch
+from . import tpch_partsupp as _tpch_partsupp
 from . import windows as _windows
 
-_MODULES = (_tpch, _relational, _functions_q, _windows, _events, _extensions, _pipeline)
+_MODULES = (
+    _tpch,
+    _tpch_partsupp,
+    _relational,
+    _functions_q,
+    _windows,
+    _events,
+    _extensions,
+    _pipeline,
+)
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
