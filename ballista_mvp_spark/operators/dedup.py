@@ -35,14 +35,23 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def tokens(col: Column) -> Column:
-    return F.split(normalize_text(col), " ")
+def tokens(col: Column, max_tokens: int | None = None) -> Column:
+    """Whitespace tokens; `max_tokens` truncates pathological documents
+    (a single 1 MB line is ~250k tokens → a ~250k-element array in ONE
+    row, a per-row memory spike no partitioning can fix). Truncation
+    changes only the truncated document's own shingle set — other
+    documents' pair results are unaffected (asserted in
+    tests/test_dedup_similarity.py)."""
+    t = F.split(normalize_text(col), " ")
+    if max_tokens is not None:
+        t = F.slice(t, 1, max_tokens)
+    return t
 
 
-def shingles(col: Column, k: int = 3) -> Column:
+def shingles(col: Column, k: int = 3, max_tokens: int | None = None) -> Column:
     """Distinct word-k-gram shingles as an array column — pure column
     expressions (sequence + transform + slice), fully codegen'd."""
-    toks = tokens(col)
+    toks = tokens(col, max_tokens)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
@@ -51,10 +60,10 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def token_hashes(col: Column) -> Column:
+def token_hashes(col: Column, max_tokens: int | None = None) -> Column:
     """xxhash64 per whitespace token — the one string-hash pass every
     hashed-shingle operator builds on."""
-    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+    return F.transform(tokens(col, max_tokens), lambda t: F.xxhash64(t))
 
 
 def hashed_shingles(th: Column, k: int) -> Column:
@@ -148,6 +157,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) with exact-Jaccard verify.
 
@@ -171,7 +181,10 @@ def minhash_lsh_pairs(
     # both the signature path and the verify path consume it (without the
     # persist it would run once per side of the candidate join too).
     hs = (
-        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            token_hashes(F.col(text_col), max_tokens).alias("_th"),
+        )
         .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_hs"))
         .persist()
     )
@@ -253,6 +266,7 @@ def _shingle_index(
     text_col: str,
     shingle_k: int,
     max_shingle_freq: int,
+    max_tokens: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared inverted-index base for the exact set-overlap operators:
     returns (sh: (_id, s) exploded hashed-shingle index with stop-shingles
@@ -267,7 +281,10 @@ def _shingle_index(
       a multi-word string (set-overlap counts are hash-invariant up to
       2^-64 collisions)."""
     arr = (
-        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            token_hashes(F.col(text_col), max_tokens).alias("_th"),
+        )
         .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
         .persist()
     )
@@ -285,13 +302,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via shingle inverted index:
     explode shingles → self-join on shingle (the only shuffle) → count
     common → |A∪B| = |A|+|B|-common. Ground truth for the LSH path; the
     `max_shingle_freq` cap drops stop-shingles that would square the
     join (standard inverted-index pruning at scale)."""
-    sh, sizes = _shingle_index(df, id_col, text_col, shingle_k, max_shingle_freq)
+    sh, sizes = _shingle_index(
+        df, id_col, text_col, shingle_k, max_shingle_freq, max_tokens
+    )
     a = sh.select(F.col("_id").alias("a"), "s")
     b = sh.select(F.col("_id").alias("b"), "s")
     common = (
@@ -321,6 +341,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Substring-subsumption dedup via k-gram containment — the scalable
     stand-in for suffix-array substring dedup: C(A,B) = |A∩B| / min(|A|,|B|)
@@ -333,7 +354,9 @@ def containment_pairs(
 
     Same inverted-index plan as ngram_jaccard_pairs: one shuffle on the
     shingle key, stop-shingle cap bounds the self-join fan-out at scale."""
-    sh, sizes = _shingle_index(df, id_col, text_col, shingle_k, max_shingle_freq)
+    sh, sizes = _shingle_index(
+        df, id_col, text_col, shingle_k, max_shingle_freq, max_tokens
+    )
     a = sh.select(F.col("_id").alias("a"), "s")
     b = sh.select(F.col("_id").alias("b"), "s")
     common = (
@@ -358,7 +381,11 @@ def containment_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """(id, sh) 64-bit SimHash signatures from shingle xxhash64 bit votes.
     Features are word-k-gram shingles: single tokens are too coarse when
@@ -373,7 +400,7 @@ def simhash_signatures(
     100 TB the groupBy form also map-side-combines, so the shuffle stays
     O(docs), not O(shingles)."""
     ex = df.select(
-        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col), max_tokens).alias("_th")
     ).select("_id", F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("h"))
     # votes: count of set bits per position vs total shingles
     votes = ex.groupBy("_id").agg(
@@ -393,13 +420,17 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
     4×16-bit band exact-match (pigeonhole: distance ≤ 8 guarantees wide
     agreement on ≥1 of 4 bands for most pairs; standard simhash banding)."""
     # persist: signatures feed both self-join sides
-    base = simhash_signatures(df, id_col, text_col).persist()
+    base = simhash_signatures(df, id_col, text_col, max_tokens=max_tokens).persist()
     banded = base.select(
         "_id",
         "sh",

@@ -367,6 +367,7 @@ def run_incremental_sink(
     sf_dir: str,
     out_path: str,
     checkpoint_path: str,
+    source: DataFrame | None = None,
 ) -> None:
     """Production sink shape: stream → windowed agg → foreachBatch upsert
     into a partitioned parquet table via DYNAMIC partition overwrite —
@@ -379,8 +380,15 @@ def run_incremental_sink(
 
     State discipline: update-mode agg + watermark bounds state to open
     windows; the sink cost per batch is O(touched partitions), not
-    O(table)."""
-    agg = tumbling_agg(_events_stream(spark, sf_dir))
+    O(table).
+
+    `source` overrides the default events stream (used by the
+    checkpoint-restart test to feed a growing file directory); restarting
+    with the SAME checkpoint_path resumes offsets, watermark, and agg
+    state from the state store — Spark's recovery story, the parity claim
+    for the reference's executor-failure ⇒ stage-retry semantics
+    (execution_graph.rs:292-411)."""
+    agg = tumbling_agg(source if source is not None else _events_stream(spark, sf_dir))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

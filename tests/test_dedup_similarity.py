@@ -40,6 +40,49 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_megadoc_max_tokens_truncation(spark):
+    """Pathological-document robustness: one 1 MB single-line doc is
+    ~150k tokens → a ~150k-element hash array in ONE row. With
+    `max_tokens` the pipeline completes with the megadoc capped, and
+    every OTHER document's pair results are bit-identical to the run
+    without the megadoc (truncation is local to the truncated doc)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    words = " ".join(f"w{i % 997}x{i % 89}" for i in range(150_000))
+    assert len(words) > 1_000_000
+    mega_id = 10_000_000
+    mega = spark.createDataFrame([(mega_id, words)], "doc_id long, text string")
+    with_mega = docs.unionByName(mega)
+
+    baseline = {
+        (r.a, r.b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.2
+        ).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in D.minhash_lsh_pairs(
+            with_mega,
+            "doc_id",
+            "text",
+            num_hashes=16,
+            bands=4,
+            jaccard_threshold=0.2,
+            max_tokens=5_000,
+        ).collect()
+    }
+    # other docs' pairs unchanged by the planted megadoc
+    assert {p for p in capped if mega_id not in p} == baseline
+
+    # the knob actually truncates: capped token array length == max_tokens
+    n = (
+        mega.select(F.size(D.token_hashes(F.col("text"), 5_000)).alias("n"))
+        .head()
+        .n
+    )
+    assert n == 5_000
+
+
 def test_simhash_finds_planted_dups(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     exact = _exact_pairs(spark, threshold=0.8)  # strongest dups

@@ -110,6 +110,85 @@ def test_skew_stress_salted_vs_naive(spark):
         pytest.fail(f"salted join slower than naive: {t_salted:.2f}s vs {t_naive:.2f}s")
 
 
+def test_aqe_skew_split_fires_and_bounds_runtime(spark):
+    """Adversarial skew stress for the AQE path (the production default;
+    salting is the fallback when runtime stats miss): 10% of 4M probe
+    rows on ONE key, joined sort-merge against a 100k-key build side.
+    Asserts (a) AQE actually splits the hot partition — the final plan
+    carries SortMergeJoin(skew=true) and an AQEShuffleRead skewed — and
+    (b) wall time stays bounded vs the same-volume UNSKEWED join (the
+    degenerate single-straggler serialization would be ~10× at this
+    skew). Thresholds are scaled to test data size (the hot partition is
+    ~6 MB; production defaults target 256 MB partitions).
+
+    Timing bound is lenient (2×) for a shared machine; the load-bearing
+    asserts are the plan markers + row counts."""
+    import time
+
+    import pytest
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # 32 partitions so the hot partition (~10% of rows + its uniform
+        # share) clears factor × median; the shared pytest session runs 8
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def probe(skewed: bool):
+        hot = F.when(F.col("id") % 10 < 1, 0)
+        key = (
+            hot.otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+            if skewed
+            else F.pmod(F.xxhash64("id"), F.lit(100_000))
+        )
+        return spark.range(0, 4_000_000).select(
+            key.alias("k"), F.col("id").alias("payload")
+        )
+
+    right = spark.range(0, 100_000).select(
+        F.col("id").alias("rk"), (F.col("id") * 2).alias("val")
+    )
+
+    def run(skewed: bool):
+        # sum(payload) keeps the payload column in the shuffle (a
+        # count-only agg prunes it, halving partition bytes below the
+        # test's skew threshold)
+        agg = (
+            probe(skewed)
+            .join(right, F.col("k") == F.col("rk"))
+            .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        )
+        t0 = time.monotonic()
+        n = agg.collect()[0].n
+        dt = time.monotonic() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return n, dt, plan
+
+    try:
+        n_skew, t_skew, plan_skew = run(skewed=True)
+        n_uni, t_uni, _ = run(skewed=False)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert n_skew == 4_000_000 and n_uni == 4_000_000
+    # AQE recognized and split the hot partition
+    assert "skew=true" in plan_skew, plan_skew[:2000]
+    assert "AQEShuffleRead skewed" in plan_skew
+    print(f"aqe skew stress: skewed={t_skew:.2f}s uniform={t_uni:.2f}s")
+    if t_skew > t_uni * 2.0:
+        pytest.fail(f"skewed join not bounded: {t_skew:.2f}s vs uniform {t_uni:.2f}s")
+
+
 def test_salted_join_equals_plain(spark):
     orders = load_table(spark, SF_SMALL, "orders")
     cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
