@@ -136,6 +136,32 @@ class Engine:
     def list_databases(self) -> list[str]:
         return [d.name for d in self.spark.catalog.listDatabases()]
 
+    def create_catalog(self, name: str, url: str | None = None) -> list[str]:
+        """``CREATE CATALOG`` ≅ CreateCatalogNode (datafusion.proto:192-202)
+        — a SECOND top-level catalog, not just a schema. Spark's V2
+        catalog plugin API is the analogue: this registers a
+        JDBCTableCatalog over an embedded Derby database (in-memory by
+        default; pass a JDBC ``url`` for a real warehouse —
+        postgres/mysql URLs work the same way at deployment). Catalogs
+        are lazily instantiated, so runtime conf registration is enough;
+        afterwards ``<name>.<schema>.<table>`` names, ``USE <name>``,
+        and cross-catalog joins all resolve. Returns the catalog list."""
+        base = f"spark.sql.catalog.{name}"
+        self.spark.conf.set(
+            base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+        )
+        self.spark.conf.set(
+            base + ".url", url or f"jdbc:derby:memory:{name};create=true"
+        )
+        self.spark.conf.set(base + ".driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        # catalogs instantiate lazily; touch it so a bad URL fails HERE,
+        # not at first query (and so listCatalogs shows it immediately)
+        self.spark.sql(f"SHOW NAMESPACES IN `{name}`").collect()
+        return [c.name for c in self.spark.catalog.listCatalogs()]
+
+    def list_catalogs(self) -> list[str]:
+        return [c.name for c in self.spark.catalog.listCatalogs()]
+
     def create_view(self, name: str, query: str, or_replace: bool = True) -> None:
         """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210)."""
         df = self.spark.sql(query)

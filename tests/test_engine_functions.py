@@ -208,6 +208,45 @@ def test_engine_insert_into_writable_table(spark, tmp_path):
         eng.sql("DROP TABLE IF EXISTS ins_tbl")
 
 
+def test_create_catalog_round_trips_second_catalog(spark):
+    """Multi-catalog DDL (≅ CreateCatalogNode): a second top-level
+    catalog is registered at runtime, a table round-trips through it
+    under fully-qualified names, it joins against the session catalog,
+    and USE switches between catalogs."""
+    eng = Engine(spark=spark)
+    cats = eng.create_catalog("ref2")
+    assert "ref2" in cats and "spark_catalog" in cats
+    eng.sql("CREATE SCHEMA IF NOT EXISTS ref2.app")
+    eng.sql("DROP TABLE IF EXISTS ref2.app.cat_probe")
+    eng.sql("CREATE TABLE ref2.app.cat_probe (id BIGINT, tag STRING)")
+    try:
+        eng.sql("INSERT INTO ref2.app.cat_probe VALUES (1,'a'), (2,'b'), (3,'c')")
+        rows = {
+            (r.id, r.tag)
+            for r in eng.sql("SELECT id, tag FROM ref2.app.cat_probe").collect()
+        }
+        assert rows == {(1, "a"), (2, "b"), (3, "c")}
+        # cross-catalog join: V2 catalog table ⋈ session-catalog view
+        spark.createDataFrame(
+            [(1, "x"), (3, "y")], "id bigint, v string"
+        ).createOrReplaceTempView("cat_probe_local")
+        joined = {
+            (r.id, r.tag, r.v)
+            for r in eng.sql(
+                "SELECT t.id, t.tag, l.v FROM ref2.app.cat_probe t "
+                "JOIN cat_probe_local l ON t.id = l.id"
+            ).collect()
+        }
+        assert joined == {(1, "a", "x"), (3, "c", "y")}
+        # USE switches the current catalog and back
+        eng.sql("USE ref2.app")
+        assert spark.catalog.currentCatalog() == "ref2"
+        assert "cat_probe" in [t.name for t in spark.catalog.listTables()]
+    finally:
+        eng.sql("USE spark_catalog.default")
+        eng.sql("DROP TABLE IF EXISTS ref2.app.cat_probe")
+
+
 def test_analyze_table_records_stats_for_cbo(spark):
     """ANALYZE TABLE feeds Catalyst's CBO: catalog stats carry real byte
     and row counts after analysis (join reordering / broadcast decisions
