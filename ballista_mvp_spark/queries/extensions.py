@@ -352,17 +352,69 @@ FROM documents ORDER BY doc_id
 
 def text_quality(spark, sf_dir):
     """Quality scoring: punct/upper/digit ratios, avg word length,
-    stopword ratio, composite score."""
+    stopword ratio, composite score.
+
+    Staged so each text pass runs ONCE: composing the operators/text.py
+    column functions directly recomputes the tokenization ~4× and the
+    punct regex 2× (Catalyst does not CSE across projection expressions,
+    and CollapseProject keeps multi-referenced non-cheap aliases in
+    their own stage — which is exactly what the two selects exploit).
+    avg word length is char arithmetic on the normalized string
+    (total token chars = len(norm) − (n_tokens − 1) separators), not an
+    interpreted higher-order aggregate fold. Values are bit-identical to
+    the TX.* functions (same numerators, denominators, rounding)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    nc = F.greatest(F.char_length(t), F.lit(1))
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    s1 = docs.select(
         "doc_id",
-        TX.punct_ratio(t).alias("punct_r"),
-        TX.upper_ratio(t).alias("upper_r"),
-        TX.digit_ratio(t).alias("digit_r"),
-        TX.avg_word_len(t).alias("avg_wlen"),
-        TX.stopword_ratio(t, "en").alias("sw_ratio"),
-        TX.quality_score(t).alias("quality"),
+        F.round(
+            (F.char_length(t) - F.char_length(F.regexp_replace(t, r"[^\w\s]", "")))
+            / nc,
+            6,
+        ).alias("punct_r"),
+        F.round(
+            (
+                F.char_length(t)
+                - F.char_length(F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+            )
+            / nc,
+            6,
+        ).alias("upper_r"),
+        F.round(
+            (F.char_length(t) - F.char_length(F.translate(t, "0123456789", ""))) / nc,
+            6,
+        ).alias("digit_r"),
+        F.split(norm, " ").alias("_t"),
+        F.char_length(norm).alias("_nlen"),
+    )
+    nt = F.size("_t")
+    ntg = F.greatest(nt, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS["en"]])
+    s2 = s1.select(
+        "doc_id",
+        "punct_r",
+        "upper_r",
+        "digit_r",
+        F.round((F.col("_nlen") - (nt - 1)) / ntg, 6).alias("avg_wlen"),
+        F.round(
+            F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / ntg, 6
+        ).alias("sw_ratio"),
+        nt.alias("_nw"),
+    )
+    len_ok = F.when((F.col("_nw") >= 5) & (F.col("_nw") <= 100000), 1.0).otherwise(0.3)
+    noise = F.col("punct_r") + F.col("digit_r")
+    noise_ok = F.when(noise < 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - noise))
+    sw_ok = F.least(F.col("sw_ratio") * 5, F.lit(1.0))
+    return s2.select(
+        "doc_id",
+        "punct_r",
+        "upper_r",
+        "digit_r",
+        "avg_wlen",
+        "sw_ratio",
+        F.round(len_ok * 0.4 + noise_ok * 0.4 + sw_ok * 0.2, 6).alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -38,6 +38,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a synthetic table to a DataFrame. Memoized per session —
+    the catalog role: a repeated lookup must not re-read parquet footers
+    or rebuild the relation (DataFrames are immutable, so handing the
+    same plan out is safe; only the canonical read-only testdata flows
+    through here)."""
+    cache = getattr(spark, "_bms_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bms_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver may hand us a vanilla session without this conf; it is
         # runtime-settable, and without it the NANOS column aborts the scan.
