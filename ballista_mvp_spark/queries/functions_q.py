@@ -665,12 +665,93 @@ FROM documents ORDER BY doc_id
 """
 
 
+def udtf_ngrams(spark, sf_dir):
+    """Python UDTF surface (§2.9 free extension beyond the reference's
+    scalar/aggregate UDF nodes; Spark 4 table-valued Python functions):
+    a LATERAL-joined generator emitting (ngram, pos) bigrams per
+    document. Arrow-batched like pandas_udf; certified against DuckDB's
+    lateral range() expansion of the same tokenization. Exists to
+    certify the mechanism — production n-gramming stays in the codegen'd
+    shingle operators (operators/dedup.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class Bigrams:
+        def eval(self, text: str, n: int):
+            toks = (text or "").lower().split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield (" ".join(toks[i : i + n]), i)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM _udtf_docs d, LATERAL bigrams_udtf(d.text, 2) g
+        ORDER BY d.doc_id, g.pos
+        """
+    )
+
+
+UDTF_NGRAMS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE doc_id % 29 = 0),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)
+SELECT doc_id, t[i] || ' ' || t[i + 1] AS ngram, CAST(i - 1 AS INT) AS pos
+FROM idx
+ORDER BY doc_id, pos
+"""
+
+
+def fn_variant(spark, sf_dir):
+    """VARIANT type (§2.8 free extension; Spark 4 semi-structured
+    column type): parse_json → typed variant_get pulls, including a
+    missing-path try_variant_get (null, never error). Unlike
+    get_json_object (string re-parse per access), a VARIANT parses once
+    into a binary-encoded tree — the 100 TB answer for multi-access JSON
+    columns. Aggregated per event_type; DuckDB oracle via json_extract
+    on the same props column."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.nope", "long")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.countDistinct("k").alias("dk"),
+            F.count("m").alias("n_missing_nonnull"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FN_VARIANT_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS dk,
+       CAST(count(CAST(json_extract(props, '$.nope') AS BIGINT)) AS BIGINT) AS n_missing_nonnull
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "fn_decimal": fn_decimal,
     "fn_url": fn_url,
     "fn_json": fn_json,
     "fn_math": fn_math,
     "udf_pandas_scalar": udf_pandas_scalar,
+    "udtf_ngrams": udtf_ngrams,
+    "fn_variant": fn_variant,
     "udaf_apply_in_pandas": udaf_apply_in_pandas,
     "fn_string": fn_string,
     "fn_string2": fn_string2,
@@ -691,6 +772,8 @@ ORACLES = {
     "fn_json": FN_JSON_ORACLE,
     "fn_math": FN_MATH_ORACLE,
     "udf_pandas_scalar": UDF_PANDAS_ORACLE,
+    "udtf_ngrams": UDTF_NGRAMS_ORACLE,
+    "fn_variant": FN_VARIANT_ORACLE,
     "udaf_apply_in_pandas": UDAF_ORACLE,
     "fn_string": FN_STRING_ORACLE,
     "fn_string2": FN_STRING2_ORACLE,

@@ -992,6 +992,45 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (ANSI recursive CTE, supported by Spark 4.1's SQL
+    entry) — iterative expansion INSIDE the declarative plan, the SQL
+    counterpart of the connected-components loop. Synthetic hierarchy
+    over nation: parent(n) = n div 2; each row walks its ancestor chain
+    to the root and reports depth and chain length. DuckDB runs the
+    identical recursion (integer-division spelled `//` there, `div`
+    here). Depth is log2(25) ≈ 5 — the recursion is bounded and the
+    per-iteration frame is 25 rows; at scale Spark executes each step as
+    a distributed union-all batch, state bounded by the frontier."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, cur, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM nation
+          UNION ALL
+          SELECT node, cur div 2, depth + CAST(1 AS BIGINT)
+          FROM anc WHERE cur > 0
+        )
+        SELECT node, max(depth) AS depth_to_root, count(*) AS chain_len
+        FROM anc GROUP BY node ORDER BY node
+        """
+    )
+
+
+SQL_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE anc(node, cur, depth) AS (
+  SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT node, CAST(max(depth) AS BIGINT) AS depth_to_root,
+       count(*) AS chain_len
+FROM anc GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
@@ -1028,6 +1067,7 @@ QUERIES = {
     "sql_lateral": sql_lateral,
     "sql_subquery_exists_in": sql_subquery_exists_in,
     "sql_subquery_scalar": sql_subquery_scalar,
+    "sql_recursive_cte": sql_recursive_cte,
     "agg_basic": agg_basic,
     "agg_stats": agg_stats,
     "agg_distinct_filter": agg_distinct_filter,
@@ -1075,6 +1115,7 @@ ORACLES = {
     "sql_lateral": SQL_LATERAL_ORACLE,
     "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
     "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
+    "sql_recursive_cte": SQL_RECURSIVE_CTE_ORACLE,
     "agg_basic": AGG_BASIC_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,
     "agg_distinct_filter": AGG_DISTINCT_FILTER_ORACLE,
