@@ -595,3 +595,114 @@ def span_dedup(
             ).alias("text_dedup"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_span_tokens: int = 20,
+    max_window_freq: int = 1000,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """EXACT cross-document duplicated-substring spans — the scalable
+    reformulation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): instead
+    of a global suffix array (not shardable), every length-`window` token
+    run is keyed by the xxhash64 of its token hashes, runs shared by two
+    documents are matched on that 8-byte key (the ONLY shuffle of text-
+    derived data), and consecutive matched positions are merged into
+    maximal spans with the gaps-and-islands trick (pos − row_number is
+    constant within a run). Output: one row per maximal duplicated span
+    ≥ `min_span_tokens`, as (a, b, a_start, a_end, dup_tokens) with
+    a < b and 1-based inclusive token positions in document `a`.
+
+    Scale shape: shuffle rows are (8-byte window key, id, pos) — O(tokens)
+    per document, never O(tokens²); `max_window_freq` drops boilerplate
+    windows (licenses, headers) shared by more than that many position
+    rows, the inverted-index stop-gram cap that bounds the self-join
+    fan-out; `max_tokens` truncates pathological megadocs. The span merge
+    is a window function partitioned by the (a, b) pair — bounded state.
+    """
+    w = window
+    base = df.select(
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col), max_tokens).alias("_th")
+    )
+    th = F.col("_th")
+    # (id, pos, h): every position's length-w window key. Documents
+    # shorter than w tokens emit their (padded-by-null-skip) single window.
+    wins = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(th) - (w - 1), F.lit(1))),
+                lambda i: F.xxhash64(*[F.get(th, i - 1 + j) for j in range(w)]),
+            )
+        ).alias("_p0", "h"),
+    ).select("_id", (F.col("_p0") + 1).alias("pos"), "h")
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_window_freq)
+    )
+    wins = wins.join(F.broadcast(hot), "h", "left_anti")
+    a = wins.select(F.col("_id").alias("a"), F.col("pos").alias("ai"), "h")
+    b = wins.select(F.col("_id").alias("b"), "h")
+    matched = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ai")
+        .distinct()
+    )
+    grp = (F.col("ai") - F.row_number().over(W.partitionBy("a", "b").orderBy("ai"))).alias("_g")
+    islands = matched.select("a", "b", "ai", grp)
+    return (
+        islands.groupBy("a", "b", "_g")
+        .agg(
+            F.min("ai").alias("a_start"),
+            (F.max("ai") + (w - 1)).alias("a_end"),
+            (F.max("ai") - F.min("ai") + w).alias("dup_tokens"),
+        )
+        .filter(F.col("dup_tokens") >= min_span_tokens)
+        .select("a", "b", "a_start", "a_end", "dup_tokens")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_prefix: int = 24,
+    max_edit_distance: int = 16,
+    max_block: int = 200,
+) -> DataFrame:
+    """Blocked edit-distance (entity-resolution) dedup: candidate pairs
+    share a normalized text prefix block and are verified with the exact
+    Levenshtein distance — the classic blocking+verify shape of record
+    linkage at scale (all-pairs Levenshtein is O(n²·len²); blocking
+    reduces it to within-block pairs, and the verify is a single JVM
+    `levenshtein` expression, no Python).
+
+    Output: (a, b, edit_distance) with a < b, distance ≤ `max_edit_distance`.
+    `max_block` drops degenerate blocks (e.g. an empty-prefix block of
+    boilerplate docs) whose membership exceeds the cap — the same
+    stop-key discipline as the shingle inverted index."""
+    norm = normalize_text(F.col(text_col))
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_tn"),
+        F.md5(F.substring(norm, 1, block_prefix)).alias("_blk"),
+    )
+    hot = (
+        d.groupBy("_blk").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_block)
+    )
+    d = d.join(F.broadcast(hot), "_blk", "left_anti")
+    a = d.select(F.col("_id").alias("a"), F.col("_tn").alias("_ta"), "_blk")
+    b = d.select(F.col("_id").alias("b"), F.col("_tn").alias("_tb"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("_ta", "_tb").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= max_edit_distance)
+    )

@@ -115,6 +115,61 @@ ORDER BY contained, container
 """
 
 
+def dedup_substring(spark, sf_dir):
+    """EXACT cross-document duplicated-substring spans (suffix-array
+    substring dedup reformulated as a shardable inverted index over
+    length-8 token windows + gaps-and-islands span merge; Lee et al.
+    2022). One row per maximal span ≥ 20 tokens. Fully oracle-checked —
+    the oracle merges the identical window matches with the identical
+    islands trick over string windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.substring_dup_spans(
+        docs, "doc_id", "text", window=8, min_span_tokens=20
+    ).orderBy("a", "b", "a_start")
+
+
+DEDUP_SUBSTRING_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-7, 1))) AS i FROM toks),
+wins AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+m AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.i AS ai
+      FROM wins a JOIN wins b USING (s) WHERE a.doc_id < b.doc_id),
+isl AS (SELECT a, b, ai,
+               ai - row_number() OVER (PARTITION BY a, b ORDER BY ai) AS g
+        FROM m)
+SELECT a, b, min(ai) AS a_start, max(ai) + 7 AS a_end,
+       max(ai) - min(ai) + 8 AS dup_tokens
+FROM isl GROUP BY a, b, g
+HAVING max(ai) - min(ai) + 8 >= 20
+ORDER BY a, b, a_start
+"""
+
+
+def dedup_fuzzy(spark, sf_dir):
+    """Blocked Levenshtein (entity-resolution) dedup: prefix-24 blocking,
+    exact edit-distance ≤ 16 verify — classic record-linkage
+    blocking+verify, all JVM expressions. Fully oracle-checked (DuckDB
+    blocks on the same normalized prefix and runs the same levenshtein)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.fuzzy_pairs(
+        docs, "doc_id", "text", block_prefix=24, max_edit_distance=16
+    ).orderBy("a", "b")
+
+
+DEDUP_FUZZY_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tn
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.tn, b.tn) AS edit_distance
+FROM n a JOIN n b ON substr(a.tn, 1, 24) = substr(b.tn, 1, 24) AND a.doc_id < b.doc_id
+WHERE levenshtein(a.tn, b.tn) <= 16
+ORDER BY a, b
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs with exact-Jaccard verification
     (xxhash64 signatures → DuckDB cannot replicate → rows-only; recall vs
@@ -778,6 +833,8 @@ QUERIES = {
     "dedup_exact_keys": dedup_exact_keys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_substring": dedup_substring,
+    "dedup_fuzzy": dedup_fuzzy,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -807,6 +864,8 @@ ORACLES = {
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
+    "dedup_substring": DEDUP_SUBSTRING_ORACLE,
+    "dedup_fuzzy": DEDUP_FUZZY_ORACLE,
     "dedup_embedding_exact": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,

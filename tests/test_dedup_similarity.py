@@ -314,3 +314,65 @@ def test_ivfpq_recall(spark):
     got = {(r.query_id, r.neighbor_id) for r in sim_ann_ivfpq(spark, SF_SMALL).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, recall  # 4/16 cells probed bounds attainable recall
+
+
+def test_substring_spans_planted(spark):
+    """Planted-overlap exactness for substring_dup_spans: doc 1 and doc 2
+    share one contiguous 30-token run (positions 11..40 in doc 1); no
+    other cross-doc window repeats. The operator must report exactly one
+    maximal span with exact boundaries, and merge-correctness means NO
+    fragment rows survive alongside it."""
+    uniq = [f"u{i}a{i * 7 % 101}" for i in range(200)]
+    shared = [f"s{i}b{i * 13 % 103}" for i in range(30)]
+    d1 = " ".join(uniq[:10] + shared + uniq[10:60])       # shared at 11..40
+    d2 = " ".join(uniq[100:125] + shared + uniq[125:170])  # shared at 26..55
+    d3 = " ".join(uniq[60:100])                            # no overlap
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = D.substring_dup_spans(
+        df, "doc_id", "text", window=8, min_span_tokens=20
+    ).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    # matched window starts in doc 1: 11..33 (last w-window fully inside
+    # the shared run starts at 40-8+1=33); span = [11, 33+7] = 30 tokens
+    assert (r.a, r.b, r.a_start, r.a_end, r.dup_tokens) == (1, 2, 11, 40, 30)
+
+
+def test_substring_spans_stop_window_cap(spark):
+    """max_window_freq drops boilerplate windows shared by too many docs
+    (the inverted-index stop-gram cap): with a 12-doc shared header and
+    the cap below its fan-out, no pair survives; with the cap raised the
+    full pair set appears. Bounds the self-join blow-up at scale."""
+    header = " ".join(f"h{i}" for i in range(25))
+    docs = [(i, header + " " + " ".join(f"d{i}q{j}" for j in range(20))) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = D.substring_dup_spans(
+        df, "doc_id", "text", window=8, min_span_tokens=20, max_window_freq=10
+    )
+    assert capped.count() == 0
+    uncapped = D.substring_dup_spans(
+        df, "doc_id", "text", window=8, min_span_tokens=20, max_window_freq=10_000
+    )
+    assert uncapped.count() == 12 * 11 // 2
+
+
+def test_fuzzy_pairs_planted_and_block_cap(spark):
+    """fuzzy_pairs finds a planted small-edit pair, reports the exact
+    Levenshtein distance, and never pairs docs in different blocks even
+    when globally similar; max_block drops degenerate blocks."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomoro")  # same prefix-24 block, small edit
+    far = "zzz " + base  # different block, though globally similar
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    rows = D.fuzzy_pairs(df, "doc_id", "text", block_prefix=24, max_edit_distance=16).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 2)]
+    # levenshtein("today","tomoro") = 4: d->m, a->o, y->r subs + o insert
+    assert rows[0].edit_distance == 4
+    blocked = D.fuzzy_pairs(
+        df, "doc_id", "text", block_prefix=24, max_edit_distance=16, max_block=1
+    )
+    assert blocked.count() == 0
