@@ -180,6 +180,27 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def streaming_sliding(spark, sf_dir):
+    """Structured Streaming sliding-window rollup: 1 h windows sliding
+    every 15 min, so each event lands in 4 overlapping windows —
+    window(ts, len, slide) expansion under the streaming engine,
+    complete-mode memory sink. Oracle replays the identical expansion in
+    SQL: window starts are time_bucket(15 min) − k·15 min for k = 0..3
+    (epoch-aligned, exactly Spark's window assignment)."""
+    from ..streaming import run_sliding_batchfile
+
+    return run_sliding_batchfile(spark, sf_dir)
+
+
+STREAMING_SLIDING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes',
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, count(*) AS n
+FROM events, unnest(generate_series(0, 3)) AS u(k)
+GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
 def events_trailing_window(spark, sf_dir):
     """Time-interval RANGE frame: per event, the count and value-sum of
     the same user's events in the trailing hour [ts-1h, ts] — the frame
@@ -711,6 +732,7 @@ QUERIES = {
     "events_topk_users": events_topk_users,
     "events_type_share": events_type_share,
     "streaming_tumbling": streaming_tumbling,
+    "streaming_sliding": streaming_sliding,
 }
 
 ORACLES = {
@@ -735,4 +757,5 @@ ORACLES = {
     "events_topk_users": EVENTS_TOPK_ORACLE,
     "events_type_share": EVENTS_TYPE_SHARE_ORACLE,
     "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
+    "streaming_sliding": STREAMING_SLIDING_ORACLE,
 }

@@ -87,6 +87,36 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("hour", "event_type")
 
 
+def run_sliding_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the sliding-window agg (1 h windows every 15 min — each event
+    lands in 4 overlapping windows) through the STREAMING engine, complete
+    mode → memory sink. The overlapping-window expansion is the one
+    streaming window shape tumbling/session don't exercise."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _ts_to_ltz(src, schema)
+    agg = sliding_agg(src)
+    qname = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("w_start", "event_type")
+
+
 def sliding_agg(events: DataFrame, window_len: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     """Sliding-window rollup (overlapping windows — each event lands in
     window_len/slide windows; Spark expands via the same window()
