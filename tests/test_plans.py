@@ -140,3 +140,30 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_substring_dedup_equijoin_on_hash_key(spark):
+    """dedup_substring's self-join must be an equi-join on the 8-byte
+    window key (hashpartitioning on h), never a cartesian; the scan must
+    prune to (doc_id, text)."""
+    from ballista_mvp_spark.queries.extensions import dedup_substring
+
+    df = dedup_substring(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(h#" in plan
+    # ReadSchema pruning: only the two consumed columns reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_fuzzy_dedup_blocked_equijoin(spark):
+    """dedup_fuzzy must equi-join on the block key — the verify
+    (levenshtein) runs as a post-join filter inside the block, so the
+    plan must contain a hash-keyed join on _blk and no cartesian."""
+    from ballista_mvp_spark.queries.extensions import dedup_fuzzy
+
+    plan = _plan(dedup_fuzzy(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_blk#" in plan and "levenshtein" in plan

@@ -1,0 +1,87 @@
+"""Scale-stress harness: how do the corpus-hygiene operators scale?
+
+Usage: python tools/scale_stress.py [multipliers ...]   (default: 1 5 20)
+
+Replicates the sf0.1 documents table N× with shifted doc_ids. Every token
+of copy c > 0 is suffixed with the copy id, giving each copy a DISJOINT
+vocabulary: no shingle, window, minhash band, or prefix block ever matches
+across copies, the planted near-dup pairs stay within each copy, result
+sizes grow linearly, and the measured scaling reflects the operator — not
+an artificial pair explosion. (A first version salted only the END of the
+text; replicas stayed ~0.99-Jaccard near-dups of each other and every
+pair op exploded quadratically — a useful adversarial datapoint, recorded
+in SCALE.md, but not a scaling measurement.) Near-linear wall-time growth
+demonstrates the O(n) shuffle design; super-linear growth flags a pair
+blow-up.
+
+Results recorded in SCALE.md §"Measured scaling".
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ballista_mvp_spark.operators import dedup as D
+from ballista_mvp_spark.session import build_session
+from ballista_mvp_spark.tables import load_table
+
+
+def replicate(docs, n: int):
+    """n salted copies with disjoint id ranges; copy 0 is the original."""
+    if n == 1:
+        return docs
+    copies = docs.crossJoin(F.broadcast(
+        docs.sparkSession.range(n).select(F.col("id").alias("_copy"))
+    ))
+    shift = F.lit(1_000_000)
+    c = F.col("_copy").cast("string")
+    salted = F.array_join(
+        F.transform(F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit("¤"), c)),
+        " ",
+    )
+    return copies.select(
+        (F.col("doc_id") + F.col("_copy") * shift).alias("doc_id"),
+        F.when(F.col("_copy") == 0, F.col("text")).otherwise(salted).alias("text"),
+    )
+
+
+OPS = {
+    "dedup_exact": lambda d: D.exact_dedup(
+        d, F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))), "doc_id"
+    ),
+    "dedup_minhash": lambda d: D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.2
+    ),
+    "dedup_substring": lambda d: D.substring_dup_spans(
+        d, "doc_id", "text", window=8, min_span_tokens=20
+    ),
+    "dedup_ngram_jaccard": lambda d: D.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_k=3, threshold=0.2
+    ),
+    "dedup_fuzzy": lambda d: D.fuzzy_pairs(d, "doc_id", "text"),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mults = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
+    spark = build_session("scale-stress")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for m in mults:
+        corpus = replicate(base, m).localCheckpoint(eager=True)  # isolate gen cost
+        n = corpus.count()
+        for name, op in OPS.items():
+            t0 = time.perf_counter()
+            rows = op(corpus).count()
+            dt = time.perf_counter() - t0
+            print(f"x{m:<3} docs={n:<8} {name:<22} rows={rows:<8} {dt:6.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
