@@ -641,6 +641,10 @@ def substring_dup_spans(
             )
         ).alias("_p0", "h"),
     ).select("_id", (F.col("_p0") + 1).alias("pos"), "h")
+    # persist: the window table feeds the hot-window count AND both sides
+    # of the self-join — without it the tokenize+hash pass runs 3×. At
+    # cluster scale, swap persist for a checkpoint to reliable storage.
+    wins = wins.persist()
     hot = (
         wins.groupBy("h")
         .agg(F.count("*").alias("_n"))
@@ -693,7 +697,7 @@ def fuzzy_pairs(
         F.col(id_col).alias("_id"),
         norm.alias("_tn"),
         F.md5(F.substring(norm, 1, block_prefix)).alias("_blk"),
-    )
+    ).persist()  # feeds the hot-block count and both self-join sides
     hot = (
         d.groupBy("_blk").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_block)
     )
