@@ -1,0 +1,92 @@
+"""Iterative graph algorithms as DataFrame plans.
+
+The reference engine has no graph operators; these are free extensions in
+the same role as its iterative-adjacent surfaces (the driver loop that
+re-submits stages, execution_graph.rs) — but expressed Spark-first: each
+iteration is a join + aggregate over a persisted edge table, so the DAG
+is K chained shuffles on the node key, never a driver-side loop over
+collected rows.
+
+At 100 TB the shape holds: the transition table `(src, dst, p)` is the
+only large state (persisted / checkpointed once), each iteration shuffles
+O(edges) contribution rows keyed by dst with map-side combine, and rank
+state is O(nodes). This is the classic PageRank-on-Spark plan (the GraphX
+/ original Spark-paper example), with the simplified dangling-mass rule
+(dangling rank is not redistributed) so a SQL oracle can replay it
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count (deterministic —
+    certifiable against a SQL oracle that unrolls the same K steps).
+
+    Multi-edges become weights; transition probability p(u→v) =
+    w(u,v) / Σ_x w(u,x). rank_0 = 1.0; rank_{i+1}(n) = (1-d) +
+    d·Σ_{m→n} p(m→n)·rank_i(m). Nodes are every distinct src or dst.
+
+    Returns (node, rank) with rank rounded to 6 places.
+    """
+    e = edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_d")).agg(
+        F.count("*").cast("double").alias("_w")
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    # transition table: consumed once per iteration — persist so the
+    # groupBy/join pipeline above runs once, not K times
+    trans = (
+        e.join(outw, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            trans.join(ranks, trans["_s"] == ranks["node"])
+            .select(F.col("_d").alias("node"), (F.col("_p") * F.col("rank")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree (multi-edges counted) — one shuffle per
+    direction, unioned on the node key."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

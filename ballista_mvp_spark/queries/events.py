@@ -710,6 +710,103 @@ FROM events GROUP BY 1 ORDER BY hour
 """
 
 
+def _interaction_edges(e: DataFrame) -> DataFrame:
+    """Deterministic user-interaction graph: within each event_type, an
+    edge from each event's user to the NEXT event's user in (ts,
+    event_id) order — the "who acts after whom" chain. Self-loops
+    dropped. One window shuffle on event_type; edges are 16-byte
+    (src, dst) rows."""
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", "ts", "event_id", F.col("user_id").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+    )
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank (5 iterations, damping 0.85) over the user-interaction
+    graph — the domain/source-ranking quality signal of crawl curation
+    (à la Common-Crawl host ranking), as K chained join+agg shuffles
+    (operators/graph.py). Top-100 users by rank."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    ranks = G.pagerank(_interaction_edges(e), "src", "dst", iterations=5)
+    return (
+        ranks.select(F.col("node").alias("user_id"), "rank")
+        .orderBy(F.col("rank").desc(), "user_id")
+        .limit(100)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank in ANSI SQL (DuckDB forbids
+    aggregates in a recursive CTE member, so the fixed iteration count
+    is unrolled — same rule, same numbers)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, 6):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT t.dst AS node, sum(t.p * r.rank) AS s
+    FROM trans t JOIN {prev} r ON t.src = r.node GROUP BY t.dst
+  ) c ON n.node = c.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM ordered WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY src) o ON e.src = o.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{",".join(steps)}
+SELECT node AS user_id, round(rank, 6) AS rank
+FROM r5 ORDER BY rank DESC, user_id LIMIT 100
+"""
+
+
+GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def graph_degree(spark, sf_dir):
+    """In/out degree per node of the interaction graph (multi-edges
+    counted) — the graph-profile primitive (hub detection, skew audit
+    before an iterative algorithm is launched)."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    return G.degree_stats(_interaction_edges(e), "src", "dst").orderBy("node")
+
+
+GRAPH_DEGREE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
+ORDER BY node
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
@@ -733,6 +830,8 @@ QUERIES = {
     "events_type_share": events_type_share,
     "streaming_tumbling": streaming_tumbling,
     "streaming_sliding": streaming_sliding,
+    "graph_pagerank": graph_pagerank,
+    "graph_degree": graph_degree,
 }
 
 ORACLES = {
@@ -758,4 +857,6 @@ ORACLES = {
     "events_type_share": EVENTS_TYPE_SHARE_ORACLE,
     "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
+    "graph_pagerank": GRAPH_PAGERANK_ORACLE,
+    "graph_degree": GRAPH_DEGREE_ORACLE,
 }
