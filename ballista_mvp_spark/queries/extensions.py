@@ -175,9 +175,9 @@ def dedup_minhash(spark, sf_dir):
     (xxhash64 signatures → DuckDB cannot replicate → rows-only; recall vs
     the exact path asserted in tests/test_dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
-    # (16 hashes, 4 bands of 4) measured equal recall (0.977 vs exact at
-    # sf0.1) to (32, 8) at ~25% less wall time — band count drives cost
-    # (explode rows + candidate pairs), not hash count
+    # (16 hashes, 4 bands of 4) measures recall 1.0 vs exact at sf0.01
+    # and sf0.1 — band count drives cost (explode rows + candidate
+    # pairs), not hash count
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.2
     ).orderBy("a", "b")
@@ -740,6 +740,35 @@ def sketch_topk(spark, sf_dir):
     )
 
 
+def sketch_cms(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (operators/sketch.py):
+    a 4×8192 counter matrix built from one explode + one map-side-
+    combined groupBy over the token stream, probed for the exact top-20
+    tokens via a broadcast join. Sketch state is bounded (≤ 32k cells)
+    regardless of corpus size and merges by counter addition — the
+    incremental-rollup alternative when the full (term, count) table is
+    too big to keep. xxhash64 cells → DuckDB cannot replicate →
+    rows-only; ≥-true / exact-below-capacity / merge==direct guarantees
+    asserted in tests/test_sketch.py."""
+    from ..operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).persist()
+    cms = SK.cms_build(toks, "tok", depth=4, width=8192)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+    return (
+        SK.cms_estimate(cms, top, "tok", depth=4, width=8192)
+        .join(top, "tok")
+        .select("tok", "exact_n", "est")
+        .orderBy(F.col("exact_n").desc(), "tok")
+    )
+
+
 def text_bigram_lm(spark, sf_dir):
     """Corpus bigram language-model table: P(w2|w1) = c(w1,w2)/c(w1) for
     the 30 most frequent bigrams. One token explode feeds BOTH counts
@@ -829,6 +858,7 @@ QUERIES = {
     "sketch_hll": sketch_hll,
     "text_bigram_lm": text_bigram_lm,
     "sketch_topk": sketch_topk,
+    "sketch_cms": sketch_cms,
     "dedup_exact": dedup_exact,
     "dedup_exact_keys": dedup_exact_keys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
