@@ -69,6 +69,55 @@ def brute_force_topk(
     )
 
 
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    doc_col: str = "doc_id",
+    vec_col: str = "vec",
+    k: int = 5,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k over MULTI-vector
+    documents: score(q, d) = Σ_{qv∈q} max_{dv∈d} cosine(qv, dv). The
+    retrieval shape for token-level embedding search — one vector per
+    token/patch instead of one pooled vector per document.
+
+    Plan: the query side (a handful of docs × vectors) broadcasts; every
+    corpus vector is scored JVM-side (zip_with/aggregate — no Python),
+    then TWO map-side-combined aggregates fold the (query, doc, qvec)
+    maxes and the per-(query, doc) sum. Shuffle rows are slim
+    (ids + one double); the corpus scan is embarrassingly parallel, so
+    the shape holds at 100 TB of vectors. Self-matches excluded.
+
+    Output: (query_id, doc_id, score, rank) — score rounded to 6 before
+    ranking so engine-side float noise cannot flip rank boundaries.
+    """
+    qpos = (
+        F.col(pos_col) if pos_col is not None else F.monotonically_increasing_id()
+    )
+    q = query_vecs.select(
+        F.col(doc_col).alias("query_id"),
+        qpos.alias("_qpos"),
+        F.col(vec_col).alias("_qv"),
+    )
+    d = doc_vecs.select(F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("_dv"))
+    per_qvec = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "_qpos")
+        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_mx"))
+    )
+    scores = per_qvec.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_mx"), 6).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
     """Deterministic random hyperplanes [table][plane][dim] (seeded —
     reproducible across runs and executors; shipped as literals, i.e. a

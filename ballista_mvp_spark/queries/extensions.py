@@ -330,6 +330,40 @@ ORDER BY query_id, rank
 """
 
 
+def sim_maxsim(spark, sf_dir):
+    """Late-interaction (ColBERT MaxSim) retrieval over multi-vector
+    documents (operators/similarity.maxsim_topk): vectors grouped 8 per
+    document, the first 2 documents as queries, score = Σ_qv max_dv
+    cosine. Fully oracle-checked (DuckDB list_cosine_similarity over the
+    same grouping)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("vec_id") / 8).cast("long").alias("doc_id"),
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    queries = emb.filter(F.col("doc_id") < 2)
+    return S.maxsim_topk(emb, queries, "doc_id", "vec", k=5, pos_col="vec_id")
+
+
+SIM_MAXSIM_ORACLE = """
+WITH v AS (
+  SELECT vec_id // 8 AS d_id, vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings),
+q AS (SELECT d_id AS query_id, vec_id AS qvid, e AS qv FROM v WHERE d_id < 2),
+mx AS (
+  SELECT q.query_id, d.d_id, q.qvid,
+         max(list_cosine_similarity(q.qv, d.e)) AS m
+  FROM q JOIN v d ON d.d_id <> q.query_id
+  GROUP BY q.query_id, d.d_id, q.qvid),
+sc AS (SELECT query_id, d_id, round(sum(m), 6) AS score
+       FROM mx GROUP BY query_id, d_id)
+SELECT query_id, d_id AS doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, d_id) AS rank FROM sc)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def sim_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization (operators/similarity.
     quantize_embeddings) — the 4× storage/IO compression applied to an
@@ -872,6 +906,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
+    "sim_maxsim": sim_maxsim,
     "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_pq": sim_ann_pq,
@@ -899,6 +934,7 @@ ORACLES = {
     "dedup_embedding_exact": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
+    "sim_maxsim": SIM_MAXSIM_ORACLE,
     "sim_quantize": SIM_QUANTIZE_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
