@@ -54,9 +54,74 @@ def test_pack_sequences_tiles_any_stream(spark, ns):
         off += r["n_tok"]
 
 
+WS_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab XY\t\n\r\x0b\f.")), min_size=0, max_size=40
+)
+
+
+@given(texts=st.lists(WS_TEXT, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_tokens_matches_python_reference(spark, texts):
+    """tokens() (single-regex-pass split) must agree with the spec:
+    lowercase, collapse \\s+ runs, trim, split on single spaces — for
+    ANY whitespace layout (the r3 rewrite changed the implementation,
+    not the contract)."""
+    import re
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {r["id"]: r["toks"] for r in df.select("id", D.tokens(F.col("t")).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        want = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        assert got[i] == want, (repr(t), got[i], want)
+
+
+@given(counts=st.dictionaries(st.sampled_from([f"t{i}" for i in range(20)]),
+                              st.integers(min_value=1, max_value=5),
+                              min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_cms_never_undercounts_any_multiset(spark, counts):
+    from ballista_mvp_spark.operators import sketch as SK
+
+    occ = spark.createDataFrame(
+        [(t,) for t, n in counts.items() for _ in range(n)], "term string"
+    )
+    cms = SK.cms_build(occ, "term", depth=3, width=64)
+    items = spark.createDataFrame([(t,) for t in counts], "term string")
+    est = {r.term: r.est for r in SK.cms_estimate(cms, items, "term", 3, 64).collect()}
+    for t, n in counts.items():
+        assert est[t] >= n, (t, est[t], n)
+
+
 WORDS = st.lists(
     st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=24
 )
+
+
+@given(docs=st.lists(WORDS, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_minhash_reports_only_exact_pairs(spark, docs):
+    """Verified-pairs invariant: every pair minhash_lsh_pairs reports is
+    an EXACT Jaccard-qualified pair (the LSH stage may miss pairs, never
+    invent them) — for any corpus."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "id long, text string"
+    )
+    found = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            df, "id", "text", num_hashes=8, bands=4, shingle_k=2, jaccard_threshold=0.3
+        ).collect()
+    }
+
+    def sh(ws):
+        if len(ws) < 2:
+            return {tuple(ws)} if ws else set()
+        return {tuple(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    for (a, b), j in found.items():
+        sa, sb = sh(docs[a]), sh(docs[b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(j - exact) < 1e-6 and exact >= 0.3, (a, b, j, exact)
 
 
 @given(docs=st.lists(WORDS, min_size=1, max_size=8))
