@@ -301,6 +301,33 @@ def stratified_sample(
     return df.withColumn("bucket", b).filter(F.col("bucket") < thr_col)
 
 
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    p: Column,
+    salt: str = "imp",
+) -> DataFrame:
+    """Deterministic score-proportional (importance) sampling: keep a row
+    iff its salted md5 bucket ([0,256)) falls below p·256, where `p` is a
+    per-row keep probability in [0,1] (e.g. a quality score). Returns
+    survivors with their inverse-probability `weight` (1/p, rounded) so
+    downstream aggregates stay unbiased (Horvitz–Thompson).
+
+    Same contract as stratified_sample but with a CONTINUOUS per-row
+    rate: pure function of (salt, id, p) — reproducible across engines
+    and corpus growth, zero shuffle, scan-speed filter. Resolution is
+    1/256; p ≤ 0 rows are always dropped, p ≥ 1 rows always kept."""
+    b = hash_bucket(F.col(id_col), salt)
+    pc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p))
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("_p", pc)
+        .filter(F.col("bucket") < F.col("_p") * 256.0)
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("_p"), 6))
+        .drop("_p")
+    )
+
+
 def quota_cap(
     df: DataFrame,
     id_col: str,

@@ -317,6 +317,37 @@ ORDER BY doc_id
 """
 
 
+def pipeline_importance(spark, sf_dir):
+    """Deterministic importance sampling: keep probability proportional
+    to document length (p = min(1, n_chars/2000)), survivors carry the
+    1/p Horvitz–Thompson weight so downstream token counts stay
+    unbiased. Pure (salt, doc_id, p) function — zero shuffle, replayable
+    by the oracle, stable under corpus growth."""
+    docs = _t(spark, sf_dir, "documents")
+    p = F.col("n_chars") / F.lit(2000.0)
+    return (
+        P.importance_sample(docs, "doc_id", p, salt="imp")
+        .select("doc_id", "n_chars", "bucket", "weight")
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_IMPORTANCE_ORACLE = """
+WITH h AS (SELECT doc_id, n_chars, md5('imp:' || doc_id) AS m FROM documents),
+d AS (SELECT doc_id, n_chars,
+        CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+             ELSE ascii(substr(m, 1, 1)) - 48 END * 16 +
+        CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+             ELSE ascii(substr(m, 2, 1)) - 48 END AS bucket,
+        least(1.0, greatest(0.0, n_chars / 2000.0)) AS p
+      FROM h)
+SELECT doc_id, n_chars, CAST(bucket AS INT) AS bucket,
+       round(1.0 / p, 6) AS weight
+FROM d WHERE bucket < p * 256.0
+ORDER BY doc_id
+"""
+
+
 def pipeline_quota(spark, sf_dir):
     """Per-source quota capping: keep the 10 best documents of each
     source by the composite quality score (ties by doc_id). Compiles to
@@ -819,6 +850,7 @@ QUERIES = {
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
     "pipeline_quota": pipeline_quota,
+    "pipeline_importance": pipeline_importance,
     "pipeline_shuffle": pipeline_shuffle,
     "pipeline_funnel": pipeline_funnel,
     "pipeline_budget": pipeline_budget,
@@ -842,6 +874,7 @@ ORACLES = {
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
+    "pipeline_importance": PIPELINE_IMPORTANCE_ORACLE,
     "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_funnel": PIPELINE_FUNNEL_ORACLE,
     "pipeline_budget": PIPELINE_BUDGET_ORACLE,
