@@ -167,3 +167,28 @@ def test_fuzzy_dedup_blocked_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_blk#" in plan and "levenshtein" in plan
+
+
+def test_pagerank_iterations_are_hash_joins(spark):
+    """graph_pagerank's K iterations must each be an equi-join on the
+    node key — no cartesian, no nested-loop — and the per-iteration
+    contribution aggregate must be two-phase (partial_sum below the
+    exchange)."""
+    from ballista_mvp_spark.queries.events import graph_pagerank
+
+    plan = _plan(graph_pagerank(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_maxsim_broadcasts_query_side(spark):
+    """sim_maxsim: the multi-vector query side must broadcast (the
+    corpus scan stays shuffle-free until the slim per-(query,doc)
+    aggregate), and both aggregates must be map-side combined."""
+    from ballista_mvp_spark.queries.extensions import sim_maxsim
+
+    plan = _plan(sim_maxsim(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan and "partial_sum" in plan
