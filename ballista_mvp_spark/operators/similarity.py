@@ -118,6 +118,60 @@ def maxsim_topk(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Corpus-hygiene outlier scoring for an embedding column: distance
+    to the global centroid, z-scored over the corpus — flags corrupt /
+    out-of-distribution vectors before they poison ANN indexes or
+    semantic dedup.
+
+    Scale shape: the centroid is a posexplode → groupBy(dim) average —
+    map-side combined, so the shuffle carries ~64 rows per partition
+    regardless of corpus size — folded back into ONE array row and
+    broadcast; distances are then a single narrow JVM pass (zip_with +
+    aggregate), and the (mean, stddev) normalizer is another 1-row
+    broadcast. No driver-side collect anywhere.
+
+    Output: (id, dist, z, is_outlier), dist/z rounded to 6.
+    """
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ex = v.select("_id", F.posexplode("_v").alias("_pos", "_x"))
+    cent = (
+        ex.groupBy("_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_c")
+        )
+    )
+    dists = v.crossJoin(F.broadcast(cent)).select(
+        "_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("_v", "_c", lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        ).alias("_dist"),
+    )
+    stats = dists.agg(
+        F.avg("_dist").alias("_mu"), F.stddev_samp("_dist").alias("_sd")
+    )
+    z = (F.col("_dist") - F.col("_mu")) / F.col("_sd")
+    return dists.crossJoin(F.broadcast(stats)).select(
+        F.col("_id").alias(id_col),
+        F.round("_dist", 6).alias("dist"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_threshold).alias("is_outlier"),
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
     """Deterministic random hyperplanes [table][plane][dim] (seeded —
     reproducible across runs and executors; shipped as literals, i.e. a

@@ -364,6 +364,33 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def sim_outliers(spark, sf_dir):
+    """Embedding outlier detection (operators/similarity.
+    embedding_outliers): distance-to-centroid z-score over the corpus —
+    the hygiene gate run before ANN indexing / semantic dedup. Fully
+    oracle-checked (DuckDB replays the same centroid and normalizer)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.embedding_outliers(emb, "vec_id", "embedding", z_threshold=2.5).orderBy(
+        "vec_id"
+    )
+
+
+SIM_OUTLIERS_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (SELECT vec_id, i, e[i] AS x
+       FROM v, unnest(generate_series(1, 64)) AS u(i)),
+c AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+d AS (SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS dist
+      FROM ex JOIN c USING (i) GROUP BY vec_id),
+s AS (SELECT avg(dist) AS mu, stddev_samp(dist) AS sd FROM d)
+SELECT vec_id, round(dist, 6) AS dist, round((dist - mu) / sd, 6) AS z,
+       abs((dist - mu) / sd) > 2.5 AS is_outlier
+FROM d, s ORDER BY vec_id
+"""
+
+
 def sim_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization (operators/similarity.
     quantize_embeddings) — the 4× storage/IO compression applied to an
@@ -907,6 +934,7 @@ QUERIES = {
     "scd2_merge_customers": scd2_merge_customers,
     "sim_topk": sim_topk,
     "sim_maxsim": sim_maxsim,
+    "sim_outliers": sim_outliers,
     "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_pq": sim_ann_pq,
@@ -935,6 +963,7 @@ ORACLES = {
     "scd2_merge_customers": SCD2_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
     "sim_maxsim": SIM_MAXSIM_ORACLE,
+    "sim_outliers": SIM_OUTLIERS_ORACLE,
     "sim_quantize": SIM_QUANTIZE_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
