@@ -517,6 +517,49 @@ ORDER BY l_orderkey, l_linenumber, pos
 """
 
 
+def sql_pivot(spark, sf_dir):
+    """SQL-text PIVOT clause (the SQL-surface twin of the DataFrame
+    pivot_op): per-source character totals pivoted on language. Compiles
+    to one conditional two-phase aggregate — a pivot is never a shuffle
+    per output column."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT source,
+               coalesce(en, 0) AS en_chars,
+               coalesce(de, 0) AS de_chars,
+               coalesce(fr, 0) AS fr_chars
+        FROM (SELECT source, lang, n_chars FROM documents)
+        PIVOT (sum(n_chars) FOR lang IN ('en' en, 'de' de, 'fr' fr))
+        ORDER BY source
+        """
+    )
+
+
+SQL_PIVOT_ORACLE = """
+SELECT source,
+       CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS en_chars,
+       CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS de_chars,
+       CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'fr'), 0) AS BIGINT) AS fr_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 4 / modern-ANSI sugar — group on every
+    non-aggregate select item): byte-identical text runs on both
+    engines, zero translation (the raw-SQL-parity convention of
+    sql_tpch_q1)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SQL_GROUP_BY_ALL_TEXT)
+
+
+SQL_GROUP_BY_ALL_TEXT = """
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ALL ORDER BY lang, source
+"""
+
+
 def values_inline(spark, sf_dir):
     """ValuesNode (datafusion.proto:212-217) + EmptyRelation `SELECT 1`
     (datafusion.proto:167-169) via a no-FROM select unioned in."""
@@ -1065,6 +1108,8 @@ QUERIES = {
     "values_inline": values_inline,
     "sql_tpch_q1": sql_tpch_q1,
     "sql_lateral": sql_lateral,
+    "sql_pivot": sql_pivot,
+    "sql_group_by_all": sql_group_by_all,
     "sql_subquery_exists_in": sql_subquery_exists_in,
     "sql_subquery_scalar": sql_subquery_scalar,
     "sql_recursive_cte": sql_recursive_cte,
@@ -1113,6 +1158,8 @@ ORACLES = {
     "values_inline": VALUES_ORACLE,
     "sql_tpch_q1": SQL_TPCH_Q1_TEXT,
     "sql_lateral": SQL_LATERAL_ORACLE,
+    "sql_pivot": SQL_PIVOT_ORACLE,
+    "sql_group_by_all": SQL_GROUP_BY_ALL_TEXT,
     "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
     "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
     "sql_recursive_cte": SQL_RECURSIVE_CTE_ORACLE,
