@@ -68,10 +68,65 @@ OPS = {
 }
 
 
+def replicate_vecs(emb, n: int):
+    """n copies of the embedding corpus with disjoint id ranges; copy
+    c > 0 vectors are deterministically rotated (element roll by c) so
+    copies are not mutual near-duplicates and ANN candidate sets stay
+    bounded."""
+    if n == 1:
+        return emb
+    copies = emb.crossJoin(F.broadcast(
+        emb.sparkSession.range(n).select(F.col("id").alias("_copy"))
+    ))
+    dim = 64
+    rolled = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.element_at(
+            "embedding", (F.pmod(i + F.col("_copy"), F.lit(dim)) + 1).cast("int")
+        ),
+    )
+    return copies.select(
+        (F.col("vec_id") + F.col("_copy") * 1_000_000).alias("vec_id"),
+        F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(rolled).alias("embedding"),
+    )
+
+
+def _ann_ops():
+    from ballista_mvp_spark.operators import similarity as S
+
+    def queries_of(d):
+        return d.filter(F.col("vec_id") < 8)
+
+    return {
+        "sim_topk_bruteforce": lambda d: S.brute_force_topk(
+            d, queries_of(d), "vec_id", "embedding", k=5
+        ),
+        "sim_ann_lsh": lambda d: S.lsh_ann_topk(
+            d, queries_of(d), 64, "vec_id", "embedding", k=5
+        ),
+        "sim_outliers": lambda d: S.embedding_outliers(d, "vec_id", "embedding"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    mults = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
+    args = sys.argv[1:]
+    do_ann = "--ann" in args
+    mults = [int(a) for a in args if a != "--ann"] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_ann:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        for m in mults:
+            corpus = replicate_vecs(base, m).localCheckpoint(eager=True)
+            n = corpus.count()
+            for name, op in _ann_ops().items():
+                t0 = time.perf_counter()
+                rows = op(corpus).count()
+                dt = time.perf_counter() - t0
+                print(f"x{m:<3} vecs={n:<8} {name:<22} rows={rows:<8} {dt:6.2f}s", flush=True)
+        return
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     for m in mults:
         corpus = replicate(base, m).localCheckpoint(eager=True)  # isolate gen cost
