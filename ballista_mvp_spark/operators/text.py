@@ -283,3 +283,57 @@ def gopher_report(df, id_col: str, text_col: str):
         f_sw.alias("f_stopwords"),
         (f_wc & f_ml & f_al & f_sy & f_sw).alias("keep"),
     )
+
+
+def bigram_cross_entropy(df, id_col: str, text_col: str):
+    """Per-document cross-entropy under the corpus's own bigram LM — the
+    perplexity-style quality filter (CCNet/KenLM role): documents whose
+    token transitions are improbable under the corpus statistics score
+    high and get flagged.
+
+    H(doc) = mean over bigrams of −log2 P(w2|w1), with
+    P(w2|w1) = c(w1,w2)/c(w1) counted over the corpus (denominator =
+    tokens that HAVE a successor, so probabilities sum to 1 per w1).
+    Trained and scored on the same corpus, every observed bigram has
+    P > 0 — no smoothing term to drift between engines.
+
+    Scale shape: bigram pairs come from the token ARRAY (adjacent
+    elements — no per-doc window shuffle); the two count tables are
+    map-side-combined groupBys; scoring joins on the (w1, w2) /
+    w1 keys — corpus-scale keyed shuffles, never a broadcast of an
+    unbounded vocabulary. Output: (id, n_bigrams, cross_entropy, ppl).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    t = tokens(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.get("_t", i - 1).alias("w1"), F.get("_t", i).alias("w2")
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
+    scored = (
+        pairs.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .select("_id", (-F.log2(F.col("_c12") / F.col("_c1"))).alias("_nll"))
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("_nll").alias("_ce")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round("_ce", 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.col("_ce")), 4).alias("ppl"),
+    )

@@ -830,6 +830,36 @@ def sketch_cms(spark, sf_dir):
     )
 
 
+def text_perplexity(spark, sf_dir):
+    """Per-document cross-entropy / perplexity under the corpus's own
+    bigram LM (operators/text.bigram_cross_entropy) — the CCNet-style
+    perplexity quality filter. Fully oracle-checked: DuckDB rebuilds the
+    identical LM and scores with the identical -log2 mean."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_cross_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_PERPLEXITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+nll AS (
+  SELECT doc_id, -log2(c12 * 1.0 / c1) AS nll
+  FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nll), 6) AS cross_entropy,
+       round(pow(2.0, avg(nll)), 4) AS ppl
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def text_bigram_lm(spark, sf_dir):
     """Corpus bigram language-model table: P(w2|w1) = c(w1,w2)/c(w1) for
     the 30 most frequent bigrams. One token explode feeds BOTH counts
@@ -918,6 +948,7 @@ def sim_ann_ivfpq(spark, sf_dir):
 QUERIES = {
     "sketch_hll": sketch_hll,
     "text_bigram_lm": text_bigram_lm,
+    "text_perplexity": text_perplexity,
     "sketch_topk": sketch_topk,
     "sketch_cms": sketch_cms,
     "dedup_exact": dedup_exact,
@@ -953,6 +984,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_lm": TEXT_BIGRAM_LM_ORACLE,
+    "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
