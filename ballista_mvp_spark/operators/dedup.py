@@ -277,6 +277,107 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: new batch documents checked against the
+    already-ingested corpus — the long-lived-pipeline shape (the exact
+    twin is incremental_dedup): corpus-vs-corpus never re-runs; each
+    ingest batch only probes the existing LSH index.
+
+    Plan: both sides get banded minhash signatures (narrow, JVM-side);
+    the join is batch-bands ⋈ corpus-bands on (band, bh) — at steady
+    state the corpus side is a PRE-MATERIALIZED index table (store the
+    (band, bh, id) rows once; here it is derived inline), so the per-
+    batch cost is O(batch bands + matching buckets), independent of
+    corpus size. Oversized corpus buckets (> max_bucket boilerplate
+    buckets) are dropped on the corpus side before the join. Candidates
+    are verified with exact Jaccard on hashed shingle sets.
+
+    Returns (batch_id, corpus_id, jaccard) — batch rows whose near-dup
+    already exists in the corpus. Batch-internal near-dups are
+    minhash_lsh_pairs(batch)'s job, not this one's."""
+
+    def _hs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                token_hashes(F.col(text_col), max_tokens).alias("_th"),
+            )
+            .select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_hs"))
+            .persist()
+        )
+
+    rows_per_band = num_hashes // bands
+
+    def _bands(hs: DataFrame) -> DataFrame:
+        sig = hs.select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda j: F.array_min(
+                    F.transform("_hs", lambda h: F.xxhash64(j, h))
+                ),
+            ).alias("_sig"),
+        )
+        return sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+    bhs, chs = _hs(batch), _hs(corpus)
+    cb = _bands(chs)
+    # cap pathological corpus buckets before the probe join
+    hot = (
+        cb.groupBy("band", "bh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+    )
+    cb = cb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    cand = (
+        _bands(bhs)
+        .withColumnRenamed("_id", "batch_id")
+        .join(cb.withColumnRenamed("_id", "corpus_id"), ["band", "bh"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    verified = (
+        cand.join(bhs.select(F.col("_id").alias("batch_id"), F.col("_hs").alias("sh_b")), "batch_id")
+        .join(chs.select(F.col("_id").alias("corpus_id"), F.col("_hs").alias("sh_c")), "corpus_id")
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    return verified.select(
+        "batch_id",
+        "corpus_id",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
 def _shingle_index(
     df: DataFrame,
     id_col: str,

@@ -567,6 +567,22 @@ def dedup_incremental(spark, sf_dir):
     return D.incremental_dedup(corpus, batch, key, "doc_id").orderBy("doc_id")
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup (operators/dedup.incremental_minhash_dedup):
+    the same batch-vs-corpus split as dedup_incremental, but probing the
+    corpus LSH band index instead of an exact key — per-batch cost is
+    independent of corpus size once the band index is materialized.
+    xxhash64 banding → rows-only; planted batch-vs-corpus near-dups and
+    the verified-pairs property asserted in
+    tests/test_dedup_similarity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    return D.incremental_minhash_dedup(
+        corpus, batch, "doc_id", "text", jaccard_threshold=0.2
+    ).orderBy("batch_id", "corpus_id")
+
+
 DEDUP_INCREMENTAL_ORACLE = r"""
 WITH f AS (
   SELECT doc_id,
@@ -856,6 +872,7 @@ QUERIES = {
     "pipeline_budget": pipeline_budget,
     "pipeline_chunk": pipeline_chunk,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "profile_documents": profile_documents,
     "pipeline_leakage": pipeline_leakage,
 }

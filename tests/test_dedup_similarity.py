@@ -376,3 +376,28 @@ def test_fuzzy_pairs_planted_and_block_cap(spark):
         df, "doc_id", "text", block_prefix=24, max_edit_distance=16, max_block=1
     )
     assert blocked.count() == 0
+
+
+def test_incremental_minhash_finds_planted_cross_dups(spark):
+    """Batch docs near-duplicating a CORPUS doc must be flagged with the
+    right corpus partner; batch-only and corpus-only uniques must not.
+    Reported jaccard must be the exact set Jaccard (verified-pairs
+    property)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text " * 10)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1, base + "tail tweak"),        # near-dup of corpus 100
+         (2, "fresh batch document with its own words " * 8)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in D.incremental_minhash_dedup(
+            corpus, batch, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {(1, 100)}, out
+    assert 0.5 <= out[(1, 100)] <= 1.0
