@@ -54,6 +54,8 @@ def test_registry_shape():
         "agg_approx",
         "sketch_hll",
         "sketch_topk",
+        "sketch_cms",
+        "dedup_incremental_minhash",
         "dedup_embedding",
         "fn_hash_full",
         "fn_misc",
