@@ -354,6 +354,34 @@ def quota_cap(
     )
 
 
+def reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "res",
+) -> DataFrame:
+    """Deterministic uniform k-per-stratum sample ("reservoir" contract
+    without reservoir state): rank rows inside each stratum by
+    (md5(salt:id), id) and keep the first k. Unlike stratified_sample
+    (a RATE per stratum) this guarantees an exact COUNT per stratum —
+    the eval-set / per-domain-probe construction.
+
+    Same WindowGroupLimit shape as quota_cap: map tasks pre-prune to
+    their local top-k per stratum before the shuffle, so the exchange
+    carries O(strata * k * tasks) rows regardless of corpus size, and
+    membership is reproducible across engines and runs (md5 order,
+    id tiebreak)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy(strata_col).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("_h")
+    )
+
+
 def shuffle_order(
     df: DataFrame, id_col: str, salt: str = "order", n: int | None = None
 ) -> DataFrame:

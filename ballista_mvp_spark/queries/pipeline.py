@@ -348,6 +348,30 @@ ORDER BY doc_id
 """
 
 
+def pipeline_reservoir(spark, sf_dir):
+    """Deterministic uniform 5-per-language sample (operators/pipeline.
+    reservoir_sample): exact per-stratum COUNT (vs pipeline_mixture's
+    per-stratum rate), md5-ranked so both engines agree on membership.
+    Compiles to the same WindowGroupLimit map-side prune as
+    pipeline_quota."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        P.reservoir_sample(docs, "doc_id", "lang", k=5, salt="res")
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+PIPELINE_RESERVOIR_ORACLE = """
+WITH h AS (SELECT doc_id, lang, md5('res:' || doc_id) AS m FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rk
+      FROM h)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
 def pipeline_quota(spark, sf_dir):
     """Per-source quota capping: keep the 10 best documents of each
     source by the composite quality score (ties by doc_id). Compiles to
@@ -866,6 +890,7 @@ QUERIES = {
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
     "pipeline_quota": pipeline_quota,
+    "pipeline_reservoir": pipeline_reservoir,
     "pipeline_importance": pipeline_importance,
     "pipeline_shuffle": pipeline_shuffle,
     "pipeline_funnel": pipeline_funnel,
@@ -891,6 +916,7 @@ ORACLES = {
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
+    "pipeline_reservoir": PIPELINE_RESERVOIR_ORACLE,
     "pipeline_importance": PIPELINE_IMPORTANCE_ORACLE,
     "pipeline_shuffle": PIPELINE_SHUFFLE_ORACLE,
     "pipeline_funnel": PIPELINE_FUNNEL_ORACLE,
