@@ -499,3 +499,166 @@ def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.table(qname).orderBy("user_id", "c_id", "p_id")
+
+
+def run_neardedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> None:
+    """Streaming corpus ingestion with a NEAR-dup gate — the end-to-end
+    shape of a long-lived training-data pipeline: documents arrive as
+    files, each micro-batch is (1) near-deduped WITHIN the batch
+    (min-id survives), (2) probed against the MATERIALIZED corpus LSH
+    index (per-batch cost independent of corpus size — the index stores
+    16-byte band rows + hashed shingle sets, never text), and (3)
+    survivors land in the accepted table while their band/shingle rows
+    extend the index.
+
+    Exactly-once: both sinks partition by the deterministic `_batch` id
+    and write with DYNAMIC partition overwrite, so a replayed batch
+    (restart from checkpoint) overwrites its own partition instead of
+    appending duplicates — the same idempotency discipline as
+    run_incremental_sink.
+    """
+    from ..operators import dedup as D
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).json(docs_dir)
+    rows_per_band = num_hashes // bands
+
+    def _shingle_bands(df: DataFrame):
+        hs = (
+            df.select(
+                F.col("doc_id").alias("_id"),
+                D.token_hashes(F.col("text")).alias("_th"),
+            )
+            .select("_id", D.hashed_shingles(F.col("_th"), shingle_k).alias("_hs"))
+            .persist()
+        )
+        sig = hs.select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda j: F.array_min(F.transform("_hs", lambda h: F.xxhash64(j, h))),
+            ).alias("_sig"),
+        )
+        bands_df = sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+        return hs, bands_df
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["doc_id"])
+        if not batch.take(1):
+            return
+        # (1) within-batch near-dup: larger id of every verified pair drops
+        dup_b = (
+            D.minhash_lsh_pairs(
+                batch, "doc_id", "text", num_hashes, bands,
+                shingle_k, jaccard_threshold,
+            )
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(dup_b, "doc_id", "left_anti")
+        hs, bands_df = _shingle_bands(batch)
+        # (2) probe the materialized corpus index (absent on first batch)
+        import os as _os
+
+        if _os.path.isdir(index_path) and any(
+            n.startswith("_batch=") for n in _os.listdir(index_path)
+        ):
+            idx = spark.read.parquet(index_path)
+            cand = (
+                bands_df.withColumnRenamed("_id", "batch_id")
+                .join(
+                    idx.select(F.col("_id").alias("corpus_id"), "band", "bh"),
+                    ["band", "bh"],
+                )
+                .select("batch_id", "corpus_id")
+                .distinct()
+            )
+            verified = (
+                cand.join(
+                    hs.select(F.col("_id").alias("batch_id"), F.col("_hs").alias("sh_b")),
+                    "batch_id",
+                )
+                .join(
+                    idx.filter(F.col("band") == 0)
+                    .select(F.col("_id").alias("corpus_id"), F.col("_hs").alias("sh_c")),
+                    "corpus_id",
+                )
+            )
+            jac = F.size(F.array_intersect("sh_b", "sh_c")) / F.size(
+                F.array_union("sh_b", "sh_c")
+            )
+            flagged = (
+                verified.filter(jac >= jaccard_threshold)
+                .select(F.col("batch_id").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(flagged, "doc_id", "left_anti")
+            hs, bands_df = _shingle_bands(batch)
+        # (3) idempotent writes: partition by the deterministic batch id
+        (
+            batch.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(accepted_path)
+        )
+        # shingle sets ride only on band-0 rows — the index stores each
+        # doc's set once, not once per band
+        (
+            bands_df.join(hs, "_id")
+            .select(
+                "_id",
+                "band",
+                "bh",
+                F.when(F.col("band") == 0, F.col("_hs")).alias("_hs"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(index_path)
+        )
+
+    q = (
+        src.writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(ingest)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

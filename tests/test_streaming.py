@@ -259,3 +259,40 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
         .count()
     )
     assert batch_h0 == 2
+
+
+def test_neardedup_ingest_gates_within_and_across_batches(spark, tmp_path):
+    """Streaming near-dup ingest gate: batch 1 plants a within-batch
+    near-dup (min-id survives); batch 2 — processed by a RESTARTED query
+    from the same checkpoint — plants a near-dup of an already-accepted
+    corpus doc (dropped via the materialized LSH index) plus a unique
+    doc (accepted). Final accepted set must be exactly the uniques."""
+    import json
+
+    from ballista_mvp_spark.streaming import run_neardedup_ingest
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content with its own vocabulary " * 6
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": base + "tiny tail tweak"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": other}) + "\n")
+    run_neardedup_ingest(spark, str(docs_dir), accepted, index, ckpt)
+    got1 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got1 == {1, 3}, got1
+
+    with open(docs_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": other + "small suffix"}) + "\n")
+        f.write(json.dumps({"doc_id": 5, "text": "a fifth document about unrelated topics " * 6}) + "\n")
+    run_neardedup_ingest(spark, str(docs_dir), accepted, index, ckpt)
+    got2 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got2 == {1, 3, 5}, got2
+    # index holds band rows for every accepted doc and nothing else
+    idx_ids = {r._id for r in spark.read.parquet(index).select("_id").distinct().collect()}
+    assert idx_ids == {1, 3, 5}, idx_ids
