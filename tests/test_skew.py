@@ -171,6 +171,11 @@ def test_aqe_skew_split_fires_and_bounds_runtime(spark):
         return n, dt, plan
 
     try:
+        # untimed warmup: the first execution of this plan shape pays
+        # whole-stage-codegen compilation; without it the ratio below
+        # compares (compile + skewed run) against a warm uniform run and
+        # flakes on shared machines
+        run(skewed=False)
         n_skew, t_skew, plan_skew = run(skewed=True)
         n_uni, t_uni, _ = run(skewed=False)
     finally:
