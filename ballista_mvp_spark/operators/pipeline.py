@@ -484,6 +484,43 @@ def chunk_documents(
     )
 
 
+def histogram(
+    df: DataFrame, col: str, bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution
+    profiler behind skew audits and bin-boundary choices. Two passes:
+    a 1-row (min, max) agg broadcast back, then one map-side-combined
+    groupBy on the bin id — shuffle rows = bins × partitions, never the
+    data. Bin width is (max−min)/bins; the max value folds into the last
+    bin (standard half-open bins with a closed final edge)."""
+    stats = df.agg(
+        F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    bin_id = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(col) - F.col("_lo")) / width).cast("int"),
+    )
+    return (
+        df.select(F.col(col)).where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_id.alias("bin"), "_lo", (width).alias("_w"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("_lo").alias("_l"),
+            F.first("_w").alias("_ww"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_l") + F.col("bin") * F.col("_ww"), 6).alias("bin_lo"),
+            F.round(F.col("_l") + (F.col("bin") + 1) * F.col("_ww"), 6).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass column profiler — the data-quality observability primitive
     a curation pipeline runs before/after every stage: per column, row

@@ -628,6 +628,28 @@ ORDER BY b.doc_id
 """
 
 
+def profile_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals (operators/pipeline.
+    histogram): 1-row (min, max) broadcast + one map-side-combined bin
+    groupBy — shuffle rows = bins × partitions, never the data. The
+    distribution profiler behind skew audits and bin-boundary picks."""
+    o = _t(spark, sf_dir, "orders")
+    return P.histogram(o, "o_totalprice", bins=20)
+
+
+PROFILE_HISTOGRAM_ORACLE = """
+WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                  CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+b AS (SELECT least(19, CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS INT)) AS bin,
+             lo, (hi - lo) / 20 AS w
+      FROM orders, s WHERE o_totalprice IS NOT NULL)
+SELECT bin, count(*) AS n,
+       round(min(lo) + bin * min(w), 6) AS bin_lo,
+       round(min(lo) + (bin + 1) * min(w), 6) AS bin_hi
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def profile_documents(spark, sf_dir):
     """One-pass column profiler (operators/pipeline.profile_columns) over
     every documents column: rows, nulls, exact distincts, min/max — the
@@ -899,6 +921,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "profile_documents": profile_documents,
+    "profile_histogram": profile_histogram,
     "pipeline_leakage": pipeline_leakage,
 }
 
@@ -924,5 +947,6 @@ ORACLES = {
     "pipeline_chunk": PIPELINE_CHUNK_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "profile_documents": PROFILE_DOCUMENTS_ORACLE,
+    "profile_histogram": PROFILE_HISTOGRAM_ORACLE,
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
 }
