@@ -807,6 +807,55 @@ ORDER BY node
 """
 
 
+def events_paths(spark, sf_dir):
+    """Frequent user-journey mining: top-20 length-3 event-type paths
+    across per-user (ts, event_id)-ordered histories. One groupBy(user)
+    shuffle builds each user's ordered sequence (collect_list of structs
+    + array_sort — order is data-defined, not partition-defined), paths
+    are array slices (no second explode-join), and the path count is a
+    map-side-combined groupBy. Top-20 compiles to TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("_seq")
+        )
+        .where(F.size("_seq") >= 3)
+    )
+    paths = seq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_seq") - 2),
+                lambda i: F.concat_ws(
+                    ">", F.get("_seq", i - 1), F.get("_seq", i), F.get("_seq", i + 1)
+                ),
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+EVENTS_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+  FROM events GROUP BY user_id HAVING count(*) >= 3),
+p AS (
+  SELECT s[i] || '>' || s[i+1] || '>' || s[i+2] AS path
+  FROM seq, unnest(generate_series(1, len(s) - 2)) AS u(i))
+SELECT path, count(*) AS n FROM p GROUP BY path
+ORDER BY n DESC, path LIMIT 20
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
@@ -828,6 +877,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
     "events_type_share": events_type_share,
+    "events_paths": events_paths,
     "streaming_tumbling": streaming_tumbling,
     "streaming_sliding": streaming_sliding,
     "graph_pagerank": graph_pagerank,
@@ -855,6 +905,7 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_topk_users": EVENTS_TOPK_ORACLE,
     "events_type_share": EVENTS_TYPE_SHARE_ORACLE,
+    "events_paths": EVENTS_PATHS_ORACLE,
     "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
