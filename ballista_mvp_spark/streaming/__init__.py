@@ -662,3 +662,66 @@ def run_neardedup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_cms_rollup(
+    spark: SparkSession,
+    docs_dir: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 8192,
+) -> None:
+    """Incremental term-frequency sketching: each micro-batch of
+    documents writes its own PARTIAL count-min sketch (operators/
+    sketch.cms_build over the batch's tokens) into a batch-partitioned
+    table; readers merge partials by counter addition (read_cms).
+
+    This is the mergeable-sketch rollup discipline end-to-end: per-batch
+    state is ≤ d·w rows no matter how much text arrived, no batch ever
+    re-reads the corpus, and replayed batches (checkpoint restart)
+    OVERWRITE their own partition — idempotent by construction, the same
+    dynamic-partition trick as run_incremental_sink."""
+    from ..operators import dedup as D
+    from ..operators import sketch as SK
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).json(docs_dir)
+
+    def roll(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(D.tokens(F.col("text"))).alias("term"))
+        (
+            SK.cms_build(toks, "term", depth, width)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sketch_path)
+        )
+
+    q = (
+        src.writeStream.option("checkpointLocation", checkpoint_path)
+        .foreachBatch(roll)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge the batch-partial sketches into the current corpus sketch
+    (counter addition — associative, so any subset of partials is also a
+    valid sketch)."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -296,3 +296,37 @@ def test_neardedup_ingest_gates_within_and_across_batches(spark, tmp_path):
     # index holds band rows for every accepted doc and nothing else
     idx_ids = {r._id for r in spark.read.parquet(index).select("_id").distinct().collect()}
     assert idx_ids == {1, 3, 5}, idx_ids
+
+
+def test_cms_rollup_partials_merge_to_direct_sketch(spark, tmp_path):
+    """Incremental sketch rollup: per-batch partial CMS tables, merged on
+    read, must equal the sketch built directly on all text — including
+    after a checkpoint restart processes a second batch."""
+    import json
+
+    from ballista_mvp_spark.operators import dedup as D
+    from ballista_mvp_spark.operators import sketch as SK
+    from ballista_mvp_spark.streaming import read_cms, run_cms_rollup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = "alpha beta gamma alpha"
+    t2 = "beta beta delta"
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": t1}) + "\n")
+    run_cms_rollup(spark, str(docs_dir), sketch, ckpt, depth=3, width=256)
+    with open(docs_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": t2}) + "\n")
+    run_cms_rollup(spark, str(docs_dir), sketch, ckpt, depth=3, width=256)
+
+    merged = read_cms(spark, sketch)
+    both = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    toks = both.select(F.explode(D.tokens(F.col("text"))).alias("term"))
+    direct = SK.cms_build(toks, "term", 3, 256)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+    items = spark.createDataFrame([("alpha",), ("beta",), ("delta",)], ["term"])
+    est = {r.term: r.est for r in SK.cms_estimate(merged, items, "term", 3, 256).collect()}
+    assert est == {"alpha": 2, "beta": 3, "delta": 1}
