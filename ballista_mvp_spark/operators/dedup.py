@@ -549,7 +549,16 @@ def simhash_pairs(
     agreement on ≥1 of 4 bands for most pairs; standard simhash banding)."""
     # persist: signatures feed both self-join sides
     base = simhash_signatures(df, id_col, text_col, max_tokens=max_tokens).persist()
-    banded = base.select(
+    return hamming_band_pairs(base, max_hamming)
+
+
+def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """(_id, sh) 64-bit signatures → (a, b, hamming ≤ max_hamming) pairs
+    via 4×16-bit band exact-match (pigeonhole banding) — the shared
+    pairing stage of SimHash text dedup and perceptual-hash media dedup.
+    Shuffles (band, chunk, id, sh) rows only; candidates verify with one
+    codegen'd bit_count."""
+    banded = sigs.select(
         "_id",
         "sh",
         F.explode(

@@ -122,3 +122,40 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """63-bit average-hash perceptual signature per media row — the
+    image-near-dup primitive (pHash family). The DECODE step is the
+    deterministic byte fake (first 63 payload bytes as grayscale
+    pixels) — in production, plug the real decode into the same
+    Arrow-batched pandas_udf and the rest of the pipeline (banding,
+    pairing, survivor pick) is unchanged, because it only ever sees the
+    64-bit signature column.
+
+    Bit i is set iff pixel_i > mean(pixels): near-identical payloads
+    land within a few Hamming bits, unrelated ones near 32."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ahash(payload: pd.Series) -> pd.Series:
+        def one(b) -> int:
+            if b is None:
+                return 0
+            px = np.frombuffer(bytes(b[:63]).ljust(63, b"\0"), dtype=np.uint8)
+            bits = px > px.mean()
+            return int(np.packbits(np.append(bits, False)).view(">u8")[0]) >> 1
+
+        return payload.map(one)
+
+    return media.select(F.col("media_id").alias("_id"), _ahash("payload").alias("sh"))
+
+
+def phash_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Media near-dup pairs: perceptual average-hash + the shared
+    Hamming band join (dedup.hamming_band_pairs). Payload bytes never
+    shuffle — only (id, 8-byte signature) rows."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(perceptual_hash(media).persist(), max_hamming)

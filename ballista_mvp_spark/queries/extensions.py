@@ -757,6 +757,46 @@ FROM m ORDER BY media_id
 """
 
 
+def multimodal_phash(spark, sf_dir):
+    """Perceptual-hash media near-dup (operators/multimodal.
+    phash_dup_pairs): 63-bit average-hash signatures via the Arrow-
+    batched fake-decode pandas_udf, paired by the shared Hamming band
+    join at distance ≤ 3 — the pigeonhole-EXACT regime (≤ 3 differing
+    bits cannot touch all four 16-bit bands), so the banded plan finds
+    exactly the all-pairs answer and DuckDB certifies it value-for-value
+    by rebuilding the identical signatures from the identical bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.phash_dup_pairs(M.media_from_documents(docs), max_hamming=3).orderBy(
+        "a", "b"
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lower(to_hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+px AS (
+  SELECT doc_id, i,
+    CASE WHEN i <= n THEN
+      (CASE WHEN ascii(substr(h, 2*i-1, 1)) >= 97 THEN ascii(substr(h, 2*i-1, 1)) - 87
+            ELSE ascii(substr(h, 2*i-1, 1)) - 48 END) * 16 +
+      (CASE WHEN ascii(substr(h, 2*i, 1)) >= 97 THEN ascii(substr(h, 2*i, 1)) - 87
+            ELSE ascii(substr(h, 2*i, 1)) - 48 END)
+    ELSE 0 END AS v
+  FROM b, unnest(generate_series(1, 63)) AS u(i)),
+m AS (SELECT doc_id, avg(v) AS mu FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN v > mu THEN 1::BIGINT << (62 - (i - 1)) ELSE 0 END) AS BIGINT) AS sh
+  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY a, b
+"""
+
+
 def sketch_hll(spark, sf_dir):
     """Mergeable HLL distinct-count sketches (Datasketches via Spark's
     hll_sketch_agg): per-event-type user sketches + a global estimate
@@ -979,6 +1019,7 @@ QUERIES = {
     "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_phash": multimodal_phash,
     "multimodal_frames": multimodal_frames,
 }
 
@@ -1004,5 +1045,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
+    "multimodal_phash": MULTIMODAL_PHASH_ORACLE,
     "multimodal_frames": MULTIMODAL_FRAMES_ORACLE,
 }

@@ -150,3 +150,24 @@ def test_sketch_topk_exact_below_capacity(spark):
     kth = got[-1][1]
     excluded = [n for t, n in exact.items() if t not in {i for i, _ in got}]
     assert all(n <= kth for n in excluded)
+
+
+def test_phash_flags_near_identical_payloads_only(spark):
+    from ballista_mvp_spark.operators import multimodal as M
+
+    base = "x" * 30 + "PATTERN-HEAVY-BYTES-0123456789" + "y" * 40
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base[:-1] + "z", "s"),                 # tail change beyond 63 bytes: identical hash
+            (3, "completely different payload bytes " * 4, "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    media = M.media_from_documents(docs)
+    sigs = {r._id: r.sh for r in M.perceptual_hash(media).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert all(0 <= v < 2 ** 63 for v in sigs.values())
+    pairs = {(r.a, r.b): r.hamming for r in M.phash_dup_pairs(media, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
