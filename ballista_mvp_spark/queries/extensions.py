@@ -900,6 +900,44 @@ FROM nll GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_zipf(spark, sf_dir):
+    """Zipf-law fit of the corpus token-frequency distribution: slope/R²
+    of log(count) over log(rank) for the top-200 terms — the
+    distribution-health statistic (a slope far from −1 flags boilerplate
+    or truncation artifacts in a crawl). One token explode + count, a
+    window rank over the slim (term, count) table, and a single
+    regression aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "term"))
+    ).filter(F.col("rk") <= 200)
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rk")), 6).alias("r2"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+TEXT_ZIPF_ORACLE = r"""
+WITH counts AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+c AS (SELECT term, count(*) AS n FROM counts GROUP BY term),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk FROM c)
+SELECT round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+       round(regr_r2(ln(n), ln(rk)), 6) AS r2,
+       count(*) AS n_terms
+FROM r WHERE rk <= 200
+"""
+
+
 def text_bigram_lm(spark, sf_dir):
     """Corpus bigram language-model table: P(w2|w1) = c(w1,w2)/c(w1) for
     the 30 most frequent bigrams. One token explode feeds BOTH counts
@@ -989,6 +1027,7 @@ QUERIES = {
     "sketch_hll": sketch_hll,
     "text_bigram_lm": text_bigram_lm,
     "text_perplexity": text_perplexity,
+    "text_zipf": text_zipf,
     "sketch_topk": sketch_topk,
     "sketch_cms": sketch_cms,
     "dedup_exact": dedup_exact,
@@ -1026,6 +1065,7 @@ QUERIES = {
 ORACLES = {
     "text_bigram_lm": TEXT_BIGRAM_LM_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
+    "text_zipf": TEXT_ZIPF_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_exact_keys": DEDUP_EXACT_KEYS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
