@@ -650,6 +650,72 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def pipeline_drift(spark, sf_dir):
+    """Population-stability index (PSI) between two corpus slices — the
+    data-drift monitor run between crawl snapshots before mixing them:
+    document-length distribution of source src0 vs the rest over 10
+    equi-width bins (bounds from the FULL corpus so both slices bin
+    identically), add-one smoothed so empty bins stay finite. One
+    (min, max) broadcast + one bin groupBy per slice; PSI < 0.1 is the
+    classic "no significant shift" reading."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.col("source") == "src0"
+    stats = docs.agg(
+        F.min("n_chars").cast("double").alias("_lo"),
+        F.max("n_chars").cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / 10
+    bin_id = F.least(
+        F.lit(9), F.floor((F.col("n_chars") - F.col("_lo")) / width).cast("int")
+    )
+    binned = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(bin_id.alias("bin"), a.alias("_a"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("n_b"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"),
+        F.count("*").alias("_nb"),
+    )
+    pa = (F.col("n_a") + 1) / (F.col("_ta") + F.col("_nb"))
+    pb = (F.col("n_b") + 1) / (F.col("_tb") + F.col("_nb"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+PIPELINE_DRIFT_ORACLE = """
+WITH s AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+b AS (SELECT least(9, CAST(floor((n_chars - lo) / ((hi - lo) / 10)) AS INT)) AS bin,
+             source = 'src0' AS a
+      FROM documents, s),
+g AS (SELECT bin,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM b GROUP BY bin),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM g)
+SELECT bin, n_a, n_b,
+       round((n_a + 1) / (ta + nb), 6) AS p_a,
+       round((n_b + 1) / (tb + nb), 6) AS p_b,
+       round(((n_a + 1) / (ta + nb) - (n_b + 1) / (tb + nb))
+             * ln(((n_a + 1) / (ta + nb)) / ((n_b + 1) / (tb + nb))), 6) AS psi_term
+FROM g, t ORDER BY bin
+"""
+
+
 def profile_documents(spark, sf_dir):
     """One-pass column profiler (operators/pipeline.profile_columns) over
     every documents column: rows, nulls, exact distincts, min/max — the
@@ -922,6 +988,7 @@ QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "profile_documents": profile_documents,
     "profile_histogram": profile_histogram,
+    "pipeline_drift": pipeline_drift,
     "pipeline_leakage": pipeline_leakage,
 }
 
@@ -948,5 +1015,6 @@ ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "profile_documents": PROFILE_DOCUMENTS_ORACLE,
     "profile_histogram": PROFILE_HISTOGRAM_ORACLE,
+    "pipeline_drift": PIPELINE_DRIFT_ORACLE,
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
 }
