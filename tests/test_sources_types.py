@@ -154,6 +154,29 @@ def test_bucketed_join_skips_shuffle(spark, scratch):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, scratch):
+    """Dynamic partition pruning: a hive-partitioned fact joined on its
+    partition column to a selectively-filtered dim must scan ONLY the
+    partitions the dim's filter survives — Spark injects a
+    `dynamicpruningexpression` subquery/broadcast-reuse filter into the
+    fact scan's PartitionFilters at runtime. At 100 TB this is the
+    difference between reading one month and reading the whole table
+    when the pruning value is only known after the dim filter runs."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    fact = orders.withColumn("o_month", F.month("o_orderdate"))
+    path = os.path.join(scratch, "orders_dpp")
+    sources.write_table(fact, path, partition_by=["o_month"])
+    back = sources.read_partitioned(spark, path)
+    dim = spark.createDataFrame(
+        [(m, f"m{m:02d}") for m in range(1, 13)], "m int, label string"
+    ).filter(F.col("label") == "m03")
+    joined = back.join(dim, back.o_month == dim.m).select("o_orderkey", "o_month")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expect = orders.filter(F.month("o_orderdate") == 3).count()
+    assert joined.count() == expect
+
+
 def test_jsonl_roundtrip_documents(spark, scratch):
     """JSONL (newline-delimited JSON — the de-facto training-corpus
     interchange format) round trip: write_table(format='json') emits one
