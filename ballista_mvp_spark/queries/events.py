@@ -856,8 +856,59 @@ ORDER BY n DESC, path LIMIT 20
 """
 
 
+def events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of daily event counts per
+    type (adjusted EWMA, alpha=0.3). The recurrence y_t = a*x_t +
+    (1-a)*y_{t-1} is closed-form as a ratio of two cumulative sums with
+    weights p^{-i} (p = 1-a, i = day index): the p^t factors cancel in
+    the ratio, so the whole thing is two running sums over one window —
+    one shuffle on event_type, partitions bounded by #days (p^{-i} stays
+    finite to ~900 daily points at p=0.7, far past any real partition).
+    No recursion, no Python, no iterative loop."""
+    e = _t(spark, sf_dir, "events")
+    p = 0.7  # 1 - alpha
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    d2 = daily.withColumn("_i", F.row_number().over(wo).cast("double"))
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    num = F.sum(F.col("n") * F.pow(F.lit(p), -F.col("_i"))).over(wc)
+    den = F.sum(F.pow(F.lit(p), -F.col("_i"))).over(wc)
+    return (
+        d2.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(num / den, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_EWMA_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS DOUBLE) AS _i
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(sum(n * pow(0.7, -_i)) OVER w / sum(pow(0.7, -_i)) OVER w,
+             6) AS ewma
+FROM idx
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_ewma": events_ewma,
     "events_funnel": events_funnel,
     "events_anomaly": events_anomaly,
     "events_cum_users": events_cum_users,
@@ -886,6 +937,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
+    "events_ewma": EVENTS_EWMA_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "events_anomaly": EVENTS_ANOMALY_ORACLE,
     "events_cum_users": EVENTS_CUM_USERS_ORACLE,
