@@ -31,10 +31,15 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     right_time <= left_time (direction='backward'; 'forward' gives the
     next right row at-or-after). Output: all left columns + value_cols.
+    `tolerance_seconds` nulls the match when the matched right row is
+    further than that from the left time (pandas merge_asof tolerance) —
+    the matched time rides along as one extra carried column, so the
+    bound costs no extra shuffle or join.
 
     Implementation: tag and union; within each key, sort by (time, tag)
     and carry the last non-null right value forward (last(ignorenulls)
@@ -73,11 +78,21 @@ def asof_join(
     carried = unioned.select(
         "_is_left",
         "_lrow",
+        "_t",
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True
+        ).over(w).alias("_mt"),
         *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
+    )
+    in_tol = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.abs(F.unix_timestamp("_t") - F.unix_timestamp("_mt"))
+        <= F.lit(tolerance_seconds)
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        *[F.when(in_tol, F.col(f"_v_{c}")).alias(c) for c in value_cols],
     )
     return out
 

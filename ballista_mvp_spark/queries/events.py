@@ -345,6 +345,44 @@ ORDER BY event_id
 """
 
 
+def events_asof_tolerance(spark, sf_dir):
+    """Forward as-of join with a tolerance bound: for every 'view' event,
+    the NEXT 'purchase' value by the same user at-or-after it, nulled
+    when that purchase is more than 48h out (pandas merge_asof
+    direction='forward', tolerance). Same union+window plan as the
+    backward case — the tolerance is a carried-column filter, not an
+    extra join."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("next_v")
+    )
+    out = asof_join(
+        views, purchases, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["next_v"], direction="forward",
+        tolerance_seconds=48 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id", F.date_format("ts", TS_FMT).alias("ts_s"), "next_v"
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_TOLERANCE_ORACLE = """
+SELECT v.event_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CASE WHEN epoch(p.ts) - epoch(v.ts) <= 48 * 3600
+            THEN round(p.value, 6) END AS next_v
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND p.ts >= v.ts
+ORDER BY event_id
+"""
+
+
 def events_range_join(spark, sf_dir):
     """Range (interval) join (extension — absent from the reference):
     purchases within 1 hour after each signup by the same user.
@@ -918,6 +956,7 @@ QUERIES = {
     "streaming_join": streaming_join,
     "streaming_session_close": streaming_session_close,
     "events_asof_join": events_asof_join,
+    "events_asof_tolerance": events_asof_tolerance,
     "events_range_join": events_range_join,
     "streaming_sessionize": streaming_sessionize,
     "streaming_dedup": streaming_dedup,
@@ -947,6 +986,7 @@ ORACLES = {
     "streaming_join": STREAMING_JOIN_ORACLE,
     "streaming_session_close": STREAMING_SESSION_CLOSE_ORACLE,
     "events_asof_join": EVENTS_ASOF_ORACLE,
+    "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_ORACLE,
     "events_range_join": EVENTS_RANGE_JOIN_ORACLE,
     "streaming_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
