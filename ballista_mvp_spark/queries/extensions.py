@@ -534,6 +534,98 @@ def text_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def text_quality_model(spark, sf_dir):
+    """Quality-classifier INFERENCE: a fasttext-style logistic model over
+    the engineered text features (fixed offline-trained weights, sigmoid
+    head, 0.5 decision threshold). The whole forward pass is codegen'd
+    column arithmetic — at 100 TB this is a zero-shuffle map stage, the
+    shape any model-based quality filter (fasttext, DCLM classifier)
+    compiles to once its features are column expressions. Features are
+    rounded to 6 before the dot product so both engines feed identical
+    inputs to exp()."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    nc = F.greatest(F.char_length(t), F.lit(1))
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    s1 = docs.select(
+        "doc_id",
+        F.round(
+            (F.char_length(t) - F.char_length(F.regexp_replace(t, r"[^\w\s]", "")))
+            / nc, 6,
+        ).alias("punct_r"),
+        F.round(
+            (F.char_length(t)
+             - F.char_length(F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))) / nc,
+            6,
+        ).alias("upper_r"),
+        F.round(
+            (F.char_length(t) - F.char_length(F.translate(t, "0123456789", ""))) / nc,
+            6,
+        ).alias("digit_r"),
+        F.split(norm, " ").alias("_t"),
+        F.char_length(norm).alias("_nlen"),
+    )
+    nt = F.size("_t")
+    ntg = F.greatest(nt, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS["en"]])
+    s2 = s1.select(
+        "doc_id",
+        "punct_r",
+        "upper_r",
+        "digit_r",
+        F.round((F.col("_nlen") - (nt - 1)) / ntg, 6).alias("avg_wlen"),
+        F.round(
+            F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / ntg, 6
+        ).alias("sw_ratio"),
+        F.round(F.log1p(nt), 6).alias("log_nw"),
+    )
+    z = (
+        F.lit(-2.0)
+        + 4.0 * F.col("sw_ratio")
+        - 6.0 * F.col("punct_r")
+        - 3.0 * F.col("digit_r")
+        - 2.0 * F.col("upper_r")
+        + 0.15 * F.col("avg_wlen")
+        + 0.35 * F.col("log_nw")
+    )
+    out = s2.select(
+        "doc_id",
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5).cast("int").alias("keep"),
+    )
+    return out.orderBy("doc_id")
+
+
+TEXT_QUALITY_MODEL_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+         greatest(length(text), 1) AS nc,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / nc, 6) AS punct_r,
+         round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / nc, 6) AS upper_r,
+         round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6) AS digit_r,
+         round((length(norm) - (len(t) - 1)) * 1.0 / greatest(len(t), 1), 6) AS avg_wlen,
+         round(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+               * 1.0 / greatest(len(t), 1), 6) AS sw_ratio,
+         round(ln(1 + len(t)), 6) AS log_nw
+  FROM base),
+z AS (
+  SELECT doc_id,
+         -2.0 + 4.0 * sw_ratio - 6.0 * punct_r - 3.0 * digit_r
+         - 2.0 * upper_r + 0.15 * avg_wlen + 0.35 * log_nw AS zv
+  FROM m)
+SELECT doc_id, round(zv, 6) AS z,
+       round(1.0 / (1.0 + exp(-zv)), 6) AS score,
+       CAST(1.0 / (1.0 + exp(-zv)) >= 0.5 AS INT) AS keep
+FROM z ORDER BY doc_id
+"""
+
+
 TEXT_QUALITY_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, text,
@@ -1052,6 +1144,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
+    "text_quality_model": text_quality_model,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1080,6 +1173,7 @@ ORACLES = {
     "sim_quantize": SIM_QUANTIZE_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
+    "text_quality_model": TEXT_QUALITY_MODEL_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
