@@ -1,0 +1,144 @@
+"""Persistent IVF index — build once, probe many times.
+
+The in-session ANN operators (similarity.ivf_ann_topk) refit the coarse
+quantizer per call; at production scale the index is a durable artifact:
+train the quantizer once, assign the full corpus once, and serve probes
+against the stored layout forever (the FAISS on-disk / Milvus segment
+shape). This module persists the index as two parquet tables:
+
+- ``<path>/centroids``    — (cell int, centroid array<double>); tiny,
+  read driver-side at probe time.
+- ``<path>/assignments``  — (vec_id, cell, embedding), HIVE-PARTITIONED
+  BY cell. Partitioning is the scale design: a probe touches n_probe
+  cells per query, so the scan prunes to those partition directories
+  (PartitionFilters on cell, plan-asserted in tests) — at 10⁹ vectors
+  and 1024 cells a 4-probe query reads ~0.4% of the corpus bytes, and
+  no shuffle of the corpus ever happens after build time.
+
+Incremental ingest appends new vectors into their cells' partitions
+(dynamic partition append) without touching existing files — the same
+assign-only pass as the build, reusing the stored centroids.
+
+No analogue in the reference (its surface stops at SQL operators); the
+design follows the public IVF literature (Jégou et al., PQ/IVF) and
+composes entirely from DataFrame ops + one bounded driver-side fit
+(similarity.fit_quantizer's 4096-row deterministic sample).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .similarity import _cell_dists, cosine, fit_quantizer
+
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """(vec_id, cell, embedding): nearest-centroid assignment as a pure
+    JVM argmin over the centroid literal — the corpus-scale pass."""
+    nearest = F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        nearest.getField("cell").alias("cell"),
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Fit the quantizer (bounded deterministic sample), assign every
+    vector, and persist centroids + cell-partitioned assignments."""
+    spark = df.sparkSession
+    centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assigned = _assign_cells(df, id_col, vec_col, centroids)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    meta = {"n_cells": len(centroids), "dim": len(centroids[0]), "seed": seed}
+    with open(os.path.join(path, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest: assign the batch with the STORED centroids and
+    append into the matching cell partitions — existing files untouched,
+    no refit, no corpus rewrite."""
+    centroids = load_centroids(batch.sparkSession, path)
+    assigned = _assign_cells(batch, id_col, vec_col, centroids)
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assignments"))
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors from the stored index. The assignments
+    scan filters on `cell isin (probed cells)` — with the hive layout
+    that is partition pruning, not a full read. Queries are broadcast
+    (they are the small side by construction)."""
+    centroids = load_centroids(spark, path)
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_v"),
+        F.explode(
+            F.slice(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1, n_probe)
+        ).alias("_c"),
+    ).select("q_id", "q_v", F.col("_c.cell").alias("cell"))
+    assignments = spark.read.parquet(os.path.join(path, "assignments"))
+    cand = (
+        assignments.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_v"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
