@@ -9,7 +9,7 @@ DISTINCT/FILTER modifiers, and GROUPING SETS / CUBE / ROLLUP.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
@@ -740,6 +740,40 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def agg_mode(spark, sf_dir):
+    """Deterministic MODE: most frequent value per group, smallest value
+    winning ties (Spark's and DuckDB's native mode() are both
+    arbitrary-on-ties, so the deterministic contract is built as
+    count-then-rank — one extra shuffle over the grouped counts, which
+    are tiny by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("_n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("_n").desc(), F.col("l_quantity"))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 2).alias("mode_q"),
+            F.col("_n").alias("mode_n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS _n
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY _n DESC, l_quantity) AS _r
+  FROM c)
+SELECT l_returnflag, round(l_quantity, 2) AS mode_q, _n AS mode_n
+FROM r WHERE _r = 1 ORDER BY l_returnflag
+"""
+
+
 def agg_array_agg(spark, sf_dir):
     """ARRAY_AGG (datafusion.proto:536) — order-canonicalized to a joined
     string since collect order is partition-dependent by design."""
@@ -1117,6 +1151,7 @@ QUERIES = {
     "agg_stats": agg_stats,
     "agg_distinct_filter": agg_distinct_filter,
     "agg_median": agg_median,
+    "agg_mode": agg_mode,
     "agg_array_agg": agg_array_agg,
     "agg_approx": agg_approx,
     "agg_grouping_sets": agg_grouping_sets,
@@ -1167,6 +1202,7 @@ ORACLES = {
     "agg_stats": AGG_STATS_ORACLE,
     "agg_distinct_filter": AGG_DISTINCT_FILTER_ORACLE,
     "agg_median": AGG_MEDIAN_ORACLE,
+    "agg_mode": AGG_MODE_ORACLE,
     "agg_array_agg": AGG_ARRAY_AGG_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     "agg_cube": AGG_CUBE_ORACLE,
