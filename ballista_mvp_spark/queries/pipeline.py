@@ -964,7 +964,56 @@ FROM r WHERE pos <= 20 ORDER BY epoch, pos
 """
 
 
+def pipeline_shard_manifest(spark, sf_dir):
+    """Shard manifest for a corpus export: every document lands in one of
+    16 md5-assigned shards; the manifest row per shard carries count,
+    byte volume, and an ORDER-INSENSITIVE content checksum (bit_xor of a
+    per-row 60-bit hash) — the artifact a 100 TB writer emits next to its
+    shards so a reader can verify completeness and integrity without
+    re-sorting anything. One shuffle on the 16-value shard key; the
+    checksum is overflow-free and partition-order-independent by
+    construction (xor is commutative)."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15), 16, 10)
+        .cast("long") % 16
+    )
+    rowhash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            rowhash.alias("_h"),
+            F.char_length("text").alias("_nc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nc").alias("n_chars"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+PIPELINE_SHARD_MANIFEST_ORACLE = """
+WITH rows_h AS (
+  SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 16 AS shard,
+         ('0x' || substr(md5(doc_id || ':' || md5(text)), 1, 15))::BIGINT AS _h,
+         length(text) AS _nc
+  FROM documents)
+SELECT shard, count(*) AS n_docs, CAST(sum(_nc) AS BIGINT) AS n_chars,
+       bit_xor(_h) AS checksum
+FROM rows_h GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
+    "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_validate": pipeline_validate,
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
@@ -993,6 +1042,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_shard_manifest": PIPELINE_SHARD_MANIFEST_ORACLE,
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
