@@ -177,6 +177,28 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, scratch):
     assert joined.count() == expect
 
 
+def test_schema_evolution_merge_on_read(spark, scratch):
+    """Schema evolution: a corpus directory written over time where later
+    batches add columns must read back as one table (mergeSchema) with
+    nulls for the pre-evolution rows — and filters on the original
+    columns must still push down to the scan. At 100 TB you never
+    rewrite old shards to add a column."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = os.path.join(scratch, "evolving")
+    docs.filter(F.col("doc_id") < 50).write.mode("overwrite").parquet(path)
+    docs.filter(F.col("doc_id") >= 50).withColumn(
+        "quality", F.lit(0.5)
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"doc_id", "text", "quality"}
+    assert back.count() == docs.count()
+    old = back.filter(F.col("doc_id") < 50)
+    assert old.filter(F.col("quality").isNull()).count() == old.count()
+    filtered = back.filter(F.col("doc_id") >= 50)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,50)" in plan
+
+
 def test_jsonl_roundtrip_documents(spark, scratch):
     """JSONL (newline-delimited JSON — the de-facto training-corpus
     interchange format) round trip: write_table(format='json') emits one
