@@ -300,6 +300,79 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def scd2_point_in_time(spark, sf_dir):
+    """Point-in-time snapshot over the SCD2 dimension: per as-of
+    timestamp, the version valid at that instant (valid_from <= t <
+    valid_to, open-ended current rows) — the temporal-join correctness
+    contract every warehouse needs on top of SCD2. Two probe instants
+    straddle the merge's change timestamp; output is the per-(as_of,
+    segment) membership count. The probe list is a 2-row broadcast, so
+    the whole thing is a scan-filter + one small agg."""
+    from ..operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("PROMOTED").alias("seg"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 100000).alias("k"), F.lit("NEW").alias("seg")
+            )
+        )
+    )
+    merged = scd2_merge(
+        current, updates, key="k", attrs=["seg"],
+        change_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    asof = spark.createDataFrame(
+        [("2024-03-01 00:00:00",), ("2024-09-01 00:00:00",)], "as_of string"
+    ).select(F.col("as_of"), F.col("as_of").cast("timestamp").alias("_t"))
+    snap = merged.crossJoin(F.broadcast(asof)).filter(
+        (F.col("valid_from") <= F.col("_t"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("_t")))
+    )
+    return (
+        snap.groupBy("as_of", "seg")
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"))
+        .orderBy("as_of", "seg")
+    )
+
+
+SCD2_PIT_ORACLE = """
+WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+upd AS (
+  SELECT c_custkey AS k, 'PROMOTED' AS seg FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, 'NEW' FROM customer WHERE c_custkey < 50),
+scd AS (
+  SELECT cur.k, cur.seg, TIMESTAMP '2024-01-01 00:00:00' AS vf,
+         TIMESTAMP '2024-06-01 00:00:00' AS vt
+  FROM cur JOIN upd ON cur.k = upd.k WHERE cur.seg != upd.seg
+  UNION ALL
+  SELECT cur.k, cur.seg, TIMESTAMP '2024-01-01 00:00:00', NULL
+  FROM cur LEFT JOIN upd ON cur.k = upd.k WHERE upd.k IS NULL OR cur.seg = upd.seg
+  UNION ALL
+  SELECT upd.k, upd.seg, TIMESTAMP '2024-06-01 00:00:00', NULL
+  FROM upd JOIN cur ON cur.k = upd.k WHERE cur.seg != upd.seg
+  UNION ALL
+  SELECT upd.k, upd.seg, TIMESTAMP '2024-06-01 00:00:00', NULL
+  FROM upd LEFT JOIN cur ON cur.k = upd.k WHERE cur.k IS NULL),
+probes AS (
+  SELECT * FROM (VALUES ('2024-03-01 00:00:00'), ('2024-09-01 00:00:00')) p(as_of))
+SELECT as_of, seg, count(*) AS n, min(k) AS min_k
+FROM scd CROSS JOIN probes
+WHERE vf <= CAST(as_of AS TIMESTAMP)
+  AND (vt IS NULL OR vt > CAST(as_of AS TIMESTAMP))
+GROUP BY as_of, seg ORDER BY as_of, seg
+"""
+
+
 # -- similarity search -------------------------------------------------------
 
 
@@ -1134,6 +1207,7 @@ QUERIES = {
     "dedup_embedding_exact": dedup_embedding_exact,
     "dedup_semantic": dedup_semantic,
     "scd2_merge_customers": scd2_merge_customers,
+    "scd2_point_in_time": scd2_point_in_time,
     "sim_topk": sim_topk,
     "sim_maxsim": sim_maxsim,
     "sim_outliers": sim_outliers,
@@ -1167,6 +1241,7 @@ ORACLES = {
     "dedup_fuzzy": DEDUP_FUZZY_ORACLE,
     "dedup_embedding_exact": DEDUP_EMBEDDING_ORACLE,
     "scd2_merge_customers": SCD2_ORACLE,
+    "scd2_point_in_time": SCD2_PIT_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
     "sim_maxsim": SIM_MAXSIM_ORACLE,
     "sim_outliers": SIM_OUTLIERS_ORACLE,
