@@ -96,6 +96,43 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def fn_bitwise(spark, sf_dir):
+    """Bitwise BinaryExpr ops (datafusion.proto:430-436 op strings:
+    BitwiseAnd/Or/Xor/ShiftRight/ShiftLeft, plus unary NOT): &, |, ^,
+    <<, >>, ~ over integer keys — all whole-stage-codegen'd JVM
+    integer ops."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    a = F.col("l_orderkey")
+    b = F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.bitwiseAND(b).alias("and_v"),
+        a.bitwiseOR(b).alias("or_v"),
+        a.bitwiseXOR(b).alias("xor_v"),
+        F.shiftleft(b, 3).cast("long").alias("shl_v"),
+        F.shiftright(a, 2).cast("long").alias("shr_v"),
+        F.bitwise_not(b).alias("not_v"),
+        F.bit_count(a).alias("popcnt_v"),
+        F.getbit(a, F.lit(0)).alias("bit0_v"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+FN_BITWISE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_linenumber AS and_v,
+       l_orderkey | l_linenumber AS or_v,
+       xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_v,
+       CAST(l_linenumber AS BIGINT) << 3 AS shl_v,
+       l_orderkey >> 2 AS shr_v,
+       ~CAST(l_linenumber AS BIGINT) AS not_v,
+       CAST(bit_count(l_orderkey) AS INT) AS popcnt_v,
+       CAST(get_bit(l_orderkey::BIT, 63) AS TINYINT) AS bit0_v
+FROM lineitem WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def fn_string(spark, sf_dir):
     """String rows of §2.8 (part 1): Ascii BitLength Btrim CharacterLength
     Chr Concat ConcatWithSeparator InitCap Left Lower Lpad Ltrim."""
@@ -749,6 +786,7 @@ QUERIES = {
     "fn_url": fn_url,
     "fn_json": fn_json,
     "fn_math": fn_math,
+    "fn_bitwise": fn_bitwise,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udtf_ngrams": udtf_ngrams,
     "fn_variant": fn_variant,
@@ -771,6 +809,7 @@ ORACLES = {
     "fn_url": FN_URL_ORACLE,
     "fn_json": FN_JSON_ORACLE,
     "fn_math": FN_MATH_ORACLE,
+    "fn_bitwise": FN_BITWISE_ORACLE,
     "udf_pandas_scalar": UDF_PANDAS_ORACLE,
     "udtf_ngrams": UDTF_NGRAMS_ORACLE,
     "fn_variant": FN_VARIANT_ORACLE,
