@@ -1012,8 +1012,75 @@ FROM rows_h GROUP BY shard ORDER BY shard
 """
 
 
+def pipeline_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: old = documents; new = a deterministic
+    second version (every 10th doc dropped, every 7th surviving doc's
+    text revised, 30 fresh docs appended). FULL OUTER join on doc_id
+    comparing content fingerprints classifies added / removed / changed /
+    unchanged — the incremental-ingest audit every versioned 100 TB
+    corpus needs. The join shuffles 16-byte md5 keys, never text; output
+    is the per-status rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("fp"))
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+            ).otherwise(F.md5("text")).alias("fp"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("fp"),
+            )
+        )
+    )
+    j = old.withColumnRenamed("fp", "fp_old").join(
+        new.withColumnRenamed("fp", "fp_new"), "doc_id", "full"
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("status")
+    )
+
+
+PIPELINE_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 100000, md5('new:' || text) FROM documents WHERE doc_id < 30),
+j AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old.fp AS fp_old, new.fp AS fp_new
+  FROM old FULL JOIN new ON old.doc_id = new.doc_id),
+s AS (
+  SELECT doc_id,
+         CASE WHEN fp_old IS NULL THEN 'added'
+              WHEN fp_new IS NULL THEN 'removed'
+              WHEN fp_old = fp_new THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM j)
+SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
+    "pipeline_snapshot_diff": pipeline_snapshot_diff,
     "pipeline_validate": pipeline_validate,
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
@@ -1043,6 +1110,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_shard_manifest": PIPELINE_SHARD_MANIFEST_ORACLE,
+    "pipeline_snapshot_diff": PIPELINE_SNAPSHOT_DIFF_ORACLE,
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
