@@ -613,9 +613,18 @@ def text_quality_model(spark, sf_dir):
     head, 0.5 decision threshold). The whole forward pass is codegen'd
     column arithmetic — at 100 TB this is a zero-shuffle map stage, the
     shape any model-based quality filter (fasttext, DCLM classifier)
-    compiles to once its features are column expressions. Features are
-    rounded to 6 before the dot product so both engines feed identical
-    inputs to exp()."""
+    compiles to once its features are column expressions. Determinism
+    notes (each observed failing at sf0.1 before the fix): the length
+    feature is the saturating n/(n+100) (not ln — JVM vs libm last-ulp
+    drift); the head is the Elliott fast sigmoid 0.5 + 0.5·z/(1+|z|)
+    (not 1/(1+e^-z) — same exp() drift; same S-shape and z=0 decision
+    boundary); and the dot product runs in INTEGER units of 1e-8
+    (features scaled ×1e6 to exact BIGINTs, decimal weights ×1e2) —
+    decimal weights times 6-decimal features land EXACTLY on
+    round-half boundaries, where Spark (BigDecimal half-up on the
+    binary expansion) and DuckDB (scaled-multiply) legitimately
+    disagree. z8 is exact; the sigmoid ratio of integers never
+    terminates at 6 decimals, so its round is safe."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     nc = F.greatest(F.char_length(t), F.lit(1))
@@ -650,22 +659,26 @@ def text_quality_model(spark, sf_dir):
         F.round(
             F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / ntg, 6
         ).alias("sw_ratio"),
-        F.round(F.log1p(nt), 6).alias("log_nw"),
+        F.round(nt / (nt + F.lit(100.0)), 6).alias("len_sat"),
     )
-    z = (
-        F.lit(-2.0)
-        + 4.0 * F.col("sw_ratio")
-        - 6.0 * F.col("punct_r")
-        - 3.0 * F.col("digit_r")
-        - 2.0 * F.col("upper_r")
-        + 0.15 * F.col("avg_wlen")
-        + 0.35 * F.col("log_nw")
+    def i6(c):  # 6-decimal feature -> exact integer in 1e-6 units
+        return F.round(F.col(c) * 1e6).cast("long")
+
+    z8 = (
+        F.lit(-200000000)
+        + 400 * i6("sw_ratio")
+        - 600 * i6("punct_r")
+        - 300 * i6("digit_r")
+        - 200 * i6("upper_r")
+        + 15 * i6("avg_wlen")
+        + 35 * i6("len_sat")
     )
+    score = F.lit(0.5) + F.lit(0.5) * z8 / (F.lit(1.0e8) + F.abs(z8))
     out = s2.select(
         "doc_id",
-        F.round(z, 6).alias("z"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5).cast("int").alias("keep"),
+        z8.alias("z8"),
+        F.round(score, 6).alias("score"),
+        (z8 >= 0).cast("int").alias("keep"),
     )
     return out.orderBy("doc_id")
 
@@ -685,16 +698,21 @@ m AS (
          round((length(norm) - (len(t) - 1)) * 1.0 / greatest(len(t), 1), 6) AS avg_wlen,
          round(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
                * 1.0 / greatest(len(t), 1), 6) AS sw_ratio,
-         round(ln(1 + len(t)), 6) AS log_nw
+         round(len(t) / (len(t) + 100.0), 6) AS len_sat
   FROM base),
 z AS (
   SELECT doc_id,
-         -2.0 + 4.0 * sw_ratio - 6.0 * punct_r - 3.0 * digit_r
-         - 2.0 * upper_r + 0.15 * avg_wlen + 0.35 * log_nw AS zv
+         -200000000
+         + 400 * CAST(round(sw_ratio * 1e6) AS BIGINT)
+         - 600 * CAST(round(punct_r * 1e6) AS BIGINT)
+         - 300 * CAST(round(digit_r * 1e6) AS BIGINT)
+         - 200 * CAST(round(upper_r * 1e6) AS BIGINT)
+         + 15 * CAST(round(avg_wlen * 1e6) AS BIGINT)
+         + 35 * CAST(round(len_sat * 1e6) AS BIGINT) AS z8
   FROM m)
-SELECT doc_id, round(zv, 6) AS z,
-       round(1.0 / (1.0 + exp(-zv)), 6) AS score,
-       CAST(1.0 / (1.0 + exp(-zv)) >= 0.5 AS INT) AS keep
+SELECT doc_id, z8,
+       round(0.5 + 0.5 * z8 / (1.0e8 + abs(z8)), 6) AS score,
+       CAST(z8 >= 0 AS INT) AS keep
 FROM z ORDER BY doc_id
 """
 
