@@ -440,6 +440,63 @@ def run_incremental_sink(
         q.stop()
 
 
+def run_scd1_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    source: DataFrame | None = None,
+) -> None:
+    """Keyed SCD1 (latest-row-wins) streaming materialization: each
+    micro-batch collapses to one row per user (max event time,
+    event_id tie-break) and merges into a keyed parquet current-state
+    table. The merge is LATEST-WINS — target ∪ batch, keep the newest
+    row per key — not blind replacement: checkpoint recovery replays
+    the in-flight batch at-least-once, and a replayed OLDER batch must
+    not clobber newer state. Latest-wins is commutative and idempotent,
+    so any replay interleaving converges to the same table — the
+    exactly-once-per-key materialization claim, proven by the restart
+    test. Per-batch cost: one window over the batch + one
+    target-sized merge (with a partition_col this becomes the
+    touched-partition discipline of sources.merge_upsert)."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    ev = source if source is not None else _events_stream(spark, sf_dir)
+    slim = ev.select("user_id", "ts", "event_id", "event_type", "value")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        if _os.path.exists(out_path):
+            latest = spark.read.parquet(out_path).unionByName(latest)
+            latest = (
+                latest.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .drop("_r")
+            )
+        merged = latest.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        slim.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_static_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins a static
     dimension (customer) — Spark re-plans the static side per micro-batch

@@ -192,6 +192,66 @@ def test_checkpoint_restart_resumes_stream_state(spark, tmp_path):
     assert read_back() == expected
 
 
+def test_scd1_upsert_stream_restart_latest_wins(spark, tmp_path):
+    """Keyed SCD1 streaming sink: stop after half the input, restart from
+    the same checkpoint, and the current-state table must equal the
+    batch oracle (newest event per user, event_id tie-break). A replay
+    with nothing new must change nothing — latest-wins is idempotent."""
+    from pyspark.sql import Window as W
+
+    from ballista_mvp_spark.streaming import run_scd1_upsert_stream
+
+    ev = load_table(spark, SF_SMALL, "events")
+    chunks = ev.withColumn("_c", F.ntile(2).over(W.orderBy("ts", "event_id")))
+    staged = str(tmp_path / "staged")
+    chunks.write.partitionBy("_c").parquet(staged)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def add_chunk(i: int) -> None:
+        for j, f in enumerate(_glob.glob(f"{staged}/_c={i}/*.parquet")):
+            _shutil.copy(f, str(src_dir / f"chunk{i}_{j}.parquet"))
+
+    schema = ev.schema
+
+    def source():
+        return spark.readStream.schema(schema).parquet(str(src_dir))
+
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    add_chunk(1)
+    run_scd1_upsert_stream(spark, SF_SMALL, out, ckpt, source=source())
+    assert spark.read.parquet(out).count() > 0
+
+    add_chunk(2)
+    run_scd1_upsert_stream(spark, SF_SMALL, out, ckpt, source=source())
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = {
+        tuple(r)
+        for r in ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .collect()
+    }
+
+    def read_back():
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    assert read_back() == expected
+    # one row per user, exactly the active users
+    assert spark.read.parquet(out).count() == ev.select("user_id").distinct().count()
+
+    # replay with no new data: byte-stable state
+    run_scd1_upsert_stream(spark, SF_SMALL, out, ckpt, source=source())
+    assert read_back() == expected
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Watermark semantics certified across real micro-batches: once the
     late-event watermark has advanced past a window, an event for that
