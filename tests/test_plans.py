@@ -192,3 +192,27 @@ def test_maxsim_broadcasts_query_side(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan and "partial_sum" in plan
+
+
+def test_join_partition_mode_hints(spark):
+    """PartitionMode parity (reference HashJoinExecNode.PartitionMode,
+    datafusion.proto:1173-1177: COLLECT_LEFT / PARTITIONED / AUTO).
+    Spark's analogue: broadcast() forces COLLECT_LEFT, the merge /
+    shuffle_hash hints force the PARTITIONED strategies even when the
+    side is broadcastable, and no hint = AUTO (Catalyst + AQE decide).
+    At 100 TB the hints are the escape hatch when stats mislead AUTO."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    # COLLECT_LEFT: explicit broadcast
+    plan = _plan(o.join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    assert "BroadcastHashJoin" in plan
+    # PARTITIONED (sort-merge): forced despite broadcastable size
+    plan = _plan(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    # PARTITIONED (shuffled hash)
+    plan = _plan(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
