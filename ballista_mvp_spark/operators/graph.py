@@ -90,3 +90,37 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED simple graph
+    (direction and multi-edges collapsed to canonical a < b pairs).
+
+    Plan: wedge join on the middle vertex (a-b ⋈ b-c with a < b < c)
+    then one probe join against the edge set on (a, c) — each triangle
+    found exactly once, two equi-shuffles on 16-byte keys. At 100 TB
+    add the standard degree-ordered orientation (orient each edge
+    low-degree → high-degree before the wedge join) so wedge fan-out is
+    bounded by the graph's arboricity instead of max degree — same two
+    joins, one extra degree pass; the canonical a<b<c form here keeps
+    the query engine-portable for the DuckDB oracle."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        und.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -845,6 +845,91 @@ ORDER BY node
 """
 
 
+def graph_triangles(spark, sf_dir):
+    """Triangle participation per node of the interaction graph —
+    community-density profiling (operators/graph.triangle_counts: wedge
+    join + probe join on canonical a<b<c pairs, two 16-byte-key
+    shuffles). Top-20 by participation, node tiebreak."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        G.triangle_counts(_interaction_edges(e), "src", "dst")
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+GRAPH_TRIANGLES_ORACLE = """
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+dir_edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT node, n_triangles FROM per_node
+ORDER BY n_triangles DESC, node LIMIT 20
+"""
+
+
+def events_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — gaps-and-
+    islands: distinct (user, day), day-index minus row_number is the
+    island key, max island span is the streak. One shuffle on user_id;
+    state bounded by active days per user."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("g", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.count("*").alias("n_streaks"), F.max("len").alias("longest_streak"))
+        .join(
+            days.groupBy("user_id").agg(F.count("*").alias("n_active_days")),
+            "user_id",
+        )
+        .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .orderBy("user_id")
+    )
+
+
+EVENTS_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days),
+streaks AS (
+  SELECT user_id, g, count(*) AS len FROM isl GROUP BY user_id, g),
+agg AS (
+  SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak
+  FROM streaks GROUP BY user_id),
+act AS (SELECT user_id, count(*) AS n_active_days FROM days GROUP BY user_id)
+SELECT agg.user_id, n_active_days, n_streaks, longest_streak
+FROM agg JOIN act ON agg.user_id = act.user_id
+ORDER BY agg.user_id
+"""
+
+
 def events_paths(spark, sf_dir):
     """Frequent user-journey mining: top-20 length-3 event-type paths
     across per-user (ts, event_id)-ordered histories. One groupBy(user)
@@ -972,6 +1057,8 @@ QUERIES = {
     "streaming_sliding": streaming_sliding,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
+    "graph_triangles": graph_triangles,
+    "events_streaks": events_streaks,
 }
 
 ORACLES = {
@@ -1002,4 +1089,6 @@ ORACLES = {
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
+    "graph_triangles": GRAPH_TRIANGLES_ORACLE,
+    "events_streaks": EVENTS_STREAKS_ORACLE,
 }
