@@ -199,6 +199,27 @@ def test_schema_evolution_merge_on_read(spark, scratch):
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,50)" in plan
 
 
+def test_corrupt_file_handling_modes(spark, scratch):
+    """A 100 TB directory WILL contain a truncated/garbage file
+    eventually. Default: the scan fails loudly (no silent data loss).
+    With spark.sql.files.ignoreCorruptFiles: the scan completes with
+    the healthy files' rows — the explicit opt-in degraded mode."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = os.path.join(scratch, "with_corrupt")
+    docs.write.mode("overwrite").parquet(path)
+    n_good = docs.count()
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(path).count() == n_good
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
 def test_jsonl_roundtrip_documents(spark, scratch):
     """JSONL (newline-delimited JSON — the de-facto training-corpus
     interchange format) round trip: write_table(format='json') emits one
