@@ -300,6 +300,62 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def text_lexical(spark, sf_dir):
+    """Lexical-diversity profile per document: token count, distinct
+    tokens, type-token ratio, and Shannon token entropy (bits). One
+    (doc, token) shuffle with map-side combine; the entropy fold runs
+    over the per-doc count table (vocabulary-sized, not corpus-sized).
+    Low entropy + low TTR = template/boilerplate detector — the signal
+    behind repetition-based quality filters."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("n_tok")
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("n_types"),
+        )
+        .join(counts, "doc_id")
+        .groupBy("doc_id", "n_tok", "n_types")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tok"), 6).alias("ttr"),
+        "entropy_bits",
+    ).orderBy("doc_id")
+
+
+TEXT_LEXICAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+sizes AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_types
+          FROM counts GROUP BY 1)
+SELECT s.doc_id, n_tok, n_types,
+       round(n_types * 1.0 / n_tok, 6) AS ttr,
+       round(-sum((c * 1.0 / n_tok) * log2(c * 1.0 / n_tok)), 6) AS entropy_bits
+FROM sizes s JOIN counts USING (doc_id)
+GROUP BY s.doc_id, n_tok, n_types
+ORDER BY s.doc_id
+"""
+
+
 def scd2_point_in_time(spark, sf_dir):
     """Point-in-time snapshot over the SCD2 dimension: per as-of
     timestamp, the version valid at that instant (valid_from <= t <
@@ -1237,6 +1293,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_quality_model": text_quality_model,
+    "text_lexical": text_lexical,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1267,6 +1324,7 @@ ORACLES = {
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_quality_model": TEXT_QUALITY_MODEL_ORACLE,
+    "text_lexical": TEXT_LEXICAL_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
