@@ -300,6 +300,53 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def profile_constraints(spark, sf_dir):
+    """Declarative data-quality constraint audit (dbt-test / Deequ
+    shape): key uniqueness, not-null, referential integrity, and an
+    accepted-range check, each emitted as one (constraint, n_violations)
+    row. Everything folds into aggregates over two scans plus one
+    anti-join probe for the FK — the audit costs O(data) once, not once
+    per constraint."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    uniq = o.groupBy("o_orderkey").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") > 1
+    )
+    fk = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_violations"),
+        )
+
+    nn = o.filter(F.col("o_orderdate").isNull() | F.col("o_custkey").isNull())
+    rng = o.filter((F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1e7))
+    return (
+        row("pk_unique_orderkey", uniq)
+        .unionAll(row("fk_orders_customer", fk))
+        .unionAll(row("not_null_core_cols", nn))
+        .unionAll(row("range_totalprice", rng))
+        .orderBy("check_name")
+    )
+
+
+PROFILE_CONSTRAINTS_ORACLE = """
+SELECT 'pk_unique_orderkey' AS check_name, count(*) AS n_violations
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'fk_orders_customer', count(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'not_null_core_cols', count(*)
+FROM orders WHERE o_orderdate IS NULL OR o_custkey IS NULL
+UNION ALL
+SELECT 'range_totalprice', count(*)
+FROM orders WHERE o_totalprice <= 0 OR o_totalprice > 1e7
+ORDER BY check_name
+"""
+
+
 def text_lexical(spark, sf_dir):
     """Lexical-diversity profile per document: token count, distinct
     tokens, type-token ratio, and Shannon token entropy (bits). One
@@ -1294,6 +1341,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_quality_model": text_quality_model,
     "text_lexical": text_lexical,
+    "profile_constraints": profile_constraints,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1325,6 +1373,7 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_quality_model": TEXT_QUALITY_MODEL_ORACLE,
     "text_lexical": TEXT_LEXICAL_ORACLE,
+    "profile_constraints": PROFILE_CONSTRAINTS_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
