@@ -220,6 +220,32 @@ def test_corrupt_file_handling_modes(spark, scratch):
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
 
 
+def test_zstd_compression_roundtrip_and_size(spark, scratch):
+    """Codec choice is a first-order cost lever at 100 TB: zstd trades
+    a little CPU for materially smaller files than snappy (Spark's
+    default). Round-trip correctness + the size ordering must hold on
+    the compressible documents table; the codec is recorded per column
+    chunk so readers need no configuration."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    p_snappy = os.path.join(scratch, "c_snappy")
+    p_zstd = os.path.join(scratch, "c_zstd")
+    docs.coalesce(1).write.mode("overwrite").option("compression", "snappy").parquet(p_snappy)
+    docs.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(p_zstd)
+    assert spark.read.parquet(p_zstd).count() == docs.count()
+    back = spark.read.parquet(p_zstd).orderBy("doc_id").collect()
+    orig = docs.orderBy("doc_id").collect()
+    assert back == orig
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert dir_bytes(p_zstd) < dir_bytes(p_snappy)
+
+
 def test_jsonl_roundtrip_documents(spark, scratch):
     """JSONL (newline-delimited JSON — the de-facto training-corpus
     interchange format) round trip: write_table(format='json') emits one
