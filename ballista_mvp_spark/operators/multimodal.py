@@ -112,6 +112,56 @@ def featurize(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def featurize_arrow(media: DataFrame) -> DataFrame:
+    """`featurize` on the FASTEST Python path: ``mapInArrow`` hands the
+    worker raw Arrow RecordBatches — no Arrow→pandas conversion at all —
+    and the length/mean stats vectorize with numpy directly over the
+    Arrow binary buffer (one frombuffer + add.reduceat over the value
+    offsets, O(total bytes) with zero per-row Python for the hot
+    numerics). Produces bit-identical rows to `featurize` (asserted in
+    tests); use this shape when the per-batch work is numeric and the
+    pandas round-trip shows up in profiles."""
+    import numpy as np
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index("media_id"))
+            payload = rb.column(rb.schema.get_field_index("payload"))
+            combined = payload.combine_chunks() if hasattr(payload, "combine_chunks") else payload
+            offs = np.frombuffer(combined.buffers()[1], dtype=np.int32)[
+                combined.offset : combined.offset + len(combined) + 1
+            ]
+            data = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
+            sums = np.add.reduceat(
+                data.astype(np.int64), offs[:-1].astype(np.int64), dtype=np.int64
+            ) if len(data) else np.zeros(len(lens), dtype=np.int64)
+            # reduceat quirk: a zero-length segment yields data[off] — mask
+            means = np.where(lens > 0, np.round(sums / np.maximum(lens, 1), 6), 0.0)
+            ent, heads = [], []
+            for i in range(len(combined)):
+                b = data[offs[i] : offs[i + 1]].tobytes()
+                if not b:
+                    ent.append(0.0)
+                    heads.append("")
+                else:
+                    ent.append(round(len(set(b)) / 256.0, 6))
+                    heads.append(b[:4].hex())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.to_pylist(), type=pa.int64()),
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(ent, type=pa.float64()),
+                    pa.array(heads, type=pa.string()),
+                ],
+                names=["media_id", "n_bytes", "byte_mean", "byte_entropy_proxy", "head_hex"],
+            )
+
+    return media.mapInArrow(op, schema=FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling PLUMBING: explode a per-media frame index list
     (deterministic from n_bytes as a stand-in for decoded frame count) —

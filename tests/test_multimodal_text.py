@@ -24,6 +24,17 @@ def test_featurize_matches_python(spark):
         assert f.head_hex == payload[:4].hex()
 
 
+def test_featurize_arrow_matches_pandas_path(spark):
+    """mapInArrow featurizer must produce bit-identical rows to the
+    mapInPandas one — same features, no pandas round-trip."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    media = M.media_from_documents(docs)
+    via_pandas = {tuple(r) for r in M.featurize(media).collect()}
+    via_arrow = {tuple(r) for r in M.featurize_arrow(media).collect()}
+    assert via_arrow == via_pandas
+    assert len(via_arrow) == 50
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
