@@ -930,6 +930,59 @@ ORDER BY agg.user_id
 """
 
 
+def events_wau_mau(spark, sf_dir):
+    """Engagement rollup: per ISO week — weekly active users, the
+    enclosing month's active users (computed independently), and the
+    WAU/MAU stickiness ratio. Two distinct-count shuffles over slim
+    (period, user) pairs joined on the month key; the distinct
+    pre-reduction means shuffle rows are bounded by active (user,
+    period) pairs, not events."""
+    e = _t(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        "user_id",
+    ).distinct()
+    wau = wk.groupBy("week", "month").agg(F.countDistinct("user_id").alias("wau"))
+    mau = (
+        e.select(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("month")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        wau.join(mau, "month")
+        .select(
+            "week",
+            "month",
+            "wau",
+            "mau",
+            F.round(F.col("wau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_WAU_MAU_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         strftime(date_trunc('month', ts), '%Y-%m') AS month, user_id
+  FROM events),
+wau AS (SELECT week, month, count(DISTINCT user_id) AS wau FROM wk GROUP BY 1, 2),
+mau AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1)
+SELECT week, wau.month AS month, wau, mau,
+       round(wau * 1.0 / mau, 6) AS stickiness
+FROM wau JOIN mau ON wau.month = mau.month
+ORDER BY week
+"""
+
+
 def events_paths(spark, sf_dir):
     """Frequent user-journey mining: top-20 length-3 event-type paths
     across per-user (ts, event_id)-ordered histories. One groupBy(user)
@@ -1059,6 +1112,7 @@ QUERIES = {
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
     "events_streaks": events_streaks,
+    "events_wau_mau": events_wau_mau,
 }
 
 ORACLES = {
@@ -1091,4 +1145,5 @@ ORACLES = {
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
+    "events_wau_mau": EVENTS_WAU_MAU_ORACLE,
 }
