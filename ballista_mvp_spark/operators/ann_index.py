@@ -19,6 +19,12 @@ Incremental ingest appends new vectors into their cells' partitions
 (dynamic partition append) without touching existing files — the same
 assign-only pass as the build, reusing the stored centroids.
 
+The IVF-PQ variant (build_ivfpq_index / probe_ivfpq_index) persists
+codebooks + m-byte PQ codes INSTEAD of raw vectors — 32× smaller at
+8×16 on 64-d — and re-ranks survivors against the source vector table
+at probe time (FAISS's refine split). Probe answers are asserted
+identical to the in-session ivfpq_topk at the same seeds.
+
 No analogue in the reference (its surface stops at SQL operators); the
 design follows the public IVF literature (Jégou et al., PQ/IVF) and
 composes entirely from DataFrame ops + one bounded driver-side fit
@@ -140,5 +146,150 @@ def probe_ivf_index(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the full FAISS-style IVF-PQ structure: coarse centroids,
+    PQ codebooks, and the corpus as (vec_id, codes) ONLY — m bytes of
+    payload per vector instead of dim floats (32x at 8x16 on 64-d),
+    hive-partitioned by cell. Raw vectors are NOT stored: the index is
+    the memory-resident artifact; exact re-rank fetches vectors from
+    the source table (pass it to probe_ivfpq_index), exactly FAISS's
+    refine-at-serve-time split."""
+    from .similarity import fit_pq, pq_encode
+
+    spark = df.sparkSession
+    centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
+    books = fit_pq(df, id_col, vec_col, dim, m, ksub, seed)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    bdf = spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in c])
+            for mi, cb in enumerate(books)
+            for ci, c in enumerate(cb)
+        ],
+        "mi int, ci int, centroid array<double>",
+    )
+    bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    assigned = _assign_cells(df, id_col, vec_col, centroids)
+    coded = pq_encode(df, books, id_col, vec_col).join(
+        assigned.select(F.col("vec_id").alias("_id"), "cell"), "_id"
+    )
+    (
+        coded.select(F.col("_id").alias("vec_id"), "codes", "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {"n_cells": len(centroids), "dim": dim, "m": m, "ksub": ksub, "seed": seed}
+    with open(os.path.join(path, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("mi", "ci")
+        .collect()
+    )
+    m = max(r["mi"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["mi"]].append(list(r["centroid"]))
+    return books
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    raw: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 50,
+) -> DataFrame:
+    """Top-k from the stored IVF-PQ index: probed cells' CODES are
+    scanned with per-query ADC lookup tables (m element_at's per
+    candidate), the approximate top-`rerank` re-ranks with exact cosine
+    against `raw` (the source vector table). The scan reads only
+    n_probe/n_cells of m-byte rows — both scale levers at once."""
+    with open(os.path.join(path, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    dim, m = meta["dim"], meta["m"]
+    dsub = dim // m
+    centroids = load_centroids(spark, path)
+    books = load_codebooks(spark, path)
+
+    qvec = F.col("_qv")
+    lut = F.transform(
+        F.lit([[[float(x) for x in c] for c in cb] for cb in books]),
+        lambda cb, mi: F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, mi * dsub + 1, dsub), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1, n_probe)
+        ).alias("_c"),
+    ).select("query_id", "_qv", F.col("_c.cell").alias("cell"))
+    q = probes.withColumn("_lut", lut)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_lut"), F.col("codes"), lambda tbl, code: F.element_at(tbl, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window as W2
+
+    wa = W2.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    approx = (
+        codes.join(F.broadcast(q.select("query_id", "cell", "_lut")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_d", adc)
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    cand_vecs = raw.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv2"))
+    wr = W2.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        approx.join(cand_vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv2")), 6))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )

@@ -79,3 +79,27 @@ def test_append_extends_index_without_refit(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == 0)
     got = AI.probe_ivf_index(spark, path, q, k=50, n_probe=16).collect()
     assert any(r.neighbor_id >= 400 for r in got)
+
+
+def test_ivfpq_persisted_probe_matches_in_session(spark, tmp_path):
+    """The persisted IVF-PQ index (codes only, no raw vectors) must
+    answer probes identically to the in-session ivfpq_topk at the same
+    seeds, and its codes table must be vector-free and cell-pruned."""
+    emb = _emb(spark).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    AI.build_ivfpq_index(emb, path, dim=64, n_cells=16, m=8, ksub=16, seed=42)
+    codes = spark.read.parquet(path + "/codes")
+    assert set(codes.columns) == {"vec_id", "codes", "cell"}  # no raw vectors
+    assert codes.count() == emb.count()
+    stored = AI.probe_ivfpq_index(
+        spark, path, queries, raw=emb, k=5, n_probe=4, rerank=50
+    ).collect()
+    fresh = S.ivfpq_topk(
+        emb, queries, dim=64, k=5, n_cells=16, n_probe=4, m=8, ksub=16,
+        rerank=50, seed=42,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+    assert sorted(map(key, stored)) == sorted(map(key, fresh))
