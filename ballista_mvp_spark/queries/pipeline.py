@@ -1078,9 +1078,41 @@ FROM s GROUP BY status ORDER BY status
 """
 
 
+def pipeline_interleave(spark, sf_dir):
+    """Deterministic multi-source interleave for training order: within
+    each source, docs get a seeded-shuffle sequence number (row_number
+    over md5(salt:id) — one shuffle on source); the global order is
+    (seq, source), so sources alternate round-robin and equally-sized
+    sources stay balanced through any prefix. First 200 rows of the
+    epoch; the limit compiles to TakeOrderedAndProject, never a global
+    sort. Corpus growth in one source never perturbs another source's
+    subsequence (the same stability contract as hash_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("ileave:"), F.col("doc_id"))), "doc_id"
+    )
+    seq = docs.select("doc_id", "source", F.row_number().over(w).alias("seq"))
+    return seq.orderBy("seq", "source", "doc_id").limit(200)
+
+
+PIPELINE_INTERLEAVE_ORACLE = """
+WITH seq AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5('ileave:' || doc_id), doc_id)
+              AS INT) AS seq
+  FROM documents)
+SELECT doc_id, source, seq FROM seq
+ORDER BY seq, source, doc_id LIMIT 200
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
+    "pipeline_interleave": pipeline_interleave,
     "pipeline_validate": pipeline_validate,
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
@@ -1111,6 +1143,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_shard_manifest": PIPELINE_SHARD_MANIFEST_ORACLE,
     "pipeline_snapshot_diff": PIPELINE_SNAPSHOT_DIFF_ORACLE,
+    "pipeline_interleave": PIPELINE_INTERLEAVE_ORACLE,
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
