@@ -74,6 +74,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def fn_json_typed(spark, sf_dir):
+    """Schema-full JSON parsing (from_json → typed struct), the typed
+    sibling of events_json's get_json_object path: parse once, access
+    struct fields, NULL for malformed rows (PERMISSIVE mode), plus
+    to_json round-trip and schema_of_json-shaped filtering. One parse
+    per row instead of one per extracted path — the difference that
+    matters when a props blob carries many fields."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k bigint").alias("p"),
+    )
+    return (
+        parsed.select(
+            "event_id",
+            "event_type",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 10 == 0).cast("int").alias("k_round"),
+            F.to_json(F.struct(F.col("p.k").alias("k"))).alias("rejson"),
+        )
+        .filter(F.col("k").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+FN_JSON_TYPED_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0 AS INT) AS k_round,
+       '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS rejson
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+ORDER BY event_id
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap starts a new session.
     lag → gap flag → running sum = session id; then per-user session
@@ -1102,6 +1139,7 @@ QUERIES = {
     "events_trailing_window": events_trailing_window,
     "events_retention": events_retention,
     "events_json": events_json,
+    "fn_json_typed": fn_json_typed,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
     "events_type_share": events_type_share,
@@ -1135,6 +1173,7 @@ ORACLES = {
     "events_trailing_window": EVENTS_TRAILING_WINDOW_ORACLE,
     "events_retention": EVENTS_RETENTION_ORACLE,
     "events_json": EVENTS_JSON_ORACLE,
+    "fn_json_typed": FN_JSON_TYPED_ORACLE,
     "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
     "events_topk_users": EVENTS_TOPK_ORACLE,
     "events_type_share": EVENTS_TYPE_SHARE_ORACLE,
