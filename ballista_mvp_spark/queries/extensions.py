@@ -11,7 +11,7 @@ rows-only here, with recall-vs-exact assertions in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -1083,6 +1083,33 @@ ORDER BY a, b
 """
 
 
+def sketch_hll_windowed(spark, sf_dir):
+    """Trailing-window distinct counts from MERGED HOURLY SKETCHES: one
+    pass builds an HLL per hour; a 6-hour trailing window unions the
+    sketch column (hll_union_agg over a window frame) and estimates —
+    the rolling-distinct dashboard query answered from KB-sized partials
+    instead of re-scanning the fact table once per window position. At
+    100 TB the hourly sketch table is the materialized rollup; every
+    window length is a frame over it. Rows-only (estimates are
+    implementation-defined); tests assert <5% error vs the exact
+    trailing distinct count at every hour."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    w = W.orderBy("hour").rowsBetween(-5, W.currentRow)
+    return (
+        hourly.select(
+            "hour",
+            F.hll_sketch_estimate("sk").cast("long").alias("hour_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+            .cast("long")
+            .alias("trailing6h_users"),
+        )
+        .orderBy("hour")
+    )
+
+
 def sketch_hll(spark, sf_dir):
     """Mergeable HLL distinct-count sketches (Datasketches via Spark's
     hll_sketch_agg): per-event-type user sketches + a global estimate
@@ -1311,6 +1338,7 @@ def sim_ann_ivfpq(spark, sf_dir):
 
 QUERIES = {
     "sketch_hll": sketch_hll,
+    "sketch_hll_windowed": sketch_hll_windowed,
     "text_bigram_lm": text_bigram_lm,
     "text_perplexity": text_perplexity,
     "text_zipf": text_zipf,

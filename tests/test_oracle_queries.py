@@ -53,6 +53,7 @@ def test_registry_shape():
     assert rows_only == {
         "agg_approx",
         "sketch_hll",
+        "sketch_hll_windowed",
         "sketch_topk",
         "sketch_cms",
         "dedup_incremental_minhash",

@@ -6,6 +6,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ballista_mvp_spark.operators import sketch as SK
+from ballista_mvp_spark.tables import load_table
+
+from .conftest import SF_SMALL
 
 
 def _occurrences(spark, counts: dict[str, int]):
@@ -55,3 +58,35 @@ def test_cms_merge_equals_direct(spark):
     items = spark.createDataFrame([("x",), ("y",), ("z",)], ["term"])
     est = {r.term: r.est for r in SK.cms_estimate(merged, items, "term", 4, 1024).collect()}
     assert est == {"x": 3, "y": 3, "z": 4}
+
+
+def test_hll_windowed_trailing_estimates_within_5pct(spark):
+    """Every trailing-6h sketch-union estimate must be within 5% of the
+    exact trailing distinct count computed from the raw events."""
+    from ballista_mvp_spark.queries.extensions import sketch_hll_windowed
+    from pyspark.sql import Window as W
+
+    got = {
+        r.hour: r.trailing6h_users
+        for r in sketch_hll_windowed(spark, SF_SMALL).collect()
+    }
+    e = load_table(spark, SF_SMALL, "events")
+    hours = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "user_id",
+    ).distinct()
+    # exact trailing distinct: self-join each hour to its 5 predecessors
+    hs = sorted({r.hour for r in hours.select("hour").distinct().collect()})
+    pairs = [(h, h2) for i, h in enumerate(hs) for h2 in hs[max(0, i - 5): i + 1]]
+    pdf = spark.createDataFrame(pairs, "hour string, member string")
+    exact = {
+        r.hour: r.n
+        for r in pdf.join(hours.withColumnRenamed("hour", "member"), "member")
+        .groupBy("hour")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for h in exact:
+        err = abs(got[h] - exact[h]) / max(exact[h], 1)
+        assert err < 0.05, (h, got[h], exact[h])
