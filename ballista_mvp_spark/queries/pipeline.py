@@ -1109,10 +1109,58 @@ ORDER BY seq, source, doc_id LIMIT 200
 """
 
 
+def pipeline_dp_release(spark, sf_dir):
+    """Differentially-private corpus statistics release: per-source doc
+    counts + ε=1 Laplace noise, with the noise SEEDED from md5 of the
+    release key so the published table is reproducible (the standard
+    trick for auditable DP releases: fix the randomness per release id).
+    Inverse-CDF sampling (u from a 60-bit md5 slice, noise =
+    −sign(u−½)·ln(1−2|u−½|)/ε) is pure column math; the true count
+    never leaves the engine unperturbed. Zero-shuffle beyond the count
+    agg itself."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("true_n"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-r1:"), F.col("source"))), 1, 15), 16, 10)
+        .cast("double") / F.lit(float(1 << 60))
+    )
+    centered = u - 0.5
+    eps = 1.0
+    noise = (
+        -F.signum(centered)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+        / F.lit(eps)
+    )
+    return (
+        counts.select(
+            "source",
+            F.round(F.col("true_n") + noise, 4).alias("released_n"),
+            F.round(noise, 4).alias("noise"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_DP_RELEASE_ORACLE = """
+WITH counts AS (SELECT source, count(*) AS true_n FROM documents GROUP BY source),
+n AS (
+  SELECT source, true_n,
+         ('0x' || substr(md5('dp-r1:' || source), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) - 0.5 AS centered
+  FROM counts)
+SELECT source,
+       round(true_n + (-sign(centered) * ln(1.0 - 2.0 * abs(centered)) / 1.0), 4)
+         AS released_n,
+       round(-sign(centered) * ln(1.0 - 2.0 * abs(centered)) / 1.0, 4) AS noise
+FROM n ORDER BY source
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
     "pipeline_interleave": pipeline_interleave,
+    "pipeline_dp_release": pipeline_dp_release,
     "pipeline_validate": pipeline_validate,
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
@@ -1144,6 +1192,7 @@ ORACLES = {
     "pipeline_shard_manifest": PIPELINE_SHARD_MANIFEST_ORACLE,
     "pipeline_snapshot_diff": PIPELINE_SNAPSHOT_DIFF_ORACLE,
     "pipeline_interleave": PIPELINE_INTERLEAVE_ORACLE,
+    "pipeline_dp_release": PIPELINE_DP_RELEASE_ORACLE,
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
