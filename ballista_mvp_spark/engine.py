@@ -344,6 +344,24 @@ class Engine:
 
         return explain_str(self.spark.sql(query), mode)
 
+    def cache_table(self, name: str, eager: bool = True) -> None:
+        """Pin a catalog table as an in-memory columnar relation (no
+        reference analogue — its engine re-reads sources per query;
+        Spark's cache layer is free capability). Subsequent plans over
+        the table scan InMemoryTableScan instead of the source files —
+        the interactive-dashboard pattern where one hot dimension is
+        read by every query. Eager by default so the first query after
+        caching already hits memory."""
+        self.spark.catalog.cacheTable(name)
+        if eager:
+            self.spark.table(name).count()
+
+    def uncache_table(self, name: str) -> None:
+        self.spark.catalog.uncacheTable(name)
+
+    def is_cached(self, name: str) -> bool:
+        return self.spark.catalog.isCached(name)
+
     # -- catalog introspection (≅ get_flight_info_tables, flight_sql.rs:597-621)
     def list_tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]

@@ -283,3 +283,24 @@ def test_estimate_uses_cbo_stats(spark):
         assert est1["row_count"] == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS est_probe")
+
+
+def test_cache_table_pins_in_memory_relation(spark):
+    """Engine.cache_table: the table's subsequent plans must scan the
+    in-memory columnar relation, not the parquet source; uncache
+    restores the file scan."""
+    from ballista_mvp_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_testdata(SF_SMALL)
+    try:
+        eng.cache_table("nation")
+        assert eng.is_cached("nation")
+        plan = spark.sql("SELECT count(*) FROM nation")._jdf.queryExecution().executedPlan().toString()
+        assert "In-memory table" in plan or "InMemoryRelation" in plan
+        assert spark.sql("SELECT count(*) FROM nation").first()[0] == 25
+    finally:
+        eng.uncache_table("nation")
+    assert not eng.is_cached("nation")
+    plan = spark.sql("SELECT count(*) FROM nation")._jdf.queryExecution().executedPlan().toString()
+    assert "In-memory table" not in plan and "InMemoryRelation" not in plan
