@@ -558,6 +558,51 @@ def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(qname).orderBy("user_id", "c_id", "p_id")
 
 
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    source: DataFrame,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    within-1h purchase when one exists — and a NULL-extended row when
+    the watermark has PROVEN none can arrive. Outer results cannot emit
+    eagerly: an unmatched left row waits in state until the watermark
+    passes its join window's upper bound (c_ts + 1h), then flushes with
+    nulls (Spark's no-data micro-batches drive the final evictions).
+    Rows younger than the final watermark stay in state forever on a
+    finite input — the test accounts for exactly that boundary; on an
+    unbounded stream the watermark keeps advancing and every click
+    eventually resolves. Same bounded-state contract as the inner join,
+    plus the eviction-driven emission discipline."""
+    clicks = (
+        source.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        source.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "c_id", "c_ts", "p_id")
+    qname = f"ssljoin_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
 def run_neardedup_ingest(
     spark: SparkSession,
     docs_dir: str,

@@ -390,3 +390,74 @@ def test_cms_rollup_partials_merge_to_direct_sketch(spark, tmp_path):
     items = spark.createDataFrame([("alpha",), ("beta",), ("delta",)], ["term"])
     est = {r.term: r.est for r in SK.cms_estimate(merged, items, "term", 3, 256).collect()}
     assert est == {"alpha": 2, "beta": 3, "delta": 1}
+
+
+def test_stream_stream_left_outer_join_emits_evicted_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: inner matches equal the
+    batch join; null-extended rows appear for exactly the unmatched
+    clicks whose join window the FINAL watermark has passed (younger
+    unmatched clicks stay in state on a finite input — that boundary is
+    the point of the test)."""
+    from pyspark.sql import Window as W
+
+    from ballista_mvp_spark.streaming import run_stream_stream_left_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    chunks = ev.withColumn("_c", F.ntile(2).over(W.orderBy("ts", "event_id")))
+    staged = str(tmp_path / "staged")
+    chunks.write.partitionBy("_c").parquet(staged)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+
+    import glob as _glob
+    import shutil as _shutil
+
+    for i in (1, 2):
+        for j, f in enumerate(_glob.glob(f"{staged}/_c={i}/*.parquet")):
+            _shutil.copy(f, str(src_dir / f"chunk{i}_{j}.parquet"))
+    schema = ev.schema
+    source = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+
+    out = run_stream_stream_left_join(spark, source).collect()
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    inner = {
+        (r.user_id, r.c_id, r.p_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    got_inner = {(r.user_id, r.c_id, r.p_id) for r in out if r.p_id is not None}
+    assert got_inner == inner
+
+    import datetime as _dt
+
+    # the query's watermark is the MIN of the two sides' watermarks —
+    # each from its OWN stream's max event time, not the whole table's
+    max_c = clicks.agg(F.max("c_ts")).first()[0]
+    max_p = purchases.agg(F.max("p_ts")).first()[0]
+    final_wm = min(max_c, max_p) - _dt.timedelta(hours=2)
+    matched_cids = {c for (_, c, _) in inner}
+    # 1s guard: the operator truncates watermarks to whole seconds, so
+    # a row within the truncation of the boundary may legitimately stay
+    evictable_unmatched = {
+        r.c_id
+        for r in clicks.collect()
+        if r.c_id not in matched_cids
+        and r.c_ts + _dt.timedelta(hours=1, seconds=1) < final_wm
+    }
+    got_nulls = {r.c_id for r in out if r.p_id is None}
+    # every evictable unmatched click must have flushed with nulls, and
+    # no null row may exist for a matched click
+    assert evictable_unmatched <= got_nulls
+    assert not (got_nulls & matched_cids)
+    assert len(out) == len(got_inner) + len(got_nulls)
