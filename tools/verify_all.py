@@ -1,0 +1,57 @@
+"""One-command full verification: pytest + both-scale oracle sweeps +
+bench, with a compact summary line per gate.
+
+    python tools/verify_all.py [--skip-bench]
+
+Exit code 0 only if every gate passes. This is the pre-handoff check;
+the per-change loop is `tools/run_oracle.py <sf_dir> <prefix>`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(name: str, cmd: list[str]) -> tuple[bool, str]:
+    t = time.time()
+    p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    out = (p.stdout + p.stderr).strip().splitlines()
+    tail = out[-1] if out else ""
+    ok = p.returncode == 0
+    print(f"[{'OK ' if ok else 'FAIL'}] {name}: {tail}  ({time.time() - t:.0f}s)")
+    return ok, tail
+
+
+def main() -> int:
+    gates = [
+        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
+        ("oracle sf0.01", [sys.executable, "tools/run_oracle.py", "/root/testdata/sf0.01"]),
+        ("oracle sf0.1", [sys.executable, "tools/run_oracle.py", "/root/testdata/sf0.1"]),
+    ]
+    if "--skip-bench" not in sys.argv:
+        gates.append(("bench", [sys.executable, "bench.py"]))
+    ok_all = True
+    for name, cmd in gates:
+        ok, tail = run(name, cmd)
+        ok_all = ok_all and ok
+        if name == "bench" and ok:
+            try:
+                d = json.loads(tail)
+                print(
+                    f"       cold={d['value']}s warm={d['warm_suite_seconds']}s"
+                    f" sf={d['sf']}"
+                )
+            except (json.JSONDecodeError, KeyError):
+                pass
+    print("ALL GREEN" if ok_all else "FAILURES PRESENT")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
