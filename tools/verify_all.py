@@ -22,7 +22,12 @@ def run(name: str, cmd: list[str]) -> tuple[bool, str]:
     t = time.time()
     p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
     out = (p.stdout + p.stderr).strip().splitlines()
-    tail = out[-1] if out else ""
+    # prefer the gate's summary line over trailing log noise
+    summary = [
+        ln for ln in out
+        if "failures /" in ln or '"metric"' in ln or " passed" in ln
+    ]
+    tail = (summary or out)[-1] if out else ""
     ok = p.returncode == 0
     print(f"[{'OK ' if ok else 'FAIL'}] {name}: {tail}  ({time.time() - t:.0f}s)")
     return ok, tail
