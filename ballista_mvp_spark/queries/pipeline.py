@@ -1156,11 +1156,67 @@ FROM n ORDER BY source
 """
 
 
+def pipeline_balanced_bins(spark, sf_dir):
+    """Length-balanced batch assignment: documents sorted by (token
+    count desc, id) and dealt round-robin into 16 bins — the
+    deterministic, fully-parallel approximation of first-fit-decreasing
+    that keeps per-batch token totals near-equal (greedy FFD itself is
+    sequential; round-robin over the descending order is the standard
+    distributed stand-in and is within a max-doc-length of balanced).
+    Output is the per-bin manifest: doc count, token total, and the
+    spread vs the ideal equal share. The only corpus-scale op is one
+    global sort by a 12-byte key."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_bins = 16
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tok"),
+    )
+    w = W.orderBy(F.col("n_tok").desc(), "doc_id")
+    binned = d.withColumn("bin", (F.row_number().over(w) - 1) % n_bins)
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+    total = d.agg(F.sum("n_tok").alias("_t"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            F.round(F.col("bin_tokens") / (F.col("_t") / n_bins), 6).alias("balance"),
+        )
+        .orderBy("bin")
+    )
+
+
+PIPELINE_BALANCED_BINS_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 16 AS INT) AS bin
+  FROM d),
+per_bin AS (
+  SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+  FROM b GROUP BY bin),
+total AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS _t FROM d)
+SELECT bin, n_docs, bin_tokens,
+       round(bin_tokens / (_t / 16), 6) AS balance
+FROM per_bin CROSS JOIN total ORDER BY bin
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
     "pipeline_interleave": pipeline_interleave,
     "pipeline_dp_release": pipeline_dp_release,
+    "pipeline_balanced_bins": pipeline_balanced_bins,
     "pipeline_validate": pipeline_validate,
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
@@ -1193,6 +1249,7 @@ ORACLES = {
     "pipeline_snapshot_diff": PIPELINE_SNAPSHOT_DIFF_ORACLE,
     "pipeline_interleave": PIPELINE_INTERLEAVE_ORACLE,
     "pipeline_dp_release": PIPELINE_DP_RELEASE_ORACLE,
+    "pipeline_balanced_bins": PIPELINE_BALANCED_BINS_ORACLE,
     "pipeline_validate": PIPELINE_VALIDATE_ORACLE,
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
