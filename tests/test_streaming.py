@@ -461,3 +461,41 @@ def test_stream_stream_left_outer_join_emits_evicted_nulls(spark, tmp_path):
     assert evictable_unmatched <= got_nulls
     assert not (got_nulls & matched_cids)
     assert len(out) == len(got_inner) + len(got_nulls)
+
+
+def test_trigger_available_now_drains_and_stops(spark, tmp_path):
+    """Trigger.availableNow: the scheduled-batch-over-stream production
+    pattern — the query processes everything present at start in rate-
+    limited batches, then STOPS ON ITS OWN (no processAllAvailable
+    babysitter), and the result equals the batch rollup. A second run
+    with the same checkpoint sees no new data and adds nothing."""
+    from ballista_mvp_spark.queries.events import events_hourly
+    from ballista_mvp_spark.streaming import _events_stream, tumbling_agg
+
+    agg = tumbling_agg(_events_stream(spark, SF_SMALL))
+    import uuid as _uuid
+
+    qname = f"avnow_{_uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # availableNow terminates by itself
+        assert not q.isActive
+
+    run_once()
+    got = {tuple(r) for r in spark.table(qname).collect()}
+    expected = {
+        tuple(r)
+        for r in events_hourly(spark, SF_SMALL)
+        .select("hour", "event_type", "n", "sum_v")
+        .collect()
+    }
+    assert got == expected
