@@ -146,3 +146,68 @@ def test_span_dedup_conserves_distinct_spans(spark, docs):
         assert r["text_dedup"] == kept_per_doc[r["id"]]
         assert r["n_kept"] + r["n_dropped"] == r["n_spans"]
     assert sum(r["n_kept"] for r in out) == len(seen)
+
+
+_ASOF_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),          # key
+    st.integers(min_value=0, max_value=10_000),     # epoch seconds
+)
+
+
+@given(
+    left=st.lists(_ASOF_EVENT, min_size=1, max_size=25),
+    right=st.lists(_ASOF_EVENT, min_size=1, max_size=25),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 60, 1000]),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tolerance):
+    """asof_join must agree with pandas.merge_asof — the de-facto
+    reference semantics — on arbitrary keyed event sets, in both
+    directions, with and without a tolerance bound."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, sec long, lid int"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lid")
+    # pandas requires sorted-by-time frames and unique right times per
+    # key for a deterministic match; dedupe right on (k, ts) keeping the
+    # largest v (mirrors what the Spark side's last-non-null walk picks
+    # when ties exist) — so restrict to unique (k, ts) in both engines
+    rpd = (
+        pd.DataFrame([(k, t, float(i)) for i, (k, t) in enumerate(right)],
+                     columns=["k", "sec", "v"])
+        .drop_duplicates(subset=["k", "sec"], keep="last")
+    )
+    rdf = spark.createDataFrame(
+        [(int(r.k), int(r.sec), float(r.v)) for r in rpd.itertuples()],
+        "k int, sec long, v double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+
+    from ballista_mvp_spark.operators.asof import asof_join
+
+    got = {
+        (r.lid, r.v)
+        for r in asof_join(
+            ldf, rdf, key="k", left_time="ts", right_time="ts",
+            value_cols=["v"], direction=direction,
+            tolerance_seconds=tolerance,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "sec", "lid"]
+    )
+    lpd["ts"] = pd.to_datetime(lpd["sec"], unit="s")
+    rpd["ts"] = pd.to_datetime(rpd["sec"], unit="s")
+    merged = pd.merge_asof(
+        lpd.sort_values(["ts", "lid"]),
+        rpd.sort_values("ts")[["k", "ts", "v"]],
+        on="ts", by="k", direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    )
+    expected = {
+        (int(r.lid), None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == expected
