@@ -211,3 +211,28 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tole
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+@given(lens=st.lists(st.integers(min_value=0, max_value=4096), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_round_robin_desc_bins_spread_bounded(spark, lens):
+    """Round-robin over descending lengths: the max-min spread of bin
+    totals never exceeds the largest single item (the classic bound that
+    makes this the distributed stand-in for first-fit-decreasing)."""
+    n_bins = 4
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "id long, n_tok long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n_tok").desc(), "id")
+    totals = [
+        r.t
+        for r in df.withColumn("bin", (F.row_number().over(w) - 1) % n_bins)
+        .groupBy("bin")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    ]
+    while len(totals) < n_bins:
+        totals.append(0)
+    assert max(totals) - min(totals) <= max(lens)
