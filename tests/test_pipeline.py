@@ -200,3 +200,25 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+
+
+def test_shard_checksum_invariant_under_repartition(spark):
+    """The shard manifest's bit_xor checksum must be identical whatever
+    the physical partitioning of the input — the property that makes it
+    a valid cross-engine/cross-layout integrity artifact."""
+    from ballista_mvp_spark.queries.pipeline import pipeline_shard_manifest
+    from ballista_mvp_spark.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    base = {tuple(r) for r in pipeline_shard_manifest(spark, SF_SMALL).collect()}
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    import ballista_mvp_spark.queries.pipeline as PQ
+    from unittest import mock
+
+    for n in (1, 13):
+        shuffled = docs.repartition(n)
+        with mock.patch.object(PQ, "_t", lambda _s, _d, _n: shuffled):
+            got = {tuple(r) for r in pipeline_shard_manifest(spark, SF_SMALL).collect()}
+        assert got == base, n

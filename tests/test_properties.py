@@ -236,3 +236,47 @@ def test_round_robin_desc_bins_spread_bounded(spark, lens):
     while len(totals) < n_bins:
         totals.append(0)
     assert max(totals) - min(totals) <= max(lens)
+
+
+@given(xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_ewma_closed_form_equals_recursive(spark, xs):
+    """The window-sum closed form behind events_ewma (ratio of two
+    running sums with p^{-i} weights) must equal the adjusted-EWMA
+    recursive definition computed directly in Python."""
+    from pyspark.sql import Window as W
+
+    p = 0.7
+    df = spark.createDataFrame([(i + 1, float(x)) for i, x in enumerate(xs)], "i int, x double")
+    wc = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    num = F.sum(F.col("x") * F.pow(F.lit(p), -F.col("i").cast("double"))).over(wc)
+    den = F.sum(F.pow(F.lit(p), -F.col("i").cast("double"))).over(wc)
+    got = [r.e for r in df.select("i", (num / den).alias("e")).orderBy("i").collect()]
+    # reference: adjusted EWMA y_t = sum(p^(t-i) x_i) / sum(p^(t-i))
+    expected = []
+    for t in range(1, len(xs) + 1):
+        ws = [p ** (t - i) for i in range(1, t + 1)]
+        expected.append(sum(w * x for w, x in zip(ws, xs)) / sum(ws))
+    for g, e in zip(got, expected):
+        assert abs(g - e) < 1e-6 * max(1.0, abs(e)), (g, e)
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    probes=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, probes):
+    from ballista_mvp_spark.operators import bloom as B
+
+    mdf = spark.createDataFrame([(m,) for m in members], "k long")
+    words = B.bloom_build(mdf, F.col("k").cast("string"), m_bits=1 << 12, k=4)
+    pdf = spark.createDataFrame([(x,) for x in members | probes], "k long")
+    hits = {
+        r.k
+        for r in pdf.withColumn(
+            "hit", B.bloom_might_contain(F.col("k").cast("string"), words, 1 << 12, 4)
+        ).collect()
+        if r.hit
+    }
+    assert members <= hits  # every member must hit — no false negatives
