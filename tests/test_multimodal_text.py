@@ -182,3 +182,43 @@ def test_phash_flags_near_identical_payloads_only(spark):
     pairs = {(r.a, r.b): r.hamming for r in M.phash_dup_pairs(media, max_hamming=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_tokenizer_handles_cjk_emoji_and_mixed_scripts(spark):
+    """Multilingual-corpus robustness: the whitespace tokenizer must not
+    crash or miscount on CJK (no spaces — one run is one token), emoji,
+    combining marks, or RTL text; counts must match a Python reference
+    split on the same rule."""
+    texts = [
+        "日本語のテキストは空白で区切られない",
+        "中文 文本 有 空格",
+        "emoji 🚀🔥 and flags 🇺🇳 stay intact",
+        "مرحبا بالعالم",
+        "combining á mark",
+        "mixed 日本語 english العربية 한국어",
+        "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    from ballista_mvp_spark.operators.dedup import tokens
+
+    got = {r.i: r.n for r in df.select("i", F.size(tokens(F.col("t"))).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        expected = len([w for w in t.split()]) if t.split() else 1
+        # tokens() of pure whitespace yields a single empty-string token
+        # (split semantics) — the greatest(1) guards in shingles absorb it
+        assert got[i] == max(expected, 1), (i, t, got[i], expected)
+
+
+def test_wide_schema_aggregation_survives_codegen_limits(spark):
+    """A 250-column aggregate must still produce correct sums — wide
+    schemas push whole-stage codegen past its method-size limits, where
+    Spark silently falls back; correctness must not depend on which
+    path ran."""
+    n_cols = 250
+    df = spark.range(100).select(
+        "id", *[(F.col("id") % (i + 2)).alias(f"c{i}") for i in range(n_cols)]
+    )
+    row = df.agg(*[F.sum(f"c{i}").alias(f"s{i}") for i in range(n_cols)]).first()
+    for i in range(n_cols):
+        expected = sum(v % (i + 2) for v in range(100))
+        assert row[f"s{i}"] == expected, i
