@@ -108,12 +108,52 @@ def _ann_ops():
     }
 
 
+def _index_stress(spark, sf_dir, mults):
+    """Persistent-IVF probe cost vs corpus size: with the cell-hive
+    layout, probe wall time must stay ~flat as the corpus grows (the
+    scan prunes to n_probe cells). Recorded in SCALE.md."""
+    import shutil
+    import tempfile
+
+    from ballista_mvp_spark.operators import ann_index as AI
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    for m in mults:
+        reps = base
+        for c in range(1, m):
+            reps = reps.unionByName(
+                base.select((F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+                            "embedding", "label")
+            )
+        reps = reps.localCheckpoint(eager=True)
+        n = reps.count()
+        d = tempfile.mkdtemp()
+        try:
+            t0 = time.perf_counter()
+            AI.build_ivf_index(reps, d, n_cells=64)
+            tb = time.perf_counter() - t0
+            q = base.filter(F.col("vec_id") < 8)
+            t0 = time.perf_counter()
+            rows = AI.probe_ivf_index(spark, d, q, k=5, n_probe=4).count()
+            tp = time.perf_counter() - t0
+            print(f"x{m:<3} vecs={n:<8} ivf_index build={tb:5.1f}s probe={tp:5.1f}s rows={rows}", flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = sys.argv[1:]
     do_ann = "--ann" in args
-    mults = [int(a) for a in args if a != "--ann"] or [1, 5, 20]
+    do_index = "--index" in args
+    mults = [int(a) for a in args if a not in ("--ann", "--index")] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_index:
+        _index_stress(spark, sf_dir, mults)
+        return
     if do_ann:
         base = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
