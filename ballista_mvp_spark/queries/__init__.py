@@ -94,3 +94,31 @@ ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
     **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
 }
+
+# ROUND-4 ROTATION (prepared; swap into _CERT_FIRST at the START of round
+# 4 — never mid-round, the driver samples the list at round end). The 50
+# below are every query without a driver row after round 3 except the 7
+# family-covered leftovers argued in COVERAGE.md ("ROUND-4 ROTATION
+# PLAN"); all 50 pass the local oracle gate / pytest exactness today and
+# the whole registry runs green under the driver's vanilla ANSI session.
+_CERT_FIRST_ROUND4 = [
+    "agg_mode", "dedup_fuzzy", "dedup_incremental_minhash",
+    "dedup_substring", "events_asof_tolerance", "events_ewma",
+    "events_paths", "events_streaks", "events_wau_mau", "fn_bitwise",
+    "fn_json_typed", "fn_variant", "graph_degree", "graph_pagerank",
+    "graph_triangles", "intersect_all_op", "multimodal_phash",
+    "pipeline_balanced_bins", "pipeline_dp_release", "pipeline_drift",
+    "pipeline_importance", "pipeline_interleave", "pipeline_reservoir",
+    "pipeline_shard_manifest", "pipeline_snapshot_diff",
+    "profile_constraints", "profile_histogram", "scd2_point_in_time",
+    "sim_ann_ivfpq", "sim_ann_pq", "sim_maxsim", "sim_outliers",
+    "sketch_cms", "sketch_hll_windowed", "sketch_topk",
+    "sql_group_by_all", "sql_pivot", "sql_recursive_cte",
+    "streaming_sliding", "text_langid", "text_lexical",
+    "text_perplexity", "text_quality_model", "text_zipf",
+    "tpch_q2_partsupp", "tpch_q9_partsupp", "tpch_q11_partsupp",
+    "tpch_q16_partsupp", "tpch_q20_partsupp", "udtf_ngrams",
+]
+assert len(_CERT_FIRST_ROUND4) == 50, len(_CERT_FIRST_ROUND4)
+_missing_r4 = [n for n in _CERT_FIRST_ROUND4 if n not in ALL_QUERIES]
+assert not _missing_r4, f"_CERT_FIRST_ROUND4 names not in registry: {_missing_r4}"
