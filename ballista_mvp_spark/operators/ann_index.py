@@ -293,3 +293,36 @@ def probe_ivfpq_index(
         .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+) -> int:
+    """Targeted deletion (GDPR / retraction): remove the given vec_ids
+    from the stored index by rewriting ONLY the cell partitions that
+    contain them — untouched cells' files stay byte-identical (asserted
+    in tests). The id list broadcasts; cost is O(affected cells), not
+    O(index). Returns the number of rows removed."""
+    ids_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+    assignments = spark.read.parquet(os.path.join(path, "assignments"))
+    hit_cells = [
+        r["cell"]
+        for r in assignments.join(F.broadcast(ids_df), "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not hit_cells:
+        return 0
+    removed = 0
+    for cell in hit_cells:
+        cell_dir = os.path.join(path, "assignments", f"cell={cell}")
+        cell_df = spark.read.parquet(cell_dir)
+        keep = cell_df.join(F.broadcast(ids_df), "vec_id", "left_anti")
+        before, after = cell_df.count(), keep.count()
+        removed += before - after
+        keep = keep.localCheckpoint(eager=True)  # barrier: self-read-overwrite
+        keep.write.mode("overwrite").parquet(cell_dir)
+    return removed

@@ -103,3 +103,46 @@ def test_ivfpq_persisted_probe_matches_in_session(spark, tmp_path):
     ).collect()
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
     assert sorted(map(key, stored)) == sorted(map(key, fresh))
+
+
+def test_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """Deleting ids must remove exactly those rows, keep probes correct,
+    and leave every untouched cell partition's files byte-identical —
+    the O(affected cells) maintenance contract."""
+    import glob
+    import hashlib
+    import os
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=16, seed=42)
+
+    def file_hashes():
+        out = {}
+        for f in glob.glob(path + "/assignments/cell=*/*.parquet"):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before_rows = {r.vec_id: r.cell for r in spark.read.parquet(path + "/assignments").collect()}
+    victims = [0, 1, 2, 3]
+    victim_cells = {before_rows[v] for v in victims}
+    before_files = file_hashes()
+
+    removed = AI.delete_from_ivf_index(spark, path, victims)
+    assert removed == len(victims)
+    after = spark.read.parquet(path + "/assignments")
+    assert after.count() == len(before_rows) - len(victims)
+    assert after.filter(F.col("vec_id").isin(victims)).count() == 0
+    # untouched cells byte-stable
+    after_files = file_hashes()
+    for f, h in before_files.items():
+        cell = int(f.split("cell=")[1].split("/")[0])
+        if cell not in victim_cells:
+            assert after_files.get(f) == h, f
+    # probes no longer return deleted neighbors
+    q = emb.filter(F.col("vec_id") == 10)
+    got = AI.probe_ivf_index(spark, path, q, k=50, n_probe=16).collect()
+    assert not any(r.neighbor_id in victims for r in got)
+    # deleting absent ids is a no-op
+    assert AI.delete_from_ivf_index(spark, path, [999999]) == 0
