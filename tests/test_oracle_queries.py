@@ -78,3 +78,21 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) == 6  # Q1 returnflag×linestatus groups
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_registry_contract_hygiene():
+    """Every registry entry obeys the driver contract mechanically:
+    snake_case name, callable of (spark, sf_dir), oracle values are
+    non-empty SELECT/WITH SQL strings."""
+    import inspect
+    import re
+
+    for name, fn in ALL_QUERIES.items():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+        assert callable(fn), name
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, (name, params)
+    for name, sql in ALL_ORACLES.items():
+        assert isinstance(sql, str) and sql.strip(), name
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in {"SELECT", "WITH"}, (name, head)
