@@ -1,0 +1,86 @@
+"""Incremental materialized-rollup maintenance (batch side).
+
+The streaming incremental sink (streaming/__init__.run_incremental_sink)
+maintains an hourly rollup as micro-batches arrive; this module is the
+BATCH counterpart for bulk backfills and late-arriving partitions:
+given the materialized rollup and a DELTA of raw rows, recompute ONLY
+the time partitions the delta touches and swap them in via dynamic
+partition overwrite — cost O(touched partitions' raw rows), never a
+full re-aggregation. This is partition-grain incremental view
+maintenance, the practical MV-refresh shape for an append-mostly 100 TB
+fact table (Delta/BigQuery MVs do the same bookkeeping with a log; the
+hive layout makes the touched-partition set explicit).
+
+Correctness rule: the refresh recomputes touched hours FROM THE FULL
+RAW TABLE (not from rollup+delta arithmetic), so it is idempotent,
+handles reprocessed/duplicate deltas, and supports non-distributive
+aggregates (countDistinct) for free. The raw-side scan prunes to the
+touched hours (partition filters when raw is hour-partitioned;
+predicate pushdown otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The maintained aggregate: per (hour, event_type) count, value sum,
+    distinct users (non-distributive on purpose — the refresh contract
+    must survive it)."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def materialize_rollup(events: DataFrame, path: str) -> None:
+    """Initial build: full aggregation, hour-partitioned layout."""
+    (
+        hourly_rollup(events)
+        .repartition("hour")
+        .write.mode("overwrite")
+        .partitionBy("hour")
+        .parquet(path)
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    path: str,
+    raw: DataFrame,
+    delta: DataFrame,
+) -> list[str]:
+    """Refresh the materialized rollup for exactly the hours `delta`
+    touches, recomputing those hours from `raw` (which must already
+    contain the delta rows). Returns the refreshed hour keys. Untouched
+    partitions' files are never rewritten (asserted byte-stable in
+    tests)."""
+    touched = [
+        r["hour"]
+        for r in delta.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return []
+    hour_col = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    fresh = hourly_rollup(raw.filter(hour_col.isin(touched)))
+    (
+        fresh.repartition("hour")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour")
+        .parquet(path)
+    )
+    return sorted(touched)
