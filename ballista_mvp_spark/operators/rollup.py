@@ -84,3 +84,26 @@ def refresh_rollup(
         .parquet(path)
     )
     return sorted(touched)
+
+
+def reaggregate_rollup(hourly: DataFrame, granularity: str = "day") -> DataFrame:
+    """Coarser rollup FROM the hourly rollup — no raw scan: counts and
+    sums re-aggregate distributively (sum of partials == direct), so a
+    daily/weekly dashboard reads the KB-scale hourly table instead of
+    the 100 TB facts. Distinct users deliberately do NOT appear here:
+    countDistinct is not distributive over partials — route distinct
+    questions to the mergeable HLL sketch table (sketch_hll_windowed)
+    or recompute from raw for the exact answer."""
+    return (
+        hourly.groupBy(
+            F.date_format(
+                F.date_trunc(granularity, F.col("hour").cast("timestamp")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("period"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+        )
+    )

@@ -64,3 +64,27 @@ def test_refresh_touches_only_delta_hours_and_matches_full(spark, tmp_path):
     assert got2 == got
     # empty delta refreshes nothing
     assert R.refresh_rollup(spark, path, raw=ev, delta=delta.limit(0)) == []
+
+
+def test_reaggregate_from_hourly_equals_direct(spark, tmp_path):
+    """Daily re-aggregation of the hourly rollup must equal the direct
+    daily rollup over raw for the distributive aggregates."""
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "rollup")
+    R.materialize_rollup(ev, path)
+    hourly = spark.read.parquet(path).withColumn(
+        "hour", F.date_format(F.col("hour").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    )
+    via_rollup = {
+        tuple(r) for r in R.reaggregate_rollup(hourly, "day").collect()
+    }
+    direct = {
+        tuple(r)
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("period"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .collect()
+    }
+    assert via_rollup == direct
