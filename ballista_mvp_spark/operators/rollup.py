@@ -107,3 +107,36 @@ def reaggregate_rollup(hourly: DataFrame, granularity: str = "day") -> DataFrame
             F.round(F.sum("sum_v"), 4).alias("sum_v"),
         )
     )
+
+
+def detect_stale_hours(spark: SparkSession, path: str, raw: DataFrame) -> list[str]:
+    """Audit the materialized rollup against raw: an hour is STALE when
+    its raw row count disagrees with the rollup's `n` total (covers
+    late-arriving rows, reprocessed files, and hours missing entirely).
+    Cost: one map-side-combined count per side on the hour key — no
+    joins over facts, no value comparison needed (any row change moves
+    the count; a same-count value corruption is what the shard-manifest
+    checksum audit exists for). Pair with refresh_rollup(touched) for
+    detect-and-repair."""
+    raw_counts = raw.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+    ).agg(F.count("*").alias("raw_n"))
+    roll_counts = (
+        spark.read.parquet(path)
+        .withColumn(
+            "hour", F.date_format(F.col("hour").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour")
+        .agg(F.sum("n").alias("roll_n"))
+    )
+    stale = (
+        raw_counts.join(roll_counts, "hour", "full")
+        .filter(
+            F.col("roll_n").isNull()
+            | F.col("raw_n").isNull()
+            | (F.col("raw_n") != F.col("roll_n"))
+        )
+        .select("hour")
+        .collect()
+    )
+    return sorted(r["hour"] for r in stale)

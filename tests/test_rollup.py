@@ -88,3 +88,35 @@ def test_reaggregate_from_hourly_equals_direct(spark, tmp_path):
         .collect()
     }
     assert via_rollup == direct
+
+
+def test_detect_and_repair_stale_hours(spark, tmp_path):
+    """Rollup built from 70% of rows: detect_stale_hours must flag
+    exactly the hours whose raw count moved, and refreshing those hours
+    must bring the audit back to empty and the table to full equality."""
+    ev = load_table(spark, SF_SMALL, "events")
+    cutoff = ev.approxQuantile("event_id", [0.7], 0.0)[0]
+    base = ev.filter(F.col("event_id") <= cutoff)
+    delta = ev.filter(F.col("event_id") > cutoff)
+    path = str(tmp_path / "rollup")
+    R.materialize_rollup(base, path)
+
+    stale = R.detect_stale_hours(spark, path, raw=ev)
+    expected_stale = sorted(
+        r.hour
+        for r in delta.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        ).distinct().collect()
+    )
+    assert stale == expected_stale and stale
+
+    # repair exactly the flagged hours
+    hour_col = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    R.refresh_rollup(spark, path, raw=ev, delta=ev.filter(hour_col.isin(stale)))
+    assert R.detect_stale_hours(spark, path, raw=ev) == []
+    got = _normalize(
+        spark.read.parquet(path).withColumn(
+            "hour", F.date_format(F.col("hour").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        )
+    )
+    assert got == _normalize(R.hourly_rollup(ev))
