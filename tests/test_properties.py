@@ -280,3 +280,77 @@ def test_bloom_never_false_negative(spark, members, probes):
         if r.hit
     }
     assert members <= hits  # every member must hit — no false negatives
+
+
+@given(
+    n_sources=st.integers(min_value=1, max_value=5),
+    per_source=st.integers(min_value=1, max_value=20),
+)
+@settings(**SETTINGS)
+def test_interleave_prefix_balance_on_equal_sources(spark, n_sources, per_source):
+    """With equally-sized sources, every prefix of length k*n_sources of
+    the (seq, source) order contains exactly k docs from each source —
+    the round-robin guarantee pipeline_interleave's docstring claims."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (s * 1000 + i, f"src{s}") for s in range(n_sources) for i in range(per_source)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("ileave:"), F.col("doc_id"))), "doc_id"
+    )
+    ordered = [
+        r.source
+        for r in df.select("doc_id", "source", F.row_number().over(w).alias("seq"))
+        .orderBy("seq", "source", "doc_id")
+        .collect()
+    ]
+    for k in range(1, per_source + 1):
+        prefix = ordered[: k * n_sources]
+        for s in range(n_sources):
+            assert prefix.count(f"src{s}") == k, (k, s)
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=20),
+    drop_mod=st.integers(min_value=2, max_value=5),
+    change_mod=st.integers(min_value=2, max_value=5),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_statuses_match_python_reference(spark, texts, drop_mod, change_mod):
+    """The full-outer fingerprint-diff classification must match a plain
+    Python re-derivation for arbitrary corpora and mutation rules."""
+    old = {i: t for i, t in enumerate(texts)}
+    new = {}
+    for i, t in old.items():
+        if i % drop_mod == 0:
+            continue
+        new[i] = t + " v2" if i % change_mod == 0 else t
+    new[10_000] = "fresh"
+    expected = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            expected[i] = "added"
+        elif i not in new:
+            expected[i] = "removed"
+        elif old[i] == new[i]:
+            expected[i] = "unchanged"
+        else:
+            expected[i] = "changed"
+
+    odf = spark.createDataFrame(list(old.items()), "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("fp_new")
+    )
+    j = odf.join(ndf, "doc_id", "full")
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    got = {r.doc_id: r.s for r in j.select("doc_id", status.alias("s")).collect()}
+    assert got == expected
