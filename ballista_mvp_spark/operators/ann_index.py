@@ -326,3 +326,16 @@ def delete_from_ivf_index(
         keep = keep.localCheckpoint(eager=True)  # barrier: self-read-overwrite
         keep.write.mode("overwrite").parquet(cell_dir)
     return removed
+
+
+def compact_ivf_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> tuple[int, int]:
+    """Post-append maintenance: incremental appends accrete one-plus
+    files per batch per cell; compaction rewrites the assignments tree
+    into ~target_file_mb files while PRESERVING the cell= hive layout
+    (sources.compact_table detects the partition dirs), so probe-time
+    partition pruning survives. Returns (files_before, files_after).
+    Run when file count per cell exceeds a few — same small-file
+    discipline as any streaming sink at 100 TB."""
+    from ..sources import compact_table
+
+    return compact_table(spark, os.path.join(path, "assignments"), target_file_mb)

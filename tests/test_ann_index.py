@@ -146,3 +146,28 @@ def test_delete_rewrites_only_affected_cells(spark, tmp_path):
     assert not any(r.neighbor_id in victims for r in got)
     # deleting absent ids is a no-op
     assert AI.delete_from_ivf_index(spark, path, [999999]) == 0
+
+
+def test_compact_after_appends_preserves_probes_and_pruning(spark, tmp_path):
+    """Many appends -> many small files; compaction must cut the file
+    count, keep the cell= layout (probe still partition-prunes), and
+    leave probe results identical."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb.filter(F.col("vec_id") < 300), path, n_cells=8, seed=42)
+    for lo in (300, 350, 400, 450):
+        AI.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), path
+        )
+    q = emb.filter(F.col("vec_id") < 4)
+    before = AI.probe_ivf_index(spark, path, q, k=5, n_probe=3).collect()
+    n_before, n_after = AI.compact_ivf_index(spark, path, target_file_mb=256)
+    assert n_after < n_before
+    import glob
+
+    assert glob.glob(path + "/assignments/cell=*"), "hive layout lost"
+    after = AI.probe_ivf_index(spark, path, q, k=5, n_probe=3)
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+    assert sorted(map(key, after.collect())) == sorted(map(key, before))
