@@ -51,8 +51,12 @@ def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 17, k: int = 5) -
 
 def bloom_might_contain(key: Column, words: list[int], m_bits: int, k: int = 5) -> Column:
     """True iff every one of the key's k bit positions is set — JVM-only
-    expression over the broadcast word-array literal."""
-    arr = F.lit(words)
+    expression over the broadcast word-array literal. The literal is
+    pinned to array<bigint>: when every stored word happens to fit in
+    32 bits the inferred literal type is array<int>, whose getbit
+    rejects positions >= 32 (caught by the hypothesis no-false-negative
+    property)."""
+    arr = F.lit(words).cast("array<bigint>")
     checks = []
     for p in _positions(key, m_bits, k):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
