@@ -14,6 +14,9 @@ reproducible and oracle-checkable.
   (algebraic aggregates; avg = salted sum+count then divide).
 - salted_join: explode the build side n_salt× and salt the probe side —
   the classic hot-key equi-join spread.
+- null_split_left_join: null join keys (often 10-30% of a fact table)
+  all hash to ONE shuffle partition in an outer join yet can never
+  match — route them around the join entirely.
 """
 
 from __future__ import annotations
@@ -70,3 +73,39 @@ def salted_join(
     r2 = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     out = l2.join(r2, (l2[left_key] == r2[right_key]) & (l2["_salt"] == r2["_salt"]))
     return out.drop("_salt")
+
+
+def null_split_left_join(
+    left: DataFrame, right: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Null-key skew split for LEFT OUTER equi-joins.
+
+    A null join key can never match, but Spark still shuffles those rows
+    for a sort-merge left join — and since hash(null) is one value,
+    EVERY null-key row lands in the SAME shuffle partition. In training
+    corpora "key absent" is routinely 10-30% of a fact table (events
+    without a user id, documents without a source id), so the null
+    partition becomes the straggler that AQE can only split after
+    sorting dead rows.
+
+    The classic fix, as an operator: split the left side on key
+    nullness, join only the matchable subset, and union the null-key
+    rows back with the right columns null-extended — which is exactly
+    what LEFT OUTER semantics dictate for them. The null rows now take
+    the union fast path (no shuffle, no sort), and the join's shuffle
+    carries matchable rows only. Result is byte-identical to the plain
+    left join (oracle-checked in the registry: join_null_skew).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "leftouter", "left_outer"):
+        raise ValueError(f"null_split_left_join supports LEFT OUTER only, got {how!r}")
+    matchable = F.lit(True)
+    for k in keys:
+        matchable = matchable & F.col(k).isNotNull()
+    joined = left.filter(matchable).join(right, keys, "left")
+    right_only = [f for f in right.schema.fields if f.name not in set(keys)]
+    null_side = left.filter(~matchable).select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_only],
+    )
+    return joined.unionByName(null_side)

@@ -318,6 +318,53 @@ GROUP BY seg2 ORDER BY seg2 ASC NULLS FIRST
 """
 
 
+def join_null_skew(spark, sf_dir):
+    """Null-key skew split (operators/skew.null_split_left_join): a fact
+    table where ~29% of rows carry a NULL join key (lineitem lines 5-7,
+    simulating events without a user id) left-joined to orders. The
+    operator routes the null-key rows around the shuffle entirely (they
+    can never match); the oracle is the PLAIN left join — the rewrite
+    must be result-invariant."""
+    from ..operators.skew import null_split_left_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 5, F.lit(None))
+        .otherwise(F.col("l_orderkey"))
+        .alias("o_orderkey"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        null_split_left_join(li, o, ["o_orderkey"])
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_null_key"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_sum"),
+        )
+        .orderBy("l_returnflag", F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+JOIN_NULL_SKEW_ORACLE = """
+SELECT l_returnflag, o_orderstatus, count(*) AS n_rows,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+       round(sum(l_extendedprice), 2) AS price_sum,
+       round(sum(o_totalprice), 2) AS order_sum
+FROM (SELECT CASE WHEN l_linenumber >= 5 THEN NULL ELSE l_orderkey END AS k,
+             l_quantity, l_extendedprice, l_returnflag
+      FROM lineitem) li
+LEFT JOIN orders ON li.k = o_orderkey
+GROUP BY l_returnflag, o_orderstatus
+ORDER BY l_returnflag, o_orderstatus ASC NULLS FIRST
+"""
+
+
 def join_residual(spark, sf_dir):
     """HashJoinExecNode JoinFilter residual (datafusion.proto:1299-1313):
     equi key + non-equi residual predicate evaluated inside the join."""
@@ -1131,6 +1178,7 @@ QUERIES = {
     "join_right_anti": join_right_anti,
     "join_cross": join_cross,
     "join_nullsafe": join_nullsafe,
+    "join_null_skew": join_null_skew,
     "join_residual": join_residual,
     "distinct_op": distinct_op,
     "union_all": union_all,
@@ -1182,6 +1230,7 @@ ORACLES = {
     "join_right_anti": JOIN_ANTI_ORACLE,  # RIGHTANTI ≡ swapped LEFTANTI
     "join_cross": JOIN_CROSS_ORACLE,
     "join_nullsafe": JOIN_NULLSAFE_ORACLE,
+    "join_null_skew": JOIN_NULL_SKEW_ORACLE,
     "join_residual": JOIN_RESIDUAL_ORACLE,
     "distinct_op": DISTINCT_ORACLE,
     "union_all": UNION_ALL_ORACLE,

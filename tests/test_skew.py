@@ -215,3 +215,59 @@ def test_salted_join_equals_plain(spark):
         .agg(F.count("*").alias("n"))
     )
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_null_split_left_join_equals_plain_and_skips_shuffle_for_nulls(spark):
+    """null_split_left_join must be (a) result-identical to the plain
+    LEFT join including multiplicities and null-extension, and (b) a
+    genuine rewrite: the physical plan unions a join branch with a
+    join-free null branch, and the join branch filters the null keys
+    out before its exchange."""
+    from ballista_mvp_spark.operators.skew import null_split_left_join
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 5, F.lit(None))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    split = null_split_left_join(li, o, ["k"])
+    plain = li.join(o, ["k"], "left")
+
+    def bag(df):
+        out = {}
+        for r in df.collect():
+            t = tuple(r)
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    assert bag(split) == bag(plain)
+    # the fact table really is skewed: a nontrivial share of keys is null
+    n_null = li.filter(F.col("k").isNull()).count()
+    assert n_null > 0.2 * li.count()
+
+    # Catalyst pushes the nullness split all the way into the two file
+    # scans (the filters surface as rewritten CASE scan predicates), the
+    # null branch carries NO join, and the plan holds exactly one join.
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both; assert the final
+    assert "Union" in final
+    n_joins = sum(final.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, final
+    assert "isnull(l_orderkey" in final  # the join-free null branch's scan filter
+
+    # left-only key (no matching order) still null-extends, null keys too
+    row_groups = split.groupBy(F.col("k").isNull().alias("isnull")).count().collect()
+    assert {r.isnull for r in row_groups} == {True, False}
+
+
+def test_null_split_left_join_rejects_non_left(spark):
+    from ballista_mvp_spark.operators.skew import null_split_left_join
+
+    li = load_table(spark, SF_SMALL, "lineitem").limit(1)
+    with pytest.raises(ValueError):
+        null_split_left_join(li, li, ["l_orderkey"], how="inner")
