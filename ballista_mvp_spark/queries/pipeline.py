@@ -49,6 +49,71 @@ FROM d ORDER BY doc_id
 """
 
 
+def pipeline_group_split(spark, sf_dir):
+    """Leakage-free GROUP-aware split: pipeline_split keys the ~80/10/10
+    assignment on doc_id, so two exact duplicates of one document can
+    land on opposite sides of the train/test wall — memorized-content
+    leakage. Keying the SAME salted-md5 bucket on the content
+    fingerprint (md5 of normalized text) instead sends every member of
+    a duplicate group to one split by construction. Returns the audit:
+    per-split doc and group counts plus the global count of groups
+    spanning >1 split, which must be 0. Zero-shuffle assignment (a pure
+    map, like hash_split); the audit itself is one fingerprint-keyed
+    aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    assigned = P.hash_split(
+        docs.withColumn("fp", TX.fingerprint(F.col("text"))), "fp"
+    )
+    leaks = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_groups")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+PIPELINE_GROUP_SPLIT_ORACLE = r"""
+WITH a AS (
+  SELECT doc_id, fp,
+         CASE WHEN bucket < 205 THEN 'train'
+              WHEN bucket < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, fp,
+           (CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+                 ELSE ascii(substr(m, 1, 1)) - 48 END) * 16 +
+           (CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+                 ELSE ascii(substr(m, 2, 1)) - 48 END) AS bucket
+    FROM (
+      SELECT doc_id, fp, md5('split:' || fp) AS m
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents)
+    )
+  )
+),
+leak AS (
+  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS n_leaky_groups
+  FROM (SELECT fp, count(DISTINCT split) AS ns FROM a GROUP BY fp)
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_groups,
+       (SELECT n_leaky_groups FROM leak) AS n_leaky_groups
+FROM a GROUP BY split ORDER BY split
+"""
+
+
 def pipeline_pack(spark, sf_dir):
     """Concat-then-chunk sequence packing at seq_len=2048: global token
     start-offset per doc via a DISTRIBUTED prefix sum (chunked partials +
@@ -1221,6 +1286,7 @@ QUERIES = {
     "pipeline_epochs": pipeline_epochs,
     "dedup_survivors": dedup_survivors,
     "pipeline_split": pipeline_split,
+    "pipeline_group_split": pipeline_group_split,
     "pipeline_pack": pipeline_pack,
     "text_repetition": text_repetition,
     "text_tfidf": text_tfidf,
@@ -1254,6 +1320,7 @@ ORACLES = {
     "pipeline_epochs": PIPELINE_EPOCHS_ORACLE,
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
     "pipeline_split": PIPELINE_SPLIT_ORACLE,
+    "pipeline_group_split": PIPELINE_GROUP_SPLIT_ORACLE,
     "pipeline_pack": PIPELINE_PACK_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_tfidf": TEXT_TFIDF_ORACLE,

@@ -222,3 +222,33 @@ def test_shard_checksum_invariant_under_repartition(spark):
         with mock.patch.object(PQ, "_t", lambda _s, _d, _n: shuffled):
             got = {tuple(r) for r in pipeline_shard_manifest(spark, SF_SMALL).collect()}
         assert got == base, n
+
+
+def test_group_split_keeps_planted_duplicates_together(spark):
+    """Documents with identical normalized text but different ids must
+    land in the SAME split under the fingerprint-keyed assignment
+    (whereas the id-keyed split may separate them — the leakage the
+    operator exists to prevent)."""
+    rows = []
+    # 40 distinct texts, each planted as 3 copies with far-apart ids and
+    # cosmetic whitespace/case edits that normalize away
+    for i in range(40):
+        base = f"the quick document number {i} with shared content"
+        rows.append((i, base))
+        rows.append((1000 + i, base.upper()))
+        rows.append((2000 + i, "  " + base.replace(" ", "   ") + " "))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assigned = P.hash_split(
+        docs.withColumn("fp", TX.fingerprint(F.col("text"))), "fp"
+    )
+    per_group = (
+        assigned.groupBy("fp")
+        .agg(
+            F.countDistinct("split").alias("ns"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_group) == 40  # normalization really collapses the edits
+    assert all(r.n == 3 for r in per_group)
+    assert all(r.ns == 1 for r in per_group)  # no group straddles splits
