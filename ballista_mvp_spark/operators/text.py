@@ -337,3 +337,57 @@ def bigram_cross_entropy(df, id_col: str, text_col: str):
         F.round("_ce", 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.col("_ce")), 4).alias("ppl"),
     )
+
+
+def bm25_topk(
+    docs,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 top-k for a fixed query-term set, as one declarative
+    plan (the batch half of a hybrid-retrieval stack; fused with the
+    vector leg in queries/extensions.sim_hybrid_rrf).
+
+    Scale shape: doc length rides THROUGH the explode so tf never joins
+    back to the corpus; the post-explode filter keeps only query-term
+    rows, so the (doc, term) shuffle is bounded by documents containing
+    a query term — the inverted-index access pattern, not a corpus
+    scan+shuffle. df/N/avgdl are tiny aggregates broadcast into the
+    scoring map. Ranking uses the house determinism trick: order by the
+    ROUNDED score (6 dp) with id tiebreak, so the DuckDB oracle ranks
+    identically. Output: (id_col, bm25, rank), rank 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    tf = (
+        base.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    stats = docs.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    w_term = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w_term), 6).alias("bm25"))
+    )
+    topk = scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
+    w = W.orderBy(F.col("bm25").desc(), id_col)  # k rows — single partition fine
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

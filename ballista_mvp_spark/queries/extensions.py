@@ -506,6 +506,90 @@ ORDER BY query_id, rank
 """
 
 
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg (operators/text.bm25_topk,
+    query terms spark/vector/hash over documents) fused with an exact
+    cosine vector leg (query = embedding 0, vec_id = doc_id by corpus
+    convention) via reciprocal-rank fusion, rrf = 1/(60+rank_lex) +
+    1/(60+rank_vec) over each leg's top-20. RRF works on RANKS, so the
+    fusion is exactly reproducible cross-engine (integer ranks, exact
+    IEEE division); the legs rank by ROUNDED scores with id tiebreaks
+    (the house determinism trick). At scale each leg is the certified
+    bounded pattern (inverted-index BM25 shuffle, broadcast-query
+    cosine scan) and the fusion joins two k-row lists."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    lex = TX.bm25_topk(docs, "doc_id", "text", ["spark", "vector", "hash"], k=20)
+    vec = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
+    )
+    fused = (
+        lex.select("doc_id", F.col("rank").alias("rank_lex"))
+        .join(vec, "doc_id", "full")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_vec")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = W.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank_lex", "rank_vec", "rrf", "rank")
+    )
+
+
+SIM_HYBRID_RRF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM base
+  WHERE term IN ('spark', 'vector', 'hash') GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+bm AS (
+  SELECT doc_id,
+         round(sum(
+           ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dft USING (term) CROSS JOIN stats GROUP BY doc_id),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+vec AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS rank_vec FROM (
+    SELECT c.vec_id AS neighbor_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id = 0)
+  WHERE rank <= 20),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+         round(coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_vec), 0), 6) AS rrf
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, rank_lex, rank_vec, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def sim_maxsim(spark, sf_dir):
     """Late-interaction (ColBERT MaxSim) retrieval over multi-vector
     documents (operators/similarity.maxsim_topk): vectors grouped 8 per
@@ -1358,6 +1442,7 @@ QUERIES = {
     "scd2_merge_customers": scd2_merge_customers,
     "scd2_point_in_time": scd2_point_in_time,
     "sim_topk": sim_topk,
+    "sim_hybrid_rrf": sim_hybrid_rrf,
     "sim_maxsim": sim_maxsim,
     "sim_outliers": sim_outliers,
     "sim_quantize": sim_quantize,
@@ -1394,6 +1479,7 @@ ORACLES = {
     "scd2_merge_customers": SCD2_ORACLE,
     "scd2_point_in_time": SCD2_PIT_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
+    "sim_hybrid_rrf": SIM_HYBRID_RRF_ORACLE,
     "sim_maxsim": SIM_MAXSIM_ORACLE,
     "sim_outliers": SIM_OUTLIERS_ORACLE,
     "sim_quantize": SIM_QUANTIZE_ORACLE,

@@ -222,3 +222,45 @@ def test_wide_schema_aggregation_survives_codegen_limits(spark):
     for i in range(n_cols):
         expected = sum(v % (i + 2) for v in range(100))
         assert row[f"s{i}"] == expected, i
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    """bm25_topk vs a direct Okapi BM25 computed in Python on a planted
+    corpus — scores match to 6 dp and the ranking (rounded-score DESC,
+    id tiebreak) is identical."""
+    import math
+
+    from ballista_mvp_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark hash join spark spark",
+        2: "vector index scan",
+        3: "hash hash hash hash hash hash table",
+        4: "the quick brown fox",
+        5: "spark vector hash",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms = ["spark", "vector", "hash"]
+    got = {r.doc_id: (r.bm25, r.rank) for r in bm25_topk(docs, "doc_id", "text", terms, k=5).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if not tf:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            expect[d] = round(s, 6)
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+    assert set(got) == set(expect)
+    for rank, d in enumerate(order, 1):
+        assert got[d][1] == rank
+        assert abs(got[d][0] - expect[d]) < 1e-6
