@@ -267,6 +267,59 @@ def decontaminate(
     )
 
 
+def overlap_matrix(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    groups (sources, datasets, snapshots), the count of distinct
+    word-k-gram shingles they share plus the shingle-set Jaccard — the
+    governance view of decontaminate() (which audits one eval set
+    against one train side; this audits ALL pairs at once).
+
+    Plan: the corpus collapses to DISTINCT (group, shingle-hash) rows —
+    one agg shuffle, 8-byte keys, map-side combined. The self-join on
+    the shingle hash fans out per shingle as C(groups-containing-it, 2)
+    ≤ C(n_groups, 2) — bounded by the GROUP count (typically tens), not
+    the corpus, so no stop-shingle cap is needed. Counts are
+    hash-invariant (xxhash64 collisions at 2^-64), so the
+    string-shingle oracle certifies them. Output: (src_a, src_b,
+    n_shared, n_a, n_b, jaccard) for src_a < src_b."""
+    sh = (
+        docs.select(F.col(group_col).alias("g"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("g", F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
+        .distinct()
+    )
+    totals = sh.groupBy("g").agg(F.count("*").alias("n_g"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("g").alias("src_a"), F.col("n_g").alias("n_a"))
+    tb = totals.select(F.col("g").alias("src_b"), F.col("n_g").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

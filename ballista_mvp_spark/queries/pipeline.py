@@ -237,6 +237,43 @@ ORDER BY sizes.doc_id
 """
 
 
+def text_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix (operators/pipeline.
+    overlap_matrix): distinct shared word-8-gram shingles and shingle
+    Jaccard for every source pair — the all-pairs governance view of
+    text_decontaminate. One distinct-(source,shingle) agg + a
+    shingle-keyed self-join whose fan-out is bounded by the source
+    count, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.overlap_matrix(docs, "source", "text", shingle_k=8).orderBy(
+        "src_a", "src_b"
+    )
+
+
+TEXT_OVERLAP_MATRIX_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT source, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT source AS g, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+totals AS (SELECT g, count(*) AS n_g FROM sh GROUP BY g),
+shared AS (
+  SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared,
+       ta.n_g AS n_a, tb.n_g AS n_b,
+       round(n_shared * 1.0 / (ta.n_g + tb.n_g - n_shared), 6) AS jaccard
+FROM shared
+JOIN totals ta ON ta.g = src_a
+JOIN totals tb ON tb.g = src_b
+ORDER BY src_a, src_b
+"""
+
+
 def dedup_clusters(spark, sf_dir):
     """Duplicate-cluster labeling: connected components over the exact
     n-gram-Jaccard near-dup graph (threshold 0.2), component id = min
@@ -1287,6 +1324,7 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "pipeline_split": pipeline_split,
     "pipeline_group_split": pipeline_group_split,
+    "text_overlap_matrix": text_overlap_matrix,
     "pipeline_pack": pipeline_pack,
     "text_repetition": text_repetition,
     "text_tfidf": text_tfidf,
@@ -1321,6 +1359,7 @@ ORACLES = {
     "dedup_survivors": DEDUP_SURVIVORS_ORACLE,
     "pipeline_split": PIPELINE_SPLIT_ORACLE,
     "pipeline_group_split": PIPELINE_GROUP_SPLIT_ORACLE,
+    "text_overlap_matrix": TEXT_OVERLAP_MATRIX_ORACLE,
     "pipeline_pack": PIPELINE_PACK_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_tfidf": TEXT_TFIDF_ORACLE,
