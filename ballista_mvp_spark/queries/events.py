@@ -541,6 +541,82 @@ ORDER BY sess.user_id, session_start
 """
 
 
+def events_attribution(spark, sf_dir):
+    """Purchase attribution matrix: for every purchase, the FIRST-touch
+    and LAST-touch non-purchase event type of the same user in the 24 h
+    lookback window, aggregated to a (first_touch, last_touch) count
+    matrix; purchases with an empty window attribute to '(none)'.
+
+    Plan: the lookback is a user_id equi-join with an event-time range
+    residual (the interval-join shape — shuffle keys on user_id, no
+    cross product), then ONE min/max-of-struct aggregation per purchase
+    picks both touches (struct ordering (ts, event_id, type) is total,
+    so the pick is deterministic) — no per-purchase windows, no second
+    scan. At 100 TB the shuffle carries (purchase, touch) rows bounded
+    by per-user activity in 24 h, and the final matrix is |types|²."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    touches = (
+        p.join(
+            e,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("ts") < F.col("pts")),
+            "inner",
+        )
+        .groupBy("pid")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type")).alias("_f"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("_l"),
+        )
+        .select(
+            "pid",
+            F.col("_f.event_type").alias("first_touch"),
+            F.col("_l.event_type").alias("last_touch"),
+        )
+    )
+    return (
+        p.join(touches, "pid", "left")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        )
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+EVENTS_ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT p.pid, e.event_type, e.ts, e.event_id
+  FROM p JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >= p.ts - INTERVAL 24 HOUR
+   AND e.ts < p.ts
+   AND e.event_type != 'purchase'),
+r AS (
+  SELECT pid, event_type,
+         row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY pid ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t),
+ft AS (SELECT pid, event_type AS first_touch FROM r WHERE rn_a = 1),
+lt AS (SELECT pid, event_type AS last_touch FROM r WHERE rn_d = 1)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       count(*) AS n_purchases
+FROM p LEFT JOIN ft USING (pid) LEFT JOIN lt USING (pid)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_funnel(spark, sf_dir):
     """Ordered first-touch conversion funnel signup → view → click →
     purchase: a user converts at step k iff the first occurrence of step
@@ -1122,6 +1198,7 @@ ORDER BY event_type, day
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
+    "events_attribution": events_attribution,
     "events_funnel": events_funnel,
     "events_anomaly": events_anomaly,
     "events_cum_users": events_cum_users,
@@ -1156,6 +1233,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_ORACLE,
     "events_ewma": EVENTS_EWMA_ORACLE,
+    "events_attribution": EVENTS_ATTRIBUTION_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "events_anomaly": EVENTS_ANOMALY_ORACLE,
     "events_cum_users": EVENTS_CUM_USERS_ORACLE,
