@@ -1090,6 +1090,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def agg_minmax_by(spark, sf_dir):
+    """MIN_BY / MAX_BY argmin-argmax aggregates (modern-ANSI surface,
+    identical names in DuckDB): per market segment, the customer name at
+    the lowest/highest custkey and the order key of that segment's
+    first/last order by orderkey. Comparison keys are UNIQUE (custkey,
+    orderkey), so the pick is deterministic on both engines — min_by on
+    a tied key is engine-defined and would not certify."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    co = c.join(o, c.c_custkey == o.o_custkey, "inner")
+    return (
+        co.groupBy("c_mktsegment")
+        .agg(
+            F.min_by("c_name", "c_custkey").alias("first_cust"),
+            F.max_by("c_name", "c_custkey").alias("last_cust"),
+            F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_MINMAX_BY_ORACLE = """
+SELECT c_mktsegment,
+       min_by(c_name, c_custkey) AS first_cust,
+       max_by(c_name, c_custkey) AS last_cust,
+       min_by(o_totalprice, o_orderkey) AS first_order_price,
+       max_by(o_totalprice, o_orderkey) AS last_order_price,
+       count(*) AS n
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def agg_string(spark, sf_dir):
     """Ordered string aggregation (DuckDB string_agg ORDER BY ≅ Spark
     concat_ws over sort_array(collect_list)): comma-joined region names
@@ -1160,6 +1195,7 @@ QUERIES = {
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
     "agg_string": agg_string,
+    "agg_minmax_by": agg_minmax_by,
     "projection": projection,
     "agg_weighted_percentile": agg_weighted_percentile,
     "pivot_op": pivot_op,
@@ -1212,6 +1248,7 @@ ORACLES = {
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,
     "agg_string": AGG_STRING_ORACLE,
+    "agg_minmax_by": AGG_MINMAX_BY_ORACLE,
     "projection": PROJECTION_ORACLE,
     "agg_weighted_percentile": AGG_WEIGHTED_PCT_ORACLE,
     "pivot_op": PIVOT_ORACLE,
