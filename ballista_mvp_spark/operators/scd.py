@@ -1,7 +1,10 @@
 """SCD2 (slowly-changing dimension, type 2) merge — emulated with plain
 DataFrame ops (anti-join + union + change detection), since MERGE INTO
-needs a Delta/Iceberg table format whose jars are not in this container
-(pyspark_guide "CDC / SCD2" pattern). The emulation IS the scale story:
+needs a Delta/Iceberg table format whose jars are not in this container.
+The type-2 versioning semantics (close the open row, append the new
+version) follow Kimball & Ross, "The Data Warehouse Toolkit" (3rd ed.,
+Wiley 2013), ch. 5 "Slowly Changing Dimension Technique: Type 2".
+The emulation IS the scale story:
 one shuffle on the business key, no driver-side loops, append-friendly
 output (history rows are never rewritten, only the closing timestamp
 column of changed rows).

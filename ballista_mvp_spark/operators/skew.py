@@ -99,6 +99,15 @@ def null_split_left_join(
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "leftouter", "left_outer"):
         raise ValueError(f"null_split_left_join supports LEFT OUTER only, got {how!r}")
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        # A using-join would carry two columns of the same name into the
+        # joined branch, making the unionByName with the null-extended
+        # branch fail or bind ambiguously. Require disjoint non-key names.
+        raise ValueError(
+            "null_split_left_join requires non-key column names to be "
+            f"disjoint between left and right; overlapping: {sorted(overlap)}"
+        )
     matchable = F.lit(True)
     for k in keys:
         matchable = matchable & F.col(k).isNotNull()

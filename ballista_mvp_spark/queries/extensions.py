@@ -655,11 +655,23 @@ def sim_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization (operators/similarity.
     quantize_embeddings) — the 4× storage/IO compression applied to an
     embedding corpus before it hits 100 TB. Pure column expressions;
-    max_abs_err certifies the reconstruction bound per vector."""
+    max_abs_err certifies the reconstruction bound per vector. The
+    operator's qvec stays array<int> for real consumers; this query
+    EMITS it comma-joined because the certification harness
+    canonicalizes rows via pandas, which cannot sort/hash array cells —
+    int→string rendering is byte-identical across engines."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return S.quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")
+    q = S.quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+        "max_abs_err",
+    ).orderBy("vec_id")
 
 
 SIM_QUANTIZE_ORACLE = """
@@ -673,7 +685,8 @@ q AS (SELECT vec_id, v, scale,
              list_transform(v, x -> CASE WHEN scale = 0 THEN 0
                  ELSE CAST(greatest(-127, least(127, round(x / scale))) AS INT) END) AS qvec
       FROM s)
-SELECT vec_id, round(scale, 9) AS scale, qvec,
+SELECT vec_id, round(scale, 9) AS scale,
+       array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',') AS qvec,
        round(list_max(list_transform(generate_series(1, len(v)),
                                      i -> abs(v[i] - qvec[i] * scale))), 9) AS max_abs_err
 FROM q ORDER BY vec_id

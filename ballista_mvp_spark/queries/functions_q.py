@@ -438,14 +438,26 @@ def fn_higher_order(spark, sf_dir):
     reverse/min/max). DataFusion has no lambda expressions (SURVEY.md
     §2.8 scopes the 73 named scalars); this certifies the strict-superset
     Spark surface that operators/dedup.py and similarity.py rely on. All
-    JVM-side codegen — no Python in the loop."""
+    JVM-side codegen — no Python in the loop.
+
+    Array-valued intermediates are EMITTED as comma-joined fixed-scale
+    DECIMAL(18,6) strings (array_join / array_to_string on the oracle
+    side): the certification harness canonicalizes rows via pandas,
+    which cannot sort/hash array cells, and fixed-scale decimal
+    rendering is byte-identical across engines (double→string is not)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     arr = F.array(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax"))
+
+    def _joined(c):
+        return F.array_join(
+            F.transform(c, lambda x: x.cast("decimal(18,6)").cast("string")), ","
+        )
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: F.round(x * 2.0, 6)).alias("ho_transform"),
-        F.filter(arr, lambda x: x > F.lit(0.05)).alias("ho_filter"),
+        _joined(F.transform(arr, lambda x: F.round(x * 2.0, 6))).alias("ho_transform"),
+        _joined(F.filter(arr, lambda x: x > F.lit(0.05))).alias("ho_filter"),
         F.exists(arr, lambda x: x > F.lit(30.0)).alias("ho_exists"),
         F.forall(arr, lambda x: x >= F.lit(0.0)).alias("ho_forall"),
         F.round(
@@ -459,11 +471,11 @@ def fn_higher_order(spark, sf_dir):
             ),
             6,
         ).alias("ho_zipdot"),
-        F.array_sort(arr).alias("arr_sorted"),
+        _joined(F.array_sort(arr)).alias("arr_sorted"),
         F.size(F.array_distinct(arr)).alias("arr_ndistinct"),
         F.array_contains(arr, F.col("l_tax")).alias("arr_has_tax"),
         F.array_position(F.array_sort(arr), F.col("l_quantity")).alias("arr_pos_qty"),
-        F.slice(F.array_sort(arr), 1, 2).alias("arr_low2"),
+        _joined(F.slice(F.array_sort(arr), 1, 2)).alias("arr_low2"),
         F.round(F.array_max(arr) - F.array_min(arr), 6).alias("arr_span"),
     ).orderBy("l_orderkey", "l_linenumber")
 
@@ -475,18 +487,28 @@ WITH base AS (
   FROM lineitem WHERE l_orderkey < 300
 )
 SELECT l_orderkey, l_linenumber,
-       list_transform(arr, x -> round(x * 2.0, 6)) AS ho_transform,
-       list_filter(arr, x -> x > 0.05) AS ho_filter,
+       array_to_string(list_transform(list_transform(arr, x -> round(x * 2.0, 6)),
+                                      x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)),
+                       ',') AS ho_transform,
+       -- COALESCE pins the empty-list rendering: DuckDB array_to_string
+       -- returns NULL for an empty list where Spark array_join returns ''
+       COALESCE(array_to_string(list_transform(list_filter(arr, x -> x > 0.05),
+                                      x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)),
+                       ','), '') AS ho_filter,
        list_bool_or(list_transform(arr, x -> x > 30.0)) AS ho_exists,
        list_bool_and(list_transform(arr, x -> x >= 0.0)) AS ho_forall,
        round(list_sum(arr), 6) AS ho_aggregate,
        round(list_sum(list_transform(generate_series(1, len(arr)),
                                      i -> arr[i] * arr[len(arr) + 1 - i])), 6) AS ho_zipdot,
-       list_sort(arr) AS arr_sorted,
+       array_to_string(list_transform(list_sort(arr),
+                                      x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)),
+                       ',') AS arr_sorted,
        CAST(len(list_distinct(arr)) AS INT) AS arr_ndistinct,
        list_contains(arr, l_tax) AS arr_has_tax,
        CAST(list_position(list_sort(arr), l_quantity) AS BIGINT) AS arr_pos_qty,
-       list_sort(arr)[1:2] AS arr_low2,
+       array_to_string(list_transform(list_sort(arr)[1:2],
+                                      x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)),
+                       ',') AS arr_low2,
        round(list_max(arr) - list_min(arr), 6) AS arr_span
 FROM base
 ORDER BY l_orderkey, l_linenumber
@@ -498,7 +520,11 @@ def fn_map(spark, sf_dir):
     introspection (map_keys / map_values / map_entries / size), lookup
     (element_at / map_contains_key), and map_concat. DataFusion's type
     system has no MAP (SURVEY.md §2.7 covers struct/array access only) —
-    free extension; key order canonicalized by sorting on both sides."""
+    free extension; key order canonicalized by sorting on both sides.
+    Array-valued key/entry lists are EMITTED comma-joined (array_join /
+    array_to_string): the certification harness canonicalizes rows via
+    pandas, which cannot sort/hash array cells — the map semantics under
+    test are unchanged."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
@@ -509,18 +535,21 @@ def fn_map(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        F.array_sort(F.map_keys(m)).alias("mk"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("mk"),
         F.element_at(m, F.lit("status")).alias("m_status"),
         F.element_at(m, F.lit("missing")).alias("m_missing"),
         F.map_contains_key(m, F.lit("prio")).alias("m_has_prio"),
         F.size(m).alias("m_size"),
-        F.array_sort(F.map_keys(m2)).alias("mk3"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("mk3"),
         F.element_at(m2, F.lit("ck")).alias("m_ck"),
-        F.array_sort(
-            F.transform(
-                F.map_entries(m),
-                lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
-            )
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+                )
+            ),
+            ",",
         ).alias("m_kv"),
         F.element_at(
             F.map_from_arrays(F.array(F.lit("k")), F.array(F.col("o_custkey"))),
@@ -538,15 +567,15 @@ WITH base AS (
   FROM orders WHERE o_orderkey < 400
 )
 SELECT o_orderkey,
-       list_sort(map_keys(m)) AS mk,
+       array_to_string(list_sort(map_keys(m)), ',') AS mk,
        (m['status'])[1] AS m_status,
        (m['missing'])[1] AS m_missing,
        list_contains(map_keys(m), 'prio') AS m_has_prio,
        CAST(cardinality(m) AS INT) AS m_size,
-       list_sort(map_keys(m2)) AS mk3,
+       array_to_string(list_sort(map_keys(m2)), ',') AS mk3,
        (m2['ck'])[1] AS m_ck,
-       list_sort(list_transform(map_entries(m),
-                                e -> e.key || '=' || e.value)) AS m_kv,
+       array_to_string(list_sort(list_transform(map_entries(m),
+                                e -> e.key || '=' || e.value)), ',') AS m_kv,
        o_custkey AS mfa_v
 FROM base
 ORDER BY o_orderkey
@@ -613,17 +642,31 @@ def fn_decimal(spark, sf_dir):
     type mapping (SURVEY.md §1.2: DataFusion Decimal128(p,s) ≡ Spark
     DecimalType(p,s), both 128-bit). Sums are EXACT — order-independent,
     no rounding shim needed on either side — which is the whole point of
-    decimal for money at scale: 10⁹-row sums with no FP drift."""
+    decimal for money at scale: 10⁹-row sums with no FP drift.
+
+    The aggregation runs entirely in Decimal128 (that IS the type-mapping
+    certification); only the FINAL columns are rendered CAST AS STRING,
+    because the certification harness hashes a pandas rendering where
+    Spark's Decimal objects ('20828.00') and DuckDB's float64 coercion
+    ('20828.0') would differ despite exactly equal values. Fixed-scale
+    decimal→string is byte-identical across both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).alias("sum_price"),
-            F.sum((price * (1 - disc)).cast("decimal(18,4)")).alias("sum_disc_price"),
-            F.max(price).alias("max_price"),
-            F.min(price).alias("min_price"),
+            F.sum(price).alias("_sum_price"),
+            F.sum((price * (1 - disc)).cast("decimal(18,4)")).alias("_sum_disc_price"),
+            F.max(price).alias("_max_price"),
+            F.min(price).alias("_min_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_sum_price").cast("string").alias("sum_price"),
+            F.col("_sum_disc_price").cast("string").alias("sum_disc_price"),
+            F.col("_max_price").cast("string").alias("max_price"),
+            F.col("_min_price").cast("string").alias("min_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -631,11 +674,12 @@ def fn_decimal(spark, sf_dir):
 
 FN_DECIMAL_ORACLE = """
 SELECT l_returnflag,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS sum_disc_price,
-       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
-       min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
+            AS VARCHAR) AS sum_disc_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -1001,28 +1001,41 @@ def agg_quantiles(spark, sf_dir):
     """One-pass multi-quantile: EXACT percentile over an array of
     probabilities — one aggregation buffer per group computes p25/p50/p75
     together (vs three separate sorts). DuckDB's quantile_cont takes the
-    same list; both sides emit arrays compared element-wise. Rounded: the
-    linear interpolation arithmetic differs in last-ulp between engines."""
+    same list. The internal accumulator is the array form; the OUTPUT
+    unpacks it to three scalar double columns (p25/p50/p75) because the
+    certification harness canonicalizes rows via pandas, which cannot
+    sort/hash array cells. Rounded: the linear interpolation arithmetic
+    differs in last-ulp between engines."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.expr(
-                "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),"
-                " x -> round(x, 4))"
-            ).alias("price_quartiles"),
+            F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias("_q"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("_q", 1), 4).alias("p25"),
+            F.round(F.element_at("_q", 2), 4).alias("p50"),
+            F.round(F.element_at("_q", 3), 4).alias("p75"),
+            "n",
         )
         .orderBy("o_orderstatus")
     )
 
 
 AGG_QUANTILES_ORACLE = """
+WITH q AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs,
+         count(*) AS n
+  FROM orders GROUP BY o_orderstatus)
 SELECT o_orderstatus,
-       [round(x, 4) FOR x IN quantile_cont(o_totalprice, [0.25, 0.5, 0.75])]
-         AS price_quartiles,
-       count(*) AS n
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+       round(qs[1], 4) AS p25,
+       round(qs[2], 4) AS p50,
+       round(qs[3], 4) AS p75,
+       n
+FROM q ORDER BY o_orderstatus
 """
 
 

@@ -33,6 +33,11 @@ CORE = [
     "pipeline_mixture", "pipeline_quota", "window_agg_groups_frame",
     "events_funnel", "events_anomaly", "events_cum_users",
     "events_session_window", "sql_tpch_q1",
+    # round-3 driver-red rows, re-certified after the output-encoding
+    # rewrite (arrays comma-joined / decimals CAST AS STRING) — kept in
+    # CORE so a regression to driver-unsafe encodings is caught inner-loop
+    "agg_quantiles", "fn_decimal", "fn_map", "fn_higher_order",
+    "sim_quantize",
 ]
 
 NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
@@ -40,7 +45,13 @@ NAMES = sorted(ALL_QUERIES) if os.environ.get("SPARK_GRAFT_FULL") else CORE
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(name, spark, duck_small):
-    res = compare(name, ALL_QUERIES[name](spark, SF_SMALL), ALL_ORACLES.get(name), duck_small)
+    # strict=True = the driver-faithful pandas canonicalization; the
+    # lenient path let 5 array/decimal-output queries through in round 3
+    # that the driver then red-flagged (CORRECTNESS_r03).
+    res = compare(
+        name, ALL_QUERIES[name](spark, SF_SMALL), ALL_ORACLES.get(name),
+        duck_small, strict=True,
+    )
     assert res.ok, str(res)
 
 
@@ -78,6 +89,38 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) == 6  # Q1 returnflag×linestatus groups
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_no_driver_unsafe_output_columns(spark):
+    """Registry contract: no oracle-backed query may emit a top-level
+    array/map/struct/decimal column. The driver's pandas canonicalization
+    crashes on container cells (``unhashable type: 'list'``) and renders
+    Decimal engine-dependently — exactly the 5 red rows of
+    CORRECTNESS_r03. Queries needing those types must pre-render
+    (array_join / to_json / CAST AS STRING) on both engines."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    bad = []
+    for name in sorted(ALL_ORACLES):
+        schema = ALL_QUERIES[name](spark, SF_SMALL).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"driver-unsafe output columns: {bad}"
+
+
+def test_bench_membership_frozen():
+    """BENCH_r01..r04 must stay cross-round comparable: the bench suite's
+    membership and order are pinned by hash so a refactor cannot silently
+    change what `value` measures (VERDICT r3, next-round #6)."""
+    import hashlib
+
+    from bench import BENCH_QUERIES
+
+    digest = hashlib.sha256(",".join(BENCH_QUERIES).encode()).hexdigest()
+    assert digest == (
+        "efbe756cb92dd942f5ff233360bcaf88d80bc8cf42d09ab6bcea31caa38c4a45"
+    ), f"BENCH_QUERIES changed: {digest} — bench membership is frozen across rounds"
 
 
 def test_registry_contract_hygiene():
