@@ -1080,6 +1080,91 @@ GROUP BY 1 ORDER BY first_doc
 """
 
 
+def text_normalize(spark, sf_dir):
+    """C4-style text cleaning (operators/text.clean_text): strip control
+    + zero-width characters, collapse whitespace, casefold. The synthetic
+    corpus is already clean, so the query FIRST builds a deterministic
+    noisy form (tabs, vertical tab, zero-width space, uppercased source
+    tag appended) on BOTH engines, then certifies that normalization
+    recovers a canonical string. Pure column expressions — scan-speed."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"), F.lit("\t\t"), F.upper("source"), F.lit("\x0b​")
+    )
+    cleaned = TX.clean_text(noisy)
+    return docs.select(
+        "doc_id",
+        F.length(noisy).alias("n_chars_noisy"),
+        cleaned.alias("text_clean"),
+        F.length(cleaned).alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_ORACLE = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         text || chr(9) || chr(9) || upper(source) || chr(11) || chr(8203) AS s
+  FROM documents)
+SELECT doc_id,
+       length(s) AS n_chars_noisy,
+       lower(trim(regexp_replace(
+         regexp_replace(s, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+         '\s+', ' ', 'g'))) AS text_clean,
+       length(lower(trim(regexp_replace(
+         regexp_replace(s, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+         '\s+', ' ', 'g')))) AS n_chars_clean
+FROM noisy ORDER BY doc_id
+"""
+
+
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level line dedup (operators/text.line_dedup):
+    drop every line occurring >= 2 times across the corpus (boilerplate
+    removal), reassemble documents preserving line order. The synthetic
+    corpus has no newlines, so the query synthesizes deterministic
+    pseudo-lines by marking every 6-token run on BOTH engines — the
+    operator under test is the corpus-wide line-hash shuffle + ordered
+    reassembly, not the splitting. Spark groups lines by xxhash64
+    (fixed-width shuffle keys); the oracle groups by the line text
+    itself — identical results absent 64-bit collisions, and the hash
+    path is the 100 TB design (never shuffles line strings)."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "((\\S+ ){6})", "$1\x01").alias("text"),
+    )
+    return (
+        TX.line_dedup(lined, "doc_id", "text", delim="\x01", min_count=2)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LINE_DEDUP_ORACLE = r"""
+WITH lined AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '((\S+ ){6})', '\1' || chr(1), 'g'),
+                      chr(1)) AS ls
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS ln, ls[i] AS line
+  FROM lined, unnest(generate_series(1, len(ls))) AS t(i)),
+counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+kept AS (
+  SELECT doc_id,
+         count(*) AS n_lines_kept,
+         string_agg(line, chr(1) ORDER BY ln) AS text_deduped
+  FROM lines JOIN counts USING (line)
+  WHERE counts.n < 2
+  GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines_total,
+       COALESCE(k.n_lines_kept, 0) AS n_lines_kept,
+       COALESCE(k.text_deduped, '') AS text_deduped
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # -- multimodal --------------------------------------------------------------
 
 
@@ -1471,6 +1556,8 @@ QUERIES = {
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
+    "text_normalize": text_normalize,
+    "text_line_dedup": text_line_dedup,
     "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -1504,6 +1591,8 @@ ORACLES = {
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_normalize": TEXT_NORMALIZE_ORACLE,
+    "text_line_dedup": TEXT_LINE_DEDUP_ORACLE,
     "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_phash": MULTIMODAL_PHASH_ORACLE,

@@ -264,3 +264,53 @@ def test_bm25_topk_matches_reference_formula(spark):
     for rank, d in enumerate(order, 1):
         assert got[d][1] == rank
         assert abs(got[d][0] - expect[d]) < 1e-6
+
+
+def test_clean_text_strips_controls_and_collapses(spark):
+    noisy = "A\x00B\x07C\x0b ​‌﻿  Hello\t\tWorld \x7f"
+    got = spark.range(1).select(TX.clean_text(F.lit(noisy)).alias("s")).collect()[0].s
+    assert got == "abc hello world"
+    # tabs/newlines survive as collapsed spaces; casefold optional
+    kept = (
+        spark.range(1)
+        .select(TX.clean_text(F.lit("Keep\nCase"), lowercase=False).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert kept == "Keep Case"
+
+
+def test_line_dedup_removes_corpus_boilerplate_preserving_order(spark):
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha\nunique beta"),
+            (2, f"unique gamma\n{banner}"),
+            (3, f"{banner}"),
+            (4, "unique delta\nunique epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in TX.line_dedup(docs, "doc_id", "text", min_count=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # every doc keeps a row
+    assert got[1].text_deduped == "unique alpha\nunique beta"
+    assert got[1].n_lines_total == 3 and got[1].n_lines_kept == 2
+    assert got[2].text_deduped == "unique gamma"
+    assert got[3].text_deduped == "" and got[3].n_lines_kept == 0
+    assert got[4].text_deduped == "unique delta\nunique epsilon"
+    # threshold 3: the banner occurs 3x, survives min_count=4
+    all_kept = {
+        r.doc_id: r.n_lines_kept
+        for r in TX.line_dedup(docs, "doc_id", "text", min_count=4).collect()
+    }
+    assert all_kept == {1: 3, 2: 2, 3: 1, 4: 2}
+
+
+def test_line_dedup_plan_shuffles_hashes_not_lines(spark):
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = TX.line_dedup(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    # the line-count aggregation keys on the 64-bit hash, never the text
+    assert "xxhash64" in plan
