@@ -65,7 +65,19 @@ OPS = {
         d, "doc_id", "text", shingle_k=3, threshold=0.2
     ),
     "dedup_fuzzy": lambda d: D.fuzzy_pairs(d, "doc_id", "text"),
+    # CCNet-style line dedup over 6-token pseudo-lines (the salting keeps
+    # copies' lines disjoint, so duplicate-line mass grows linearly)
+    "text_line_dedup": lambda d: _line_dedup_op(d),
 }
+
+
+def _line_dedup_op(d):
+    from ballista_mvp_spark.operators import text as TX
+
+    lined = d.select(
+        "doc_id", F.regexp_replace("text", "((\\S+ ){6})", "$1\x01").alias("text")
+    )
+    return TX.line_dedup(lined, "doc_id", "text", delim="\x01", min_count=2)
 
 
 def replicate_vecs(emb, n: int):
