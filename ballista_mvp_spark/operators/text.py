@@ -413,6 +413,97 @@ def bigram_cross_entropy(df, id_col: str, text_col: str):
     )
 
 
+def dsir_logweights(
+    df,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    vocab_size: int = 256,
+    alpha: float = 1.0,
+):
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by how much more likely its tokens are under a
+    TARGET unigram distribution than under the RAW corpus distribution,
+
+        log w(doc) = Σ_tokens  log p̂_target(tok) − log p̂_raw(tok),
+
+    with add-α smoothing p̂(b) = (c(b)+α)/(N+α·V) over a shared bucket
+    space. Resampling then keeps documents with (Gumbel-perturbed)
+    top-k weights; this operator emits the deterministic weights — the
+    sampling policy (threshold, Gumbel top-k, score-proportional via
+    pipeline.importance_sample) is the caller's.
+
+    Bucket space: the paper hashes n-grams into a fixed number of
+    buckets so the two distributions stay O(1)-sized at any corpus
+    scale. A salted hash is engine-specific, so the certified variant
+    buckets by the top-`vocab_size` raw-corpus tokens with a single
+    `<oov>` catch-all — same fixed-size distributions, exactly
+    reproducible in ANSI SQL. Swap `mapping` for
+    `xxhash64(token) % buckets` to match the paper byte-for-byte when
+    cross-engine parity is not needed.
+
+    Scale shape: one token explode feeds a map-side-combined groupBy
+    (corpus-scale shuffle #1, keyed on token); ranking to pick the
+    vocab runs on the vocabulary-sized count table; bucket counts,
+    totals, and log-ratios are ≤ vocab_size+1 rows and broadcast into
+    the token→ratio lookup; scoring joins that lookup on the token key
+    (shuffle #2 — an unbounded vocabulary is never broadcast) and the
+    per-doc sum is shuffle #3, keyed on the doc id. No Python in any
+    per-row path.
+
+    Output: (id_col, n_tokens, log_w) — log_w rounded to 6 decimals
+    (sum order across partitions is nondeterministic at ~1e-12).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        is_target.alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    counts = toks.groupBy("_w").agg(
+        F.count("*").alias("_c_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_c_tgt"),
+    )
+    ranked = counts.withColumn(
+        "_rk", F.row_number().over(W.orderBy(F.desc("_c_raw"), "_w"))
+    )
+    mapping = ranked.select(
+        "_w",
+        F.when(F.col("_rk") <= vocab_size, F.col("_w"))
+        .otherwise(F.lit("<oov>"))
+        .alias("_b"),
+        "_c_raw",
+        "_c_tgt",
+    )
+    buckets = mapping.groupBy("_b").agg(
+        F.sum("_c_raw").alias("_c_raw"), F.sum("_c_tgt").alias("_c_tgt")
+    )
+    totals = buckets.agg(
+        F.sum("_c_raw").alias("_n_raw"),
+        F.sum("_c_tgt").alias("_n_tgt"),
+        F.count("*").alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    ratio = buckets.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_c_tgt") + a) / (F.col("_n_tgt") + a * F.col("_v")))
+            - F.log((F.col("_c_raw") + a) / (F.col("_n_raw") + a * F.col("_v")))
+        ).alias("_lr"),
+    )
+    # token→log-ratio lookup: the vocabulary-sized mapping gains the
+    # bucket's ratio via a broadcast of the ≤V+1-row ratio table; the
+    # corpus-scale scoring join is then keyed on the token (an unbounded
+    # vocabulary is never broadcast — AQE picks the strategy).
+    token_lr = mapping.select("_w", "_b").join(F.broadcast(ratio), "_b")
+    scored = toks.join(token_lr, "_w")
+    return scored.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"), F.round(F.sum("_lr"), 6).alias("log_w")
+    ).select(F.col("_id").alias(id_col), "n_tokens", "log_w")
+
+
 def bm25_topk(
     docs,
     id_col: str,

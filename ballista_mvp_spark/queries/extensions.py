@@ -1492,6 +1492,51 @@ ORDER BY c12 DESC, w1, w2 LIMIT 30
 """
 
 
+def text_dsir(spark, sf_dir):
+    """DSIR data-selection importance weights (Xie et al., NeurIPS
+    2023): per-document Σ log p̂_target(tok) − log p̂_raw(tok) with
+    add-1-smoothed unigram distributions over a fixed bucket space
+    (top-64 raw tokens + <oov>), target = the src0 slice of the corpus.
+    Documents whose vocabulary skews toward the target domain score
+    high; resampling keeps the top-weight tail. Fully oracle-checked —
+    DuckDB rebuilds both distributions and the identical smoothed
+    log-ratio sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_logweights(
+        docs, "doc_id", "text", F.col("source") == "src0", vocab_size=64
+    ).orderBy("doc_id")
+
+
+TEXT_DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS tgt,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+counts AS (
+  SELECT w, count(*) AS c_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM toks GROUP BY w),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY c_raw DESC, w) AS rk FROM counts),
+mapping AS (
+  SELECT w, CASE WHEN rk <= 64 THEN w ELSE '<oov>' END AS b, c_raw, c_tgt
+  FROM ranked),
+buckets AS (
+  SELECT b, sum(c_raw) AS c_raw, sum(c_tgt) AS c_tgt FROM mapping GROUP BY b),
+totals AS (
+  SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM buckets),
+ratio AS (
+  SELECT b, ln((c_tgt + 1.0) / (n_tgt + 1.0 * v))
+            - ln((c_raw + 1.0) / (n_raw + 1.0 * v)) AS lr
+  FROM buckets, totals)
+SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 6) AS log_w
+FROM toks
+JOIN (SELECT w, b FROM mapping) USING (w)
+JOIN ratio USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN: 8×16 codebooks compress the 64-d float
     vectors 32×; asymmetric-distance scan (m table lookups per candidate)
@@ -1558,6 +1603,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_normalize": text_normalize,
     "text_line_dedup": text_line_dedup,
+    "text_dsir": text_dsir,
     "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -1593,6 +1639,7 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_normalize": TEXT_NORMALIZE_ORACLE,
     "text_line_dedup": TEXT_LINE_DEDUP_ORACLE,
+    "text_dsir": TEXT_DSIR_ORACLE,
     "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_phash": MULTIMODAL_PHASH_ORACLE,

@@ -314,3 +314,51 @@ def test_line_dedup_plan_shuffles_hashes_not_lines(spark):
     plan = TX.line_dedup(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     # the line-count aggregation keys on the 64-bit hash, never the text
     assert "xxhash64" in plan
+
+
+def test_dsir_logweights_match_reference_computation(spark):
+    """Cross-check dsir_logweights against a pure-Python reimplementation
+    of the smoothed log-ratio on a crafted corpus, and assert the
+    selection signal: the target-vocabulary doc outscores the raw one."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "alpha alpha beta", True),
+        (1, "alpha gamma", True),
+        (2, "delta delta epsilon beta", False),
+        (3, "delta epsilon epsilon", False),
+        (4, "alpha alpha alpha", False),   # raw doc with target vocabulary
+        (5, "delta delta delta", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    V = 3  # top-3 tokens stay, the rest fold into <oov>
+    got = {
+        r.doc_id: (r.n_tokens, r.log_w)
+        for r in TX.dsir_logweights(
+            docs, "doc_id", "text", F.col("tgt"), vocab_size=V
+        ).collect()
+    }
+
+    toks = {i: t.split() for i, t, _ in rows}
+    raw = Counter(w for ws in toks.values() for w in ws)
+    tgt = Counter(w for i, ws in toks.items() if rows[i][2] for w in ws)
+    top = sorted(raw, key=lambda w: (-raw[w], w))[:V]
+    bucket = lambda w: w if w in top else "<oov>"
+    b_raw, b_tgt = Counter(), Counter()
+    for w, c in raw.items():
+        b_raw[bucket(w)] += c
+    for w, c in tgt.items():
+        b_tgt[bucket(w)] += c
+    n_raw, n_tgt, v = sum(b_raw.values()), sum(b_tgt.values()), len(b_raw)
+    lr = {
+        b: math.log((b_tgt[b] + 1.0) / (n_tgt + v))
+        - math.log((b_raw[b] + 1.0) / (n_raw + v))
+        for b in b_raw
+    }
+    for i, ws in toks.items():
+        want = round(sum(lr[bucket(w)] for w in ws), 6)
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
+    # the signal: target-vocab docs outscore raw-vocab docs of equal length
+    assert got[4][1] > got[5][1]
