@@ -68,7 +68,19 @@ OPS = {
     # CCNet-style line dedup over 6-token pseudo-lines (the salting keeps
     # copies' lines disjoint, so duplicate-line mass grows linearly)
     "text_line_dedup": lambda d: _line_dedup_op(d),
+    # DSIR importance weights; target = 5% of docs by id. The salted
+    # copies' disjoint vocabularies grow the distinct-token table
+    # linearly, stressing the vocab ranking alongside the token shuffles.
+    "text_dsir": lambda d: _dsir_op(d),
 }
+
+
+def _dsir_op(d):
+    from ballista_mvp_spark.operators import text as TX
+
+    return TX.dsir_logweights(
+        d, "doc_id", "text", F.col("doc_id") % 20 == 0, vocab_size=64
+    )
 
 
 def _line_dedup_op(d):
