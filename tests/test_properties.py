@@ -354,3 +354,48 @@ def test_snapshot_diff_statuses_match_python_reference(spark, texts, drop_mod, c
     )
     got = {r.doc_id: r.s for r in j.select("doc_id", status.alias("s")).collect()}
     assert got == expected
+
+
+@given(
+    docs=st.lists(WORDS, min_size=2, max_size=8),
+    tgt_mod=st.integers(min_value=2, max_value=4),
+    vocab=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_dsir_logweights_match_python_reference(spark, docs, tgt_mod, vocab):
+    """dsir_logweights equals the pure-Python smoothed log-ratio sum for
+    ANY corpus, target slice, and vocab cutoff (including all-target /
+    no-oov edge shapes)."""
+    import math
+    from collections import Counter
+
+    from ballista_mvp_spark.operators import text as TX
+
+    rows = [(i, " ".join(ws), i % tgt_mod == 0) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r.doc_id: (r.n_tokens, r.log_w)
+        for r in TX.dsir_logweights(
+            df, "doc_id", "text", F.col("tgt"), vocab_size=vocab
+        ).collect()
+    }
+
+    raw = Counter(w for ws in docs for w in ws)
+    tgt = Counter(w for i, ws in enumerate(docs) if i % tgt_mod == 0 for w in ws)
+    top = set(sorted(raw, key=lambda w: (-raw[w], w))[:vocab])
+    bucket = lambda w: w if w in top else "<oov>"
+    b_raw, b_tgt = Counter(), Counter()
+    for w, c in raw.items():
+        b_raw[bucket(w)] += c
+    for w, c in tgt.items():
+        b_tgt[bucket(w)] += c
+    n_raw, n_tgt, v = sum(b_raw.values()), sum(b_tgt.values()), len(b_raw)
+    lr = {
+        b: math.log((b_tgt[b] + 1.0) / (n_tgt + v))
+        - math.log((b_raw[b] + 1.0) / (n_raw + v))
+        for b in b_raw
+    }
+    for i, ws in enumerate(docs):
+        want = round(sum(lr[bucket(w)] for w in ws), 6)
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
