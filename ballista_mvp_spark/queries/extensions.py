@@ -331,6 +331,122 @@ def profile_constraints(spark, sf_dir):
     )
 
 
+def stats_column_profile(spark, sf_dir):
+    """CBO-style column statistics (the surface behind ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS; the reference's optimizer consumes
+    the same stats via DataFusion's AggregateStatistics rule,
+    execution_stage.rs:252-253): per-column row count, null count,
+    exact NDV, and min/max rendered as strings for a uniform schema.
+    One scan, everything folds into a single aggregate — O(data) once
+    for all columns, map-side combined."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(name, col, fmt):
+        return o.select(
+            F.lit(name).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct(col).alias("ndv"),
+            fmt(F.min(col)).alias("min_s"),
+            fmt(F.max(col)).alias("max_s"),
+        )
+
+    s = lambda c: c.cast("string")
+    money = lambda c: F.format_string("%.2f", c)
+    return (
+        prof("o_custkey", F.col("o_custkey"), s)
+        .unionAll(prof("o_orderdate", F.col("o_orderdate"), s))
+        .unionAll(prof("o_orderpriority", F.col("o_orderpriority"), s))
+        .unionAll(prof("o_totalprice", F.col("o_totalprice"), money))
+        .orderBy("col_name")
+    )
+
+
+STATS_COLUMN_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT o_custkey) AS ndv,
+       CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice),
+       printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+FROM orders
+ORDER BY col_name
+"""
+
+
+def stats_histogram(spark, sf_dir):
+    """Exact equi-depth histogram of l_extendedprice in 8 buckets — the
+    histogram statistic CBO join/selectivity estimation consumes
+    (Spark keeps the approximate version under
+    spark.sql.statistics.histogram.enabled; the certified variant uses
+    EXACT percentile boundaries so DuckDB reproduces it bit-for-bit).
+    Boundaries come from one exact-percentile aggregate (7 interior
+    cut points); each row's bucket is 1 + #(boundaries < v) — a
+    broadcast of 7 doubles folded into a column expression, then one
+    map-side-combined groupBy on the bucket id. At 100 TB the only
+    change is approx-percentile boundaries (one pass, mergeable
+    sketches) — the assignment/count stages are identical."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    ps = [i / 8.0 for i in range(1, 8)]
+    bounds = li.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("bs")
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        (
+            1
+            + F.aggregate(
+                "bs",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
+            )
+        ).alias("bucket"),
+        "v",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+STATS_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM lineitem),
+assigned AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         1 + (SELECT count(*) FROM unnest((SELECT bs FROM b)) AS u(bd)
+              WHERE bd < CAST(l_extendedprice AS DOUBLE)) AS bucket
+  FROM lineitem)
+SELECT bucket, count(*) AS n_rows,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
+
 PROFILE_CONSTRAINTS_ORACLE = """
 SELECT 'pk_unique_orderkey' AS check_name, count(*) AS n_violations
 FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
@@ -1598,6 +1714,8 @@ QUERIES = {
     "text_quality_model": text_quality_model,
     "text_lexical": text_lexical,
     "profile_constraints": profile_constraints,
+    "stats_column_profile": stats_column_profile,
+    "stats_histogram": stats_histogram,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1634,6 +1752,8 @@ ORACLES = {
     "text_quality_model": TEXT_QUALITY_MODEL_ORACLE,
     "text_lexical": TEXT_LEXICAL_ORACLE,
     "profile_constraints": PROFILE_CONSTRAINTS_ORACLE,
+    "stats_column_profile": STATS_COLUMN_PROFILE_ORACLE,
+    "stats_histogram": STATS_HISTOGRAM_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
