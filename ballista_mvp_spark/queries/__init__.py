@@ -92,3 +92,35 @@ ALL_QUERIES = {
 
 # Rounds 1-3 windows are recorded in COVERAGE.md ("driver-certification
 # accounting"); CORRECTNESS_r0{1,2,3}.json hold their driver rows.
+
+# ROUND-5 WINDOW (pre-staged; swap into _CERT_FIRST at round-5 start
+# AFTER CORRECTNESS_r04.json lands): the 5 queries added mid-round-4 +
+# the 11 oracle-backed leftovers (closing driver certification for
+# EVERY oracle-backed query in the registry — after this window the
+# only queries without a green driver row are fn_misc and the 6
+# rows-only sketch/ANN entries, whose rows can only log `err:
+# no_oracle`), padded to 50 with high-value re-certifications (all 22
+# TPC-H + the headline bench members) to re-prove stability under the
+# final driver. Validated by tests/test_oracle_queries.py.
+_CERT_FIRST_ROUND5 = [
+    # added mid-round-4, strict-oracle-green, never driver-certified
+    "text_normalize", "text_line_dedup", "text_dsir",
+    "stats_column_profile", "stats_histogram",
+    # oracle-backed leftovers (family-covered but never driver-certified)
+    "agg_minmax_by", "events_attribution", "text_overlap_matrix",
+    "sim_hybrid_rrf", "pipeline_group_split", "join_null_skew",
+    "sql_tpch_q1", "except_all_op", "dedup_exact_keys",
+    "text_fingerprint", "dedup_embedding_exact",
+    # re-certifications: all 22 TPC-H + headline bench members
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "count_star", "agg_grouping_sets", "window_row_number",
+    "events_hourly", "events_sessionize", "dedup_exact",
+    "text_quality", "sim_topk", "join_inner", "agg_basic",
+    "pipeline_split", "events_funnel",
+]
+assert len(_CERT_FIRST_ROUND5) == 50, len(_CERT_FIRST_ROUND5)
+_missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
+assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"

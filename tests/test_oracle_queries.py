@@ -139,3 +139,30 @@ def test_registry_contract_hygiene():
         assert isinstance(sql, str) and sql.strip(), name
         head = sql.strip().split(None, 1)[0].upper()
         assert head in {"SELECT", "WITH"}, (name, head)
+
+
+def test_round5_window_prestage():
+    """The pre-staged round-5 certification window: 50 unique registry
+    names, every one oracle-backed (a driver row can hash-certify), no
+    overlap with the active round-4 window, and it includes every
+    oracle-backed query that still lacks a driver row after round 4 —
+    swapping it in closes driver certification for the whole
+    oracle-backed registry."""
+    from ballista_mvp_spark.queries import _CERT_FIRST, _CERT_FIRST_ROUND5
+
+    assert len(_CERT_FIRST_ROUND5) == 50
+    assert len(set(_CERT_FIRST_ROUND5)) == 50
+    assert set(_CERT_FIRST_ROUND5) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND5) <= set(ALL_ORACLES)  # all hash-certifiable
+    assert not set(_CERT_FIRST_ROUND5) & set(_CERT_FIRST)
+    never_certified = {
+        # added mid-round-4
+        "text_normalize", "text_line_dedup", "text_dsir",
+        "stats_column_profile", "stats_histogram",
+        # oracle-backed argued leftovers (COVERAGE.md)
+        "agg_minmax_by", "events_attribution", "text_overlap_matrix",
+        "sim_hybrid_rrf", "pipeline_group_split", "join_null_skew",
+        "sql_tpch_q1", "except_all_op", "dedup_exact_keys",
+        "text_fingerprint", "dedup_embedding_exact",
+    }
+    assert never_certified <= set(_CERT_FIRST_ROUND5)
