@@ -294,10 +294,8 @@ def langid_trigram(
 
 
 # Gopher-style document filter (Rae et al. 2021 §A1.1): the canonical
-# heuristic gate a pretraining corpus passes before dedup. The two
-# line-shape rules (bullet-start / ellipsis-end fractions) need multi-line
-# documents and are omitted; repetition gates live in
-# pipeline.repetition_metrics.
+# heuristic gate a pretraining corpus passes before dedup. Repetition
+# gates live in pipeline.repetition_metrics.
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -309,6 +307,8 @@ def gopher_report(df, id_col: str, text_col: str):
     - f_alpha:       >= 80% of words contain an alphabetic character
     - f_symbol:      symbol-to-word ratio ('#' or '...') <= 0.1
     - f_stopwords:   >= 2 distinct required stopwords present
+    - f_bullet:      <= 90% of lines start with a bullet marker
+    - f_ellipsis:    <= 30% of lines end with an ellipsis
     - keep:          all of the above
 
     Pure column expressions over ONE materialized token array (Catalyst
@@ -335,6 +335,14 @@ def gopher_report(df, id_col: str, text_col: str):
     )
     req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
     sw_hits = F.size(F.filter(F.array_distinct(t), lambda x: F.array_contains(req, x)))
+    lines = F.split(F.col("_txt"), "\n")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))) / nl, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / nl, 6
+    )
     out = base.select(
         id_col,
         n.cast("long").alias("n_words"),
@@ -342,12 +350,16 @@ def gopher_report(df, id_col: str, text_col: str):
         alpha_frac.alias("alpha_word_frac"),
         sym_ratio.alias("symbol_word_ratio"),
         sw_hits.cast("long").alias("req_stopword_hits"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
     )
     f_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
     f_ml = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
     f_al = F.col("alpha_word_frac") >= 0.8
     f_sy = F.col("symbol_word_ratio") <= 0.1
     f_sw = F.col("req_stopword_hits") >= 2
+    f_bu = F.col("bullet_line_frac") <= 0.9
+    f_el = F.col("ellipsis_line_frac") <= 0.3
     return out.select(
         "*",
         f_wc.alias("f_word_count"),
@@ -355,7 +367,9 @@ def gopher_report(df, id_col: str, text_col: str):
         f_al.alias("f_alpha"),
         f_sy.alias("f_symbol"),
         f_sw.alias("f_stopwords"),
-        (f_wc & f_ml & f_al & f_sy & f_sw).alias("keep"),
+        f_bu.alias("f_bullet"),
+        f_el.alias("f_ellipsis"),
+        (f_wc & f_ml & f_al & f_sy & f_sw & f_bu & f_el).alias("keep"),
     )
 
 

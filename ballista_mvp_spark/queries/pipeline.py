@@ -376,17 +376,25 @@ m AS (
          round(len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / greatest(len(t), 1), 6) AS symbol_word_ratio,
          CAST(len(list_filter(list_distinct(t),
               x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
-           AS req_stopword_hits
+           AS req_stopword_hits,
+         round(len(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '^\s*[-*•]')))
+               * 1.0 / greatest(len(str_split(text, chr(10))), 1), 6) AS bullet_line_frac,
+         round(len(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+               * 1.0 / greatest(len(str_split(text, chr(10))), 1), 6) AS ellipsis_line_frac
   FROM base)
 SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio, req_stopword_hits,
+       bullet_line_frac, ellipsis_line_frac,
        n_words BETWEEN 50 AND 100000 AS f_word_count,
        mean_word_len BETWEEN 3.0 AND 10.0 AS f_mean_len,
        alpha_word_frac >= 0.8 AS f_alpha,
        symbol_word_ratio <= 0.1 AS f_symbol,
        req_stopword_hits >= 2 AS f_stopwords,
+       bullet_line_frac <= 0.9 AS f_bullet,
+       ellipsis_line_frac <= 0.3 AS f_ellipsis,
        (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
          AND alpha_word_frac >= 0.8 AND symbol_word_ratio <= 0.1
-         AND req_stopword_hits >= 2 AS keep
+         AND req_stopword_hits >= 2 AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3 AS keep
 FROM m ORDER BY doc_id
 """
 

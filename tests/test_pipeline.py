@@ -125,10 +125,18 @@ def test_gopher_report_flags(spark):
     df = spark.createDataFrame(
         [(1, good), (2, "zz " * 60), (3, "### ... ### " * 30)], ["id", "text"]
     )
+    bullets = "\n".join(["- item of the list to be had"] * 10)
+    dots = "\n".join([f"the sentence {i} trails off with and that..." for i in range(10)])
+    df2 = spark.createDataFrame([(4, bullets), (5, dots)], ["id", "text"])
     out = {r["id"]: r for r in TX.gopher_report(df, "id", "text").collect()}
     assert out[1]["keep"] is True
+    assert out[1]["f_bullet"] is True and out[1]["f_ellipsis"] is True
     assert out[2]["keep"] is False and out[2]["f_stopwords"] is False
     assert out[3]["keep"] is False and out[3]["f_symbol"] is False
+    out2 = {r["id"]: r for r in TX.gopher_report(df2, "id", "text").collect()}
+    assert out2[4]["bullet_line_frac"] == 1.0 and out2[4]["f_bullet"] is False
+    assert out2[5]["ellipsis_line_frac"] == 1.0 and out2[5]["f_ellipsis"] is False
+    assert out2[4]["keep"] is False and out2[5]["keep"] is False
 
 
 def test_token_budget_sample_is_nested_prefix(spark):
