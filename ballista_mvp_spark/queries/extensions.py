@@ -391,7 +391,8 @@ ORDER BY col_name
 
 
 def stats_histogram(spark, sf_dir):
-    """Exact equi-depth histogram of l_extendedprice in 8 buckets — the
+    """Exact equi-depth histogram of l_extendedprice in 8 buckets (the
+    complement of profile_histogram's equi-WIDTH bins) — the
     histogram statistic CBO join/selectivity estimation consumes
     (Spark keeps the approximate version under
     spark.sql.statistics.histogram.enabled; the certified variant uses
