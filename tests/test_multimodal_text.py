@@ -362,3 +362,22 @@ def test_dsir_logweights_match_reference_computation(spark):
         assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
     # the signal: target-vocab docs outscore raw-vocab docs of equal length
     assert got[4][1] > got[5][1]
+
+
+def test_text_operators_on_empty_corpus(spark):
+    """Zero-row input must yield zero-row output, never a crash — the
+    shape a partition-pruned or fully-filtered upstream produces."""
+    from ballista_mvp_spark.operators import dedup as D
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    ops = {
+        "dsir": TX.dsir_logweights(empty, "doc_id", "text", F.lit(False), vocab_size=8),
+        "line_dedup": TX.line_dedup(empty, "doc_id", "text"),
+        "gopher": TX.gopher_report(empty, "doc_id", "text"),
+        "bigram_ce": TX.bigram_cross_entropy(empty, "doc_id", "text"),
+        "exact_dedup": D.exact_dedup(empty, TX.fingerprint(F.col("text")), "doc_id"),
+        "minhash": D.minhash_lsh_pairs(empty, "doc_id", "text", num_hashes=8, bands=4),
+        "langid": TX.langid_trigram(empty, "doc_id", "lang", "text"),
+    }
+    for name, df in ops.items():
+        assert df.count() == 0, name
