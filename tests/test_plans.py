@@ -216,3 +216,30 @@ def test_join_partition_mode_hints(spark):
     # PARTITIONED (shuffled hash)
     plan = _plan(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
     assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_dsir_no_cartesian_and_broadcast_ratio(spark):
+    """text_dsir: the <=V+1-row ratio table broadcasts; the corpus-scale
+    scoring join stays keyed (no cartesian anywhere); the per-doc sum is
+    a two-phase aggregate."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators import text as TX
+    from ballista_mvp_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = TX.dsir_logweights(docs, "doc_id", "text", F.col("source") == "src0")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_stats_histogram_broadcasts_bounds(spark):
+    """stats_histogram: the 7 percentile cut points reach every row via a
+    broadcast (1-row table), never a shuffle of the fact side."""
+    from ballista_mvp_spark.queries.extensions import stats_histogram
+
+    plan = _plan(stats_histogram(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
