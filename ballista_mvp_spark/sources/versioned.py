@@ -1,0 +1,203 @@
+"""Manifest-based versioned parquet tables: snapshot isolation, time
+travel, and vacuum (free extension — the reference has no write path at
+all; this is the lakehouse transaction-log pattern of Delta Lake /
+Iceberg, reduced to its core).
+
+Why a training-data engine needs it: a 100 TB corpus is rewritten
+continuously (ingest, dedup, re-filtering), but a training run must pin
+THE exact bytes it read — "model X trained on corpus v17" has to stay
+reproducible after v18 lands. Versioned tables give that with zero data
+copying: every commit is a new immutable manifest over immutable data
+files.
+
+Layout under the table root:
+
+    data/commit-{version}-{token}/part-*.parquet   immutable data files
+    _manifests/v{version:08d}.json                 one manifest per commit
+
+A manifest lists every data file LIVE at that version (relative paths).
+The commit protocol is write-data-then-rename-manifest:
+
+1. data files are written to a fresh commit directory (no reader ever
+   lists `data/` — readers only open paths a manifest names);
+2. the manifest is written to a temp name and hard-linked into place —
+   the atomic commit point (create-exclusive: the link FAILS if the
+   version exists, unlike rename, which would silently replace a racing
+   winner). A crash before the link leaves orphan data files
+   (invisible; reclaimed by vacuum) and the previous version intact. A
+   concurrent writer racing to the same version loses the link and
+   raises — single-winner optimistic concurrency, the Delta protocol's
+   behavior (on object stores, swap the link for a conditional PUT).
+
+Scale shape: all bookkeeping is O(files) metadata — the manifest for a
+100 TB / 1 GB-file table is ~100k paths (a few MB of JSON; swap for a
+parquet manifest at larger file counts, same protocol). Reads hand Spark
+the explicit file list, so planning never pays a recursive directory
+listing over dead files; time travel and vacuum never touch data bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _versions(path: str) -> list[int]:
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _data_files(commit_dir: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(commit_dir)
+        if os.path.isfile(os.path.join(commit_dir, f))
+        and not f.startswith(("_", "."))
+    )
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new version of the table at ``path``.
+
+    mode='append' adds the new files to the previous version's live set;
+    mode='overwrite' makes the new files the entire live set (the old
+    version stays readable via time travel until vacuumed). Returns the
+    committed version number (first commit = 1).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    prev = _versions(path)
+    version = (prev[-1] + 1) if prev else 1
+    token = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join(_DATA_DIR, f"commit-{version}-{token}")
+    commit_dir = os.path.join(path, commit_rel)
+    df.write.mode("errorifexists").parquet(commit_dir)
+    new_files = [os.path.join(commit_rel, f) for f in _data_files(commit_dir)]
+    live = list(new_files)
+    if mode == "append" and prev:
+        live = _read_manifest(path, prev[-1])["files"] + new_files
+    manifest = {
+        "version": version,
+        "op": mode,
+        "files": live,
+        "n_files": len(live),
+        "n_added": len(new_files),
+    }
+    tmp = os.path.join(path, _MANIFEST_DIR, f".tmp-{token}-v{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = _manifest_path(path, version)
+    try:
+        # atomic commit point: link fails iff the version already exists
+        # (rename would silently REPLACE a racing winner's manifest —
+        # create-exclusive link semantics close that TOCTOU window)
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit: version {version} already exists"
+        ) from None
+    os.remove(tmp)
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: latest). The explicit
+    file list from the manifest is handed to the reader — orphan /
+    not-yet-committed / dead files are invisible by construction."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs} at {path}")
+    files = [os.path.join(path, f) for f in _read_manifest(path, v)["files"]]
+    if not files:
+        raise FileNotFoundError(f"version {v} at {path} has no files")
+    return spark.read.parquet(*files)
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, op, file counts."""
+    return [
+        {k: m[k] for k in ("version", "op", "n_files", "n_added")}
+        for m in (_read_manifest(path, v) for v in _versions(path))
+    ]
+
+
+def vacuum(path: str, keep_last: int = 1) -> int:
+    """Reclaim storage: drop all but the last ``keep_last`` manifests,
+    then delete every data file no kept manifest references (dead
+    versions' exclusive files AND orphans from crashed commits). Returns
+    the number of files deleted. Metadata-only decision — no data bytes
+    are read."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(path)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    referenced = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["files"])
+    removed = 0
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for commit in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit)
+            if not os.path.isdir(cdir):
+                continue
+            # a data file is live iff a kept manifest names it;
+            # _SUCCESS / .crc sidecars are never individually targeted
+            live_here = False
+            dead = []
+            for f in os.listdir(cdir):
+                if f.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(cdir, f), path)
+                if rel in referenced:
+                    live_here = True
+                else:
+                    dead.append(f)
+            if not live_here:
+                # whole commit is dead (or a crashed-commit orphan):
+                # remove the directory, sidecars included
+                removed += len(dead)
+                shutil.rmtree(cdir)
+            else:
+                # mixed dir: drop only dead data files, keep sidecars of
+                # live ones (Hadoop LocalFS errors on stale .crc, never
+                # on absent data it was not asked for)
+                for f in dead:
+                    os.remove(os.path.join(cdir, f))
+                removed += len(dead)
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    return removed

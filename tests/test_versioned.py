@@ -1,0 +1,106 @@
+"""Versioned parquet tables (sources/versioned.py): snapshot isolation,
+time travel, crash-safe commits, vacuum."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from ballista_mvp_spark.sources import versioned as V
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert V.write_versioned(spark.range(0, 5), t, mode="append") == 1
+    assert V.write_versioned(spark.range(5, 8), t, mode="append") == 2
+    assert V.write_versioned(spark.range(100, 103), t, mode="overwrite") == 3
+    # latest = the overwrite
+    assert _ids(V.read_versioned(spark, t)) == [100, 101, 102]
+    # time travel reproduces every historical snapshot exactly
+    assert _ids(V.read_versioned(spark, t, version=1)) == [0, 1, 2, 3, 4]
+    assert _ids(V.read_versioned(spark, t, version=2)) == list(range(8))
+    hist = V.history(t)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+    assert hist[1]["n_files"] == hist[0]["n_files"] + hist[1]["n_added"]
+
+
+def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 4), t)
+    # simulate a writer that crashed after writing data, before the
+    # manifest rename: data files exist, no manifest names them
+    orphan = os.path.join(t, "data", "commit-99-deadbeef")
+    spark.range(1000, 1010).write.parquet(orphan)
+    assert _ids(V.read_versioned(spark, t)) == [0, 1, 2, 3]  # unaffected
+    removed = V.vacuum(t, keep_last=1)
+    assert removed >= 1 and not os.path.exists(orphan)
+    assert _ids(V.read_versioned(spark, t)) == [0, 1, 2, 3]
+
+
+def test_vacuum_keeps_pinned_versions_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 4), t)
+    V.write_versioned(spark.range(4, 6), t, mode="append")
+    V.write_versioned(spark.range(50, 53), t, mode="overwrite")
+    removed = V.vacuum(t, keep_last=2)
+    # v1's files survive (v2 references them); v1's manifest is gone
+    assert [h["version"] for h in V.history(t)] == [2, 3]
+    assert _ids(V.read_versioned(spark, t, version=2)) == list(range(6))
+    assert _ids(V.read_versioned(spark, t, version=3)) == [50, 51, 52]
+    with pytest.raises(FileNotFoundError):
+        V.read_versioned(spark, t, version=1)
+    # dropping down to keep_last=1 deletes v2's exclusive data files
+    removed = V.vacuum(t, keep_last=1)
+    assert removed >= 1
+    assert _ids(V.read_versioned(spark, t)) == [50, 51, 52]
+    live = V._read_manifest(t, 3)["files"]
+    on_disk = [
+        os.path.relpath(f, t)
+        for f in glob.glob(os.path.join(t, "data", "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    assert sorted(on_disk) == sorted(live)  # nothing dead remains
+
+
+def test_concurrent_commit_single_winner(spark, tmp_path, monkeypatch):
+    """Two writers race to the same version: the one whose manifest link
+    lands second must raise, not silently clobber the winner. Emulated
+    by making the loser's version pick stale — the winner's v2 manifest
+    appears between the loser's _versions() read and its commit link."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 3), t)
+    winner = V._manifest_path(t, 2)
+    with open(winner, "w") as fh:
+        json.dump({"version": 2, "op": "append", "files": [], "n_files": 0,
+                   "n_added": 0}, fh)
+    real_versions = V._versions
+    monkeypatch.setattr(V, "_versions", lambda p: [1])  # stale read: v2 unseen
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.write_versioned(spark.range(9, 12), t, mode="append")
+    monkeypatch.setattr(V, "_versions", real_versions)
+    # the winner's manifest survived the losing attempt byte-for-byte
+    with open(winner) as fh:
+        assert json.load(fh)["n_files"] == 0
+    # and the loser's orphan data files are invisible + vacuumable
+    assert V.vacuum(t, keep_last=2) >= 1
+
+
+def test_read_errors(spark, tmp_path):
+    t = str(tmp_path / "none")
+    with pytest.raises(FileNotFoundError):
+        V.read_versioned(spark, t)
+    V.write_versioned(spark.range(0, 2), t)
+    with pytest.raises(FileNotFoundError):
+        V.read_versioned(spark, t, version=7)
+    with pytest.raises(ValueError):
+        V.write_versioned(spark.range(0, 2), t, mode="replace")
+    with pytest.raises(ValueError):
+        V.vacuum(t, keep_last=0)
