@@ -16,7 +16,7 @@ Layout under the table root:
     _manifests/v{version:08d}.json                 one manifest per commit
 
 A manifest lists every data file LIVE at that version (relative paths).
-The commit protocol is write-data-then-rename-manifest:
+The commit protocol is write-data-then-link-manifest:
 
 1. data files are written to a fresh commit directory (no reader ever
    lists `data/` — readers only open paths a manifest names);
@@ -80,7 +80,9 @@ def _data_files(commit_dir: str) -> list[str]:
     )
 
 
-def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_versioned(
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
     mode='append' adds the new files to the previous version's live set;
@@ -108,6 +110,8 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
         "n_files": len(live),
         "n_added": len(new_files),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     tmp = os.path.join(path, _MANIFEST_DIR, f".tmp-{token}-v{version}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -124,6 +128,26 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
         ) from None
     os.remove(tmp)
     return version
+
+
+def foreach_batch_sink(path: str):
+    """Exactly-once streaming sink: ``writeStream.foreachBatch(
+    foreach_batch_sink(table_path))``. Each micro-batch commits one
+    version stamped with its batch id; on checkpoint-restart replay the
+    already-committed batch id is found in the manifest log and the
+    write is SKIPPED — replayed micro-batch + idempotent commit =
+    exactly-once table contents (the Delta streaming-sink protocol;
+    Structured Streaming alone guarantees at-least-once into
+    foreachBatch). O(versions) manifest scan per batch — at production
+    version counts, read only the tail checkpointed alongside."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for v in _versions(path):
+            if _read_manifest(path, v).get("batch_id") == batch_id:
+                return  # replay of a committed batch: drop it
+        write_versioned(batch_df, path, mode="append", batch_id=batch_id)
+
+    return _sink
 
 
 def read_versioned(

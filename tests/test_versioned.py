@@ -104,3 +104,50 @@ def test_read_errors(spark, tmp_path):
         V.write_versioned(spark.range(0, 2), t, mode="replace")
     with pytest.raises(ValueError):
         V.vacuum(t, keep_last=0)
+
+
+def test_streaming_foreach_batch_sink_exactly_once(spark, tmp_path):
+    """Structured Streaming → versioned table: each micro-batch commits
+    one batch-id-stamped version; checkpoint restart with no new data
+    commits nothing; a replayed (at-least-once) batch id is dropped by
+    the idempotent sink; new data appends exactly its own rows."""
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(str(src / "a"))
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(V.foreach_batch_sink(tbl))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _ids(V.read_versioned(spark, tbl)) == list(range(10))
+    n_versions = len(V.history(tbl))
+
+    # restart, nothing new: no commits
+    run()
+    assert len(V.history(tbl)) == n_versions
+
+    # at-least-once replay of a committed batch id: dropped
+    sink = V.foreach_batch_sink(tbl)
+    committed = [
+        V._read_manifest(tbl, h["version"]).get("batch_id")
+        for h in V.history(tbl)
+    ]
+    sink(spark.range(500, 510).toDF("id"), committed[0])
+    assert _ids(V.read_versioned(spark, tbl)) == list(range(10))
+
+    # new data: exactly its rows appended
+    spark.range(10, 14).toDF("id").coalesce(1).write.parquet(str(src / "b"))
+    run()
+    assert _ids(V.read_versioned(spark, tbl)) == list(range(14))
