@@ -173,6 +173,23 @@ class Engine:
     def register_testdata(self, sf_dir: str) -> None:
         register_all(self.spark, sf_dir)
 
+    def register_versioned(
+        self, name: str, path: str, version: int | None = None
+    ) -> int:
+        """Expose a versioned table (sources/versioned.py) to SQL as a
+        view pinned to ``version`` (default: latest at registration
+        time — the pin means later commits do NOT leak into running
+        queries, the snapshot-isolation contract). Returns the pinned
+        version."""
+        from .sources import versioned as _V
+
+        vs = _V._versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {path}")
+        v = vs[-1] if version is None else version
+        _V.read_versioned(self.spark, path, v).createOrReplaceTempView(name)
+        return v
+
     # -- query -------------------------------------------------------------
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """SQL entry point ≅ flight_sql.rs:566-579 (parse → analyze →

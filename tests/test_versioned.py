@@ -151,3 +151,21 @@ def test_streaming_foreach_batch_sink_exactly_once(spark, tmp_path):
     spark.range(10, 14).toDF("id").coalesce(1).write.parquet(str(src / "b"))
     run()
     assert _ids(V.read_versioned(spark, tbl)) == list(range(14))
+
+
+def test_engine_register_versioned_pins_snapshot(spark, tmp_path):
+    """SQL over a pinned version: later commits must not leak into the
+    registered view (snapshot isolation at the catalog surface)."""
+    from ballista_mvp_spark.engine import Engine
+
+    t = str(tmp_path / "tbl")
+    eng = Engine(spark)
+    V.write_versioned(spark.range(0, 5), t)
+    pinned = eng.register_versioned("corpus_v", t)
+    assert pinned == 1
+    V.write_versioned(spark.range(100, 103), t, mode="overwrite")
+    # the view still reads v1
+    assert eng.sql("SELECT count(*) AS n FROM corpus_v").collect()[0].n == 5
+    # explicit re-pin to latest sees the overwrite
+    assert eng.register_versioned("corpus_v", t) == 2
+    assert eng.sql("SELECT min(id) AS m FROM corpus_v").collect()[0].m == 100
