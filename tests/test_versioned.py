@@ -169,3 +169,59 @@ def test_engine_register_versioned_pins_snapshot(spark, tmp_path):
     # explicit re-pin to latest sees the overwrite
     assert eng.register_versioned("corpus_v", t) == 2
     assert eng.sql("SELECT min(id) AS m FROM corpus_v").collect()[0].m == 100
+
+
+def test_incremental_curation_loop(spark, tmp_path):
+    """The flagship composition: a long-lived versioned corpus ingesting
+    batches through quality-gate -> incremental-dedup -> commit. Each
+    loop iteration reads the CURRENT corpus version, admits only new
+    documents that pass the gate, and commits one version — so every
+    historical training snapshot stays reproducible while the corpus
+    grows without ever re-deduping corpus-vs-corpus."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators import dedup as D
+    from ballista_mvp_spark.operators import text as TX
+
+    t = str(tmp_path / "corpus")
+    good = "the quick brown fox and the lazy dog have to be of use here " * 5
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _doc_ids(df):
+        return sorted(r.doc_id for r in df.collect())
+
+    # v1: seed corpus (both docs pass the gate)
+    seed = batch([(1, good + "alpha"), (2, good + "beta")])
+    V.write_versioned(seed, t)
+
+    def ingest(b):
+        corpus = V.read_versioned(spark, t)
+        gated = b.join(
+            TX.gopher_report(b, "doc_id", "text").where("keep").select("doc_id"),
+            "doc_id",
+        )
+        verdicts = D.incremental_dedup(
+            corpus, gated, TX.fingerprint(F.col("text")), "doc_id"
+        )
+        new = gated.join(
+            verdicts.where("status = 'new'").select("doc_id"), "doc_id"
+        )
+        return V.write_versioned(new, t, mode="append")
+
+    # batch 2: one corpus-dup, one batch-dup pair, one gate reject, one new
+    v2 = ingest(batch([
+        (10, good + "alpha"),          # dup of corpus doc 1
+        (11, good + "gamma"),          # new (survives)
+        (12, good + "gamma"),          # dup within batch (11 wins)
+        (13, "zz " * 60),              # fails the stopword gate
+    ]))
+    assert v2 == 2
+    assert _doc_ids(V.read_versioned(spark, t)) == [1, 2, 11]
+    # batch 3: re-submitting an already-ingested doc is a no-op row-wise
+    ingest(batch([(20, good + "gamma"), (21, good + "delta")]))
+    assert _doc_ids(V.read_versioned(spark, t)) == [1, 2, 11, 21]
+    # every historical snapshot is intact
+    assert _doc_ids(V.read_versioned(spark, t, version=1)) == [1, 2]
+    assert _doc_ids(V.read_versioned(spark, t, version=2)) == [1, 2, 11]
