@@ -80,14 +80,50 @@ def _data_files(commit_dir: str) -> list[str]:
     )
 
 
+def _file_stats(commit_dir: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` straight from the parquet footers —
+    written ONCE at commit time so reads can skip files from the
+    manifest alone (Delta data-skipping stats). O(files) footer reads,
+    zero data pages."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(commit_dir, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    los = []
+                    break
+                los.append(s.min)
+                his.append(s.max)
+            if los:
+                st[c] = [min(los), max(his)]
+        out[f] = st
+    return out
+
+
 def write_versioned(
-    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
     mode='append' adds the new files to the previous version's live set;
     mode='overwrite' makes the new files the entire live set (the old
-    version stays readable via time travel until vacuumed). Returns the
+    version stays readable via time travel until vacuumed).
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (footer reads at commit time), enabling manifest-only file
+    skipping in ``read_versioned(..., prune=...)``. Returns the
     committed version number (first commit = 1).
     """
     if mode not in ("append", "overwrite"):
@@ -99,10 +135,19 @@ def write_versioned(
     commit_rel = os.path.join(_DATA_DIR, f"commit-{version}-{token}")
     commit_dir = os.path.join(path, commit_rel)
     df.write.mode("errorifexists").parquet(commit_dir)
-    new_files = [os.path.join(commit_rel, f) for f in _data_files(commit_dir)]
+    added = _data_files(commit_dir)
+    new_files = [os.path.join(commit_rel, f) for f in added]
     live = list(new_files)
+    stats = {}
     if mode == "append" and prev:
-        live = _read_manifest(path, prev[-1])["files"] + new_files
+        pm = _read_manifest(path, prev[-1])
+        live = pm["files"] + new_files
+        stats = dict(pm.get("stats", {}))
+    if stats_cols:
+        fs = _file_stats(commit_dir, added, stats_cols)
+        stats.update(
+            {os.path.join(commit_rel, f): st for f, st in fs.items()}
+        )
     manifest = {
         "version": version,
         "op": mode,
@@ -110,11 +155,15 @@ def write_versioned(
         "n_files": len(live),
         "n_added": len(new_files),
     }
+    if stats:
+        manifest["stats"] = stats
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     tmp = os.path.join(path, _MANIFEST_DIR, f".tmp-{token}-v{version}.json")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        # default=str: date/timestamp footer stats land as ISO strings
+        # (ISO order == value order, so string prune bounds stay correct)
+        json.dump(manifest, fh, default=str)
     final = _manifest_path(path, version)
     try:
         # atomic commit point: link fails iff the version already exists
@@ -151,21 +200,46 @@ def foreach_batch_sink(path: str):
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). The explicit
     file list from the manifest is handed to the reader — orphan /
-    not-yet-committed / dead files are invisible by construction."""
+    not-yet-committed / dead files are invisible by construction.
+
+    ``prune=(col, lo, hi)`` drops every file whose manifest-recorded
+    [min, max] for ``col`` misses the closed interval [lo, hi] BEFORE
+    Spark ever opens it — at 100 TB a date/key predicate over a
+    clustered write reads only the affected files, and the decision
+    costs one manifest, not 100k footers. Files without recorded stats
+    are conservatively kept, so pruning never changes results; the
+    caller still applies the real filter (pruning is a file-set
+    reduction, exactly like parquet row-group skipping one level up)."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed version at {path}")
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs} at {path}")
-    files = [os.path.join(path, f) for f in _read_manifest(path, v)["files"]]
-    if not files:
+    m = _read_manifest(path, v)
+    rel_files = m["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+        rel_files = [
+            f
+            for f in rel_files
+            if (st := stats.get(f, {}).get(col)) is None
+            or (st[0] <= hi and lo <= st[1])
+        ]
+    if not m["files"]:
         raise FileNotFoundError(f"version {v} at {path} has no files")
-    return spark.read.parquet(*files)
+    if not rel_files:
+        # every file pruned: empty result with the table's schema
+        return spark.read.parquet(os.path.join(path, m["files"][0])).limit(0)
+    return spark.read.parquet(*[os.path.join(path, f) for f in rel_files])
 
 
 def history(path: str) -> list[dict]:

@@ -225,3 +225,40 @@ def test_incremental_curation_loop(spark, tmp_path):
     # every historical snapshot is intact
     assert _doc_ids(V.read_versioned(spark, t, version=1)) == [1, 2]
     assert _doc_ids(V.read_versioned(spark, t, version=2)) == [1, 2, 11]
+
+
+def test_manifest_data_skipping(spark, tmp_path):
+    """stats_cols records per-file min/max at commit; prune=(col, lo, hi)
+    must cut the file set from the manifest alone, keep files lacking
+    stats (never changes results), and return an empty typed frame when
+    everything is skipped."""
+    t = str(tmp_path / "tbl")
+    # three commits with disjoint id ranges -> one file each, with stats
+    for lo in (0, 100, 200):
+        V.write_versioned(
+            spark.range(lo, lo + 50).toDF("id").coalesce(1),
+            t, mode="append", stats_cols=["id"],
+        )
+    # and one commit WITHOUT stats (must survive any prune)
+    V.write_versioned(
+        spark.range(1000, 1010).toDF("id").coalesce(1), t, mode="append"
+    )
+    full = V.read_versioned(spark, t)
+    assert len(full.inputFiles()) == 4
+    pruned = V.read_versioned(spark, t, prune=("id", 120, 130))
+    # the matching stats file + the stats-less file; the other two skipped
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(r.id for r in pruned.where("id BETWEEN 120 AND 130").collect()) \
+        == list(range(120, 131))
+    # correctness invariant: prune + filter == filter
+    want = sorted(r.id for r in full.where("id >= 200").collect())
+    got = sorted(
+        r.id
+        for r in V.read_versioned(spark, t, prune=("id", 200, 10**9))
+        .where("id >= 200").collect()
+    )
+    assert got == want
+    # prune to nowhere (stats-less file still kept -> 1 file; narrow it)
+    nowhere = V.read_versioned(spark, t, prune=("id", -50, -10))
+    assert len(nowhere.inputFiles()) == 1  # only the stats-less file
+    assert nowhere.where("id < 0").count() == 0
