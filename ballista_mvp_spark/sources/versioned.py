@@ -204,10 +204,15 @@ def read_versioned(
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). The explicit
     file list from the manifest is handed to the reader — orphan /
     not-yet-committed / dead files are invisible by construction.
+    ``merge_schema=True`` unions the per-file schemas (additive schema
+    evolution: columns appended in later commits come back NULL for
+    older files — footer-only planning cost, same as Spark's
+    mergeSchema).
 
     ``prune=(col, lo, hi)`` drops every file whose manifest-recorded
     [min, max] for ``col`` misses the closed interval [lo, hi] BEFORE
@@ -236,10 +241,11 @@ def read_versioned(
         ]
     if not m["files"]:
         raise FileNotFoundError(f"version {v} at {path} has no files")
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not rel_files:
         # every file pruned: empty result with the table's schema
-        return spark.read.parquet(os.path.join(path, m["files"][0])).limit(0)
-    return spark.read.parquet(*[os.path.join(path, f) for f in rel_files])
+        return reader.parquet(os.path.join(path, m["files"][0])).limit(0)
+    return reader.parquet(*[os.path.join(path, f) for f in rel_files])
 
 
 def history(path: str) -> list[dict]:

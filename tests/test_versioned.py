@@ -262,3 +262,24 @@ def test_manifest_data_skipping(spark, tmp_path):
     nowhere = V.read_versioned(spark, t, prune=("id", -50, -10))
     assert len(nowhere.inputFiles()) == 1  # only the stats-less file
     assert nowhere.where("id < 0").count() == 0
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Additive schema evolution: a later commit appends a column; a
+    merge_schema read sees it (NULL for pre-evolution files), a plain
+    read keeps working, and time travel returns each version's own
+    schema."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 3).toDF("id"), t)
+    V.write_versioned(
+        spark.range(3, 5).select("id", F.lit("en").alias("lang")),
+        t, mode="append",
+    )
+    merged = V.read_versioned(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"id", "lang"}
+    got = {r.id: r.lang for r in merged.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "en", 4: "en"}
+    # time travel to v1 has no lang column at all
+    assert V.read_versioned(spark, t, version=1, merge_schema=True).columns == ["id"]
