@@ -355,10 +355,12 @@ ORDER BY tot.doc_id
 
 
 def text_gopher(spark, sf_dir):
-    """Gopher-style quality gate (Rae et al. 2021 §A1.1): per-document
-    signals (word count, mean word length, alphabetic-word fraction,
-    symbol ratio, required-stopword hits) and pass/fail flags — pure
-    column expressions, scan-speed at any scale."""
+    """Complete Gopher quality gate — per-document signals and pass/fail
+    flags for the published rule set (Rae et al. 2021 §A1.1): word
+    count, mean word length, alphabetic-word fraction, symbol ratio,
+    required-stopword hits, plus the bullet-start and ellipsis-end
+    line-shape rules — pure column expressions, scan-speed at any
+    scale."""
     docs = _t(spark, sf_dir, "documents")
     return TX.gopher_report(docs, "doc_id", "text").orderBy("doc_id")
 
