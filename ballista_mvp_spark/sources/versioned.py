@@ -256,6 +256,32 @@ def history(path: str) -> list[dict]:
     ]
 
 
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction as a COMMIT: rewrite the latest version's
+    live set into ~``target_file_mb`` files and commit the result as a
+    new overwrite version — readers pinned to any older version are
+    untouched (compaction never breaks time travel; that is the whole
+    point of doing it through the log), the swap is the usual atomic
+    manifest link, and the superseded small files become reclaimable by
+    the next vacuum. Narrow coalesce — no shuffle. Returns the new
+    version number."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _read_manifest(path, vs[-1])
+    total_mb = sum(
+        os.path.getsize(os.path.join(path, f)) for f in m["files"]
+    ) / 1e6
+    n_out = max(1, round(total_mb / target_file_mb))
+    df = read_versioned(spark, path).coalesce(n_out)
+    return write_versioned(df, path, mode="overwrite", stats_cols=stats_cols)
+
+
 def vacuum(path: str, keep_last: int = 1) -> int:
     """Reclaim storage: drop all but the last ``keep_last`` manifests,
     then delete every data file no kept manifest references (dead

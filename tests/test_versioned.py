@@ -283,3 +283,26 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert got == {0: None, 1: None, 2: None, 3: "en", 4: "en"}
     # time travel to v1 has no lang column at all
     assert V.read_versioned(spark, t, version=1, merge_schema=True).columns == ["id"]
+
+
+def test_compact_versioned_preserves_history(spark, tmp_path):
+    """Compaction commits an overwrite version with fewer files and the
+    same rows; time travel to pre-compaction versions still works; the
+    superseded small files are reclaimed only by vacuum."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):  # 4 commits x 2 files = 8 small files
+        V.write_versioned(
+            spark.range(lo, lo + 10).toDF("id").repartition(2), t, mode="append"
+        )
+    assert V.history(t)[-1]["n_files"] == 8
+    v = V.compact_versioned(spark, t, target_file_mb=256, stats_cols=["id"])
+    assert v == 5
+    m = V._read_manifest(t, v)
+    assert m["op"] == "overwrite" and m["n_files"] < 8
+    assert _ids(V.read_versioned(spark, t)) == list(range(40))
+    # stats recorded for the compacted files
+    assert all("id" in st for st in m["stats"].values())
+    # pre-compaction snapshot intact until vacuumed
+    assert _ids(V.read_versioned(spark, t, version=4)) == list(range(40))
+    assert V.vacuum(t, keep_last=1) >= 8
+    assert _ids(V.read_versioned(spark, t)) == list(range(40))
