@@ -1203,7 +1203,97 @@ FROM anc GROUP BY node ORDER BY node
 """
 
 
+def market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: the 15 part pairs most often ordered
+    together, among the 50 most-ordered parts. The self-join bound is
+    the design: the (order, part) incidence table is first DISTINCT'd
+    and filtered to the top-50 parts (a broadcast of 50 keys), so the
+    orderkey-keyed self-join expands at most C(50,2) pair groups per
+    order — never the unbounded all-pairs blowup. One orderkey shuffle
+    + one pair-keyed count; top-15 compiles to TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), "l_partkey")
+        .limit(50)
+        .select("l_partkey")
+    )
+    inc = li.join(F.broadcast(top), "l_partkey")
+    a = inc.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = inc.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+MARKET_BASKET_ORACLE = """
+WITH inc0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+top AS (
+  SELECT l_partkey FROM inc0 GROUP BY l_partkey
+  ORDER BY count(*) DESC, l_partkey LIMIT 50),
+inc AS (SELECT i.* FROM inc0 i JOIN top USING (l_partkey))
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM inc a JOIN inc b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 15
+"""
+
+
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary), the canonical
+    customer-analytics rollup: per-customer order stats → ntile(4)
+    quartile codes (custkey tiebreak pins ties identically on both
+    engines) → segment population counts. Two shuffles total (customer
+    agg, then the three quartile windows share one global sort over the
+    customer-grain table); output is the ≤64-row segment histogram. At
+    100 TB the customer-grain table is the small one — the windows run
+    on post-aggregation rows, not facts."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").alias("_freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("_spend"),
+    )
+    r = F.ntile(4).over(W.orderBy(F.desc("_last"), "o_custkey"))
+    f = F.ntile(4).over(W.orderBy(F.desc("_freq"), "o_custkey"))
+    m = F.ntile(4).over(W.orderBy(F.desc("_spend"), "o_custkey"))
+    seg = per.select(
+        r.alias("r_quartile"), f.alias("f_quartile"), m.alias("m_quartile")
+    )
+    return (
+        seg.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+CUSTOMER_RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS freq,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey),
+q AS (
+  SELECT ntile(4) OVER (ORDER BY last_d DESC, o_custkey) AS r_quartile,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_quartile,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m_quartile
+  FROM per)
+SELECT r_quartile, f_quartile, m_quartile, count(*) AS n_customers
+FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "market_basket": market_basket,
+    "customer_rfm": customer_rfm,
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
@@ -1257,6 +1347,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_basket": MARKET_BASKET_ORACLE,
+    "customer_rfm": CUSTOMER_RFM_ORACLE,
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,
