@@ -399,3 +399,63 @@ def test_dsir_logweights_match_python_reference(spark, docs, tgt_mod, vocab):
         want = round(sum(lr[bucket(w)] for w in ws), 6)
         assert got[i][0] == len(ws)
         assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
+
+
+OPS_STRATEGY = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.tuples(st.just("overwrite"), st.integers(0, 5)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=OPS_STRATEGY)
+@settings(**SETTINGS)
+def test_versioned_table_log_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the versioned-table transaction log: ANY
+    sequence of append/overwrite/compact/vacuum must keep every
+    surviving version's contents equal to a pure-Python model, and
+    vacuum must never delete a file a kept manifest references."""
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path_factory.mktemp("vt") / "tbl")
+    model: dict[int, list[int]] = {}  # version -> sorted ids
+    latest: list[int] = []
+    next_ids = iter(range(10_000))
+
+    def fresh_batch(n):
+        ids = [next(next_ids) for _ in range(n + 1)]
+        return ids, spark.createDataFrame([(i,) for i in ids], "id long")
+
+    for op, arg in ops:
+        if op == "append":
+            ids, df = fresh_batch(arg)
+            v = V.write_versioned(df, t, mode="append")
+            latest = sorted(latest + ids)
+            model[v] = latest
+        elif op == "overwrite":
+            ids, df = fresh_batch(arg)
+            v = V.write_versioned(df, t, mode="overwrite")
+            latest = sorted(ids)
+            model[v] = latest
+        elif op == "compact":
+            if not model:
+                continue
+            v = V.compact_versioned(spark, t)
+            model[v] = latest
+        elif op == "vacuum":
+            if not model:
+                continue
+            kept = sorted(model)[-arg:]
+            V.vacuum(t, keep_last=arg)
+            model = {v: model[v] for v in kept}
+        # invariant: every surviving version reads back exactly the model
+        hist = [h["version"] for h in V.history(t)]
+        assert hist == sorted(model)
+        for v in hist:
+            got = sorted(r.id for r in V.read_versioned(spark, t, version=v).collect())
+            assert got == model[v], (op, v)
