@@ -30,6 +30,7 @@ import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import build_session
 from .tables import register_all
@@ -172,6 +173,40 @@ class Engine:
 
     def register_testdata(self, sf_dir: str) -> None:
         register_all(self.spark, sf_dir)
+
+    def create_masked_view(
+        self,
+        name: str,
+        source: str,
+        masks: dict | None = None,
+        scrub_pii: list[str] | None = None,
+        drop: list[str] | None = None,
+    ) -> None:
+        """Column-masking governance view over a catalog table — the
+        read-side contract a training-data platform hands to consumers
+        who must not see raw PII. ``masks`` maps column -> SQL expression
+        (e.g. {'c_phone': \"'***'\"}); ``scrub_pii`` runs the
+        operators/text.pii_scrub redaction over text columns;
+        ``drop`` removes columns entirely. Pure projection — a masked
+        view costs nothing at rest and fuses into the consumer's scan
+        (no shuffle, no copy of the table)."""
+        from .operators.text import pii_scrub
+
+        df = self.spark.table(source)
+        masks = masks or {}
+        scrub = set(scrub_pii or ())
+        dropped = set(drop or ())
+        cols = []
+        for c in df.columns:
+            if c in dropped:
+                continue
+            if c in masks:
+                cols.append(F.expr(masks[c]).alias(c))
+            elif c in scrub:
+                cols.append(pii_scrub(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        df.select(*cols).createOrReplaceTempView(name)
 
     def register_versioned(
         self, name: str, path: str, version: int | None = None

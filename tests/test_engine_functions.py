@@ -304,3 +304,29 @@ def test_cache_table_pins_in_memory_relation(spark):
     assert not eng.is_cached("nation")
     plan = spark.sql("SELECT count(*) FROM nation")._jdf.queryExecution().executedPlan().toString()
     assert "In-memory table" not in plan and "InMemoryRelation" not in plan
+
+
+def test_create_masked_view_governance(spark):
+    """Masked view: expression masks, PII scrubbing, and column drops
+    compose into a pure projection the consumer queries like any table —
+    raw values never reachable through the view."""
+    from ballista_mvp_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, "alice", "reach me at alice@example.com", 9100.0),
+         (2, "bob", "call 555-123-4567 now", 50.0)],
+        "id long, name string, notes string, balance double",
+    ).createOrReplaceTempView("accounts_raw")
+    eng.create_masked_view(
+        "accounts_safe",
+        "accounts_raw",
+        masks={"name": "concat(substr(name, 1, 1), '***')"},
+        scrub_pii=["notes"],
+        drop=["balance"],
+    )
+    rows = {r.id: r for r in eng.sql("SELECT * FROM accounts_safe").collect()}
+    assert set(rows[1].asDict()) == {"id", "name", "notes"}  # balance gone
+    assert rows[1].name == "a***" and rows[2].name == "b***"
+    assert "alice@example.com" not in rows[1].notes and "<EMAIL>" in rows[1].notes
+    assert "555-123-4567" not in rows[2].notes and "<PHONE>" in rows[2].notes
