@@ -35,6 +35,31 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
+_CJK_CLASS = r"[぀-ヿ㐀-䶿一-鿿豈-﫿]"
+
+
+def cjk_aware_token_count(text: Column) -> Column:
+    """Token count for mixed-script corpora: CJK scripts do not use
+    whitespace, so a whitespace tokenizer counts a 40-character Chinese
+    sentence as ONE token and every length/budget/packing stat built on
+    it is wrong for that slice of the corpus. Standard fix (the
+    tokenizer-independent approximation used in corpus accounting):
+    count each Han/Kana character as one token and whitespace-tokenize
+    the rest —
+
+        tokens = #CJK_chars + #whitespace_tokens(text_without_CJK).
+
+    Two JVM regex passes (one char-class deletion, one split), no
+    Python, scan-speed at any scale."""
+    n_cjk = F.char_length(text) - F.char_length(
+        F.regexp_replace(text, _CJK_CLASS, F.lit(""))
+    )
+    rest = F.regexp_replace(text, _CJK_CLASS, F.lit(" "))
+    # a pure-CJK (or empty) remainder splits to [""] — drop empties
+    n_rest = F.size(F.filter(tokens(rest), lambda t: t != F.lit("")))
+    return (n_cjk + n_rest).cast("long")
+
+
 def char_count(text: Column) -> Column:
     return F.char_length(text)
 

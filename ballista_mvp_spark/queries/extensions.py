@@ -856,6 +856,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_tokens_cjk(spark, sf_dir):
+    """CJK-aware token counting (operators/text.cjk_aware_token_count):
+    whitespace tokenization counts an unsegmented Chinese sentence as
+    one token, so every budget/packing stat is wrong for the CJK slice
+    of a multilingual corpus; the standard tokenizer-independent fix
+    counts each Han/Kana character as one token and whitespace-splits
+    the rest. The zh slice gets a deterministic unsegmented suffix built
+    identically on both engines, and the output exposes whitespace vs
+    CJK-aware counts side by side (they must differ by exactly the CJK
+    char count)."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("lang") == "zh", F.concat(F.col("text"), F.lit(" 机器学习的数据管道处理"))
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.word_count(t2).cast("long").alias("n_ws_tokens"),
+        TX.cjk_aware_token_count(t2).alias("n_cjk_aware"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKENS_CJK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'zh' THEN text || ' 机器学习的数据管道处理'
+              ELSE text END AS t2
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(trim(regexp_replace(lower(t2), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(
+         length(t2) - length(regexp_replace(t2, '[぀-ヿ㐀-䶿一-鿿豈-﫿]', '', 'g'))
+         + len(list_filter(
+             string_split_regex(trim(regexp_replace(regexp_replace(t2, '[぀-ヿ㐀-䶿一-鿿豈-﫿]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x <> ''))
+       AS BIGINT) AS n_cjk_aware
+FROM t ORDER BY doc_id
+"""
+
+
 def text_quality(spark, sf_dir):
     """Quality scoring: punct/upper/digit ratios, avg word length,
     stopword ratio, composite score.
@@ -1711,6 +1751,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
+    "text_tokens_cjk": text_tokens_cjk,
     "text_quality": text_quality,
     "text_quality_model": text_quality_model,
     "text_lexical": text_lexical,
@@ -1749,6 +1790,7 @@ ORACLES = {
     "sim_outliers": SIM_OUTLIERS_ORACLE,
     "sim_quantize": SIM_QUANTIZE_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
+    "text_tokens_cjk": TEXT_TOKENS_CJK_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_quality_model": TEXT_QUALITY_MODEL_ORACLE,
     "text_lexical": TEXT_LEXICAL_ORACLE,

@@ -381,3 +381,21 @@ def test_text_operators_on_empty_corpus(spark):
     }
     for name, df in ops.items():
         assert df.count() == 0, name
+
+
+def test_cjk_aware_token_count_crafted(spark):
+    rows = [
+        (1, "hello world"),                  # 2
+        (2, "机器学习"),                      # 4 CJK chars
+        (3, "the 机器 learning 管道 x"),     # 3 ws + 4 CJK
+        (4, ""),                             # 0
+        (5, "你好,世界"),                    # 4 CJK + 1 non-CJK token (the comma)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", TX.cjk_aware_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 4, 3: 7, 4: 0, 5: 5}
