@@ -998,6 +998,135 @@ ORDER BY n_triangles DESC, node LIMIT 20
 """
 
 
+def graph_components(spark, sf_dir):
+    """Connected components — duplicate-cluster labeling certified
+    end-to-end against a closed-form oracle. The graph is a
+    binary-lifting tree inside each (lang, source) document group: rank
+    docs by doc_id, edge (rank r DIV 2) -> r for every r >= 2, so each
+    group is one connected tree of diameter O(log group size) and the
+    iterative min-label propagation (operators/dedup.connected_components,
+    the same loop the MinHash dedup clustering uses) must converge every
+    group to comp = min(doc_id) — which the oracle computes directly as a
+    window MIN per group, no recursion needed. Round count stays
+    logarithmic as the corpus scales (sf0.01 ~5 rounds, 100 TB ~20), and
+    the per-round cost is one (id)-keyed join + min-agg over 16-byte
+    rows; singleton-free here by construction, but the operator labels
+    non-edge nodes with a final left join, exercised by every group of
+    size 1."""
+    from ..operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    ranked = d.select(
+        "lang", "source", "doc_id", F.row_number().over(w).alias("r")
+    )
+    parents = ranked.select(
+        "lang", "source", F.col("doc_id").alias("a"), F.col("r").alias("pr")
+    )
+    edges = (
+        ranked.filter(F.col("r") >= 2)
+        .select(
+            "lang", "source", F.col("doc_id").alias("b"), F.expr("r DIV 2").alias("pr")
+        )
+        .join(parents, ["lang", "source", "pr"])
+        .select("a", "b")
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return D.connected_components(nodes, edges).orderBy("id")
+
+
+GRAPH_COMPONENTS_ORACLE = """
+SELECT doc_id AS id,
+       min(doc_id) OVER (PARTITION BY lang, source) AS comp
+FROM documents
+ORDER BY id
+"""
+
+
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: users split by user_id parity, conversion
+    = `purchase` events are >= 20% of the user's activity (a rate-based
+    definition so both arms stay non-degenerate at every corpus size);
+    two-proportion pooled z-test on the
+    conversion-rate delta (textbook Wald z, e.g. Casella & Berger §8) —
+    the decision gate of any data-curation ablation. Two map-side-
+    combined aggregates (per-user collapse, then one global conditional
+    agg) and pure column arithmetic on the single result row; at 100 TB
+    the per-user collapse is the only real shuffle and it keys on
+    user_id."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                / F.count("*")
+                >= 0.2
+            )
+            .cast("int")
+            .alias("conv")
+        )
+        .withColumn("v", F.pmod("user_id", F.lit(2)))
+    )
+    raw = per_user.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    return raw.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a, 6).alias("cr_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b, 6).alias("cr_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+EVENTS_AB_TEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE) >= 0.2 AS INT) AS conv,
+         user_id % 2 AS v
+  FROM events GROUP BY user_id),
+raw AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user),
+z AS (
+  SELECT *,
+         (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+         / nullif(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                       * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 / n_a + 1.0 / n_b)), 0.0) AS zv
+  FROM raw)
+SELECT n_a, conv_a,
+       round(conv_a / CAST(n_a AS DOUBLE), 6) AS cr_a,
+       n_b, conv_b,
+       round(conv_b / CAST(n_b AS DOUBLE), 6) AS cr_b,
+       round(zv, 4) AS z_score,
+       abs(zv) > 1.96 AS significant_95
+FROM z
+"""
+
+
 def events_streaks(spark, sf_dir):
     """Longest consecutive-day activity streak per user — gaps-and-
     islands: distinct (user, day), day-index minus row_number is the
@@ -1226,6 +1355,8 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
+    "graph_components": graph_components,
+    "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
 }
@@ -1261,6 +1392,8 @@ ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
+    "graph_components": GRAPH_COMPONENTS_ORACLE,
+    "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,
 }

@@ -448,6 +448,50 @@ FROM assigned GROUP BY bucket ORDER BY bucket
 """
 
 
+def stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem's four numeric
+    measures — the column-correlation statistic a CBO consumes for
+    correlated-predicate selectivity (and an ablation-analysis staple).
+    All six pairs fold into ONE aggregate pass (each corr is a set of
+    map-side-combinable moment sums), then `stack` unpivots the single
+    result row into (col_a, col_b, corr6) rows — one scan, one 1-row
+    exchange, no matter how many columns; at 100 TB this is the same
+    plan with bigger partial-agg buffers."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    stacked = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(*aggs)
+        .select(
+            F.expr(f"stack({len(pairs)}, {stacked}) AS (col_a, col_b, corr6)")
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sel = ",\n       ".join(
+        f"round(corr({a}, {b}), 6) AS c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, c{i} AS corr6 FROM s"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"WITH s AS (\n  SELECT {sel}\n  FROM lineitem)\n{rows}\nORDER BY col_a, col_b"
+
+
+STATS_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
+
+
 PROFILE_CONSTRAINTS_ORACLE = """
 SELECT 'pk_unique_orderkey' AS check_name, count(*) AS n_violations
 FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
@@ -1758,6 +1802,7 @@ QUERIES = {
     "profile_constraints": profile_constraints,
     "stats_column_profile": stats_column_profile,
     "stats_histogram": stats_histogram,
+    "stats_corr_matrix": stats_corr_matrix,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1797,6 +1842,7 @@ ORACLES = {
     "profile_constraints": PROFILE_CONSTRAINTS_ORACLE,
     "stats_column_profile": STATS_COLUMN_PROFILE_ORACLE,
     "stats_histogram": STATS_HISTOGRAM_ORACLE,
+    "stats_corr_matrix": STATS_CORR_MATRIX_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,

@@ -49,3 +49,27 @@ def test_degree_stats_counts_multi_edges(spark):
     df = spark.createDataFrame([(1, 2), (1, 2), (2, 3)], ["src", "dst"])
     out = {r.node: (r.out_degree, r.in_degree) for r in G.degree_stats(df).collect()}
     assert out == {1: (2, 0), 2: (1, 2), 3: (0, 1)}
+
+
+def test_connected_components_labels_and_singletons(spark):
+    from ballista_mvp_spark.operators import dedup as D
+
+    # two components ({1,2,3,9} via chain incl. a cycle edge, {5,6}) plus
+    # singleton 7 that never enters the iteration (edge-incident-only loop)
+    edges = spark.createDataFrame(
+        [(9, 3), (3, 2), (2, 1), (1, 9), (6, 5)], ["a", "b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 7, 9)], ["id"])
+    got = {r.id: r.comp for r in D.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain_converges(spark):
+    from ballista_mvp_spark.operators import dedup as D
+
+    # worst-case diameter: a 12-node chain needs ~12 propagation rounds;
+    # asserts the fixpoint loop runs past a handful of iterations
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    nodes = spark.createDataFrame([(i,) for i in range(13)], ["id"])
+    got = {r.id: r.comp for r in D.connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(13)}
