@@ -168,13 +168,55 @@ def _index_stress(spark, sf_dir, mults):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _components_stress(spark, mults) -> None:
+    """Connected-components scaling: synthetic binary-lifting forests
+    (the graph_components query shape — 1000 groups, tree edge
+    rank DIV 2 -> rank) at N = 100k·m nodes. Wall time should grow
+    ~linearly in nodes while the round count grows as log2(group size):
+    the per-round cost is one (id)-keyed join + min-agg over 16-byte
+    rows and the fixpoint test is a 1-row count."""
+    from pyspark.sql import functions as FF
+
+    for m in mults:
+        n = 100_000 * m
+        groups = 1000
+        nodes = spark.range(n).select(FF.col("id"))
+        ranked = nodes.select(
+            "id", (FF.col("id") % groups).alias("g"), (FF.col("id") / groups).cast("long").alias("r")
+        )
+        parents = ranked.select(FF.col("id").alias("a"), "g", FF.col("r").alias("pr"))
+        edges = (
+            ranked.filter(FF.col("r") >= 1)
+            .select(FF.col("id").alias("b"), "g", ((FF.col("r") - 1) / 2).cast("long").alias("pr"))
+            .join(parents, ["g", "pr"])
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        comp = D.connected_components(nodes, edges)
+        n_comp = comp.select("comp").distinct().count()
+        dt = time.perf_counter() - t0
+        assert n_comp == groups, (n_comp, groups)
+        print(
+            f"x{m:<3} nodes={n:<9} graph_components comps={n_comp:<6} "
+            f"depth~{(n // groups).bit_length()} {dt:6.2f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = sys.argv[1:]
     do_ann = "--ann" in args
     do_index = "--index" in args
-    mults = [int(a) for a in args if a not in ("--ann", "--index")] or [1, 5, 20]
+    do_components = "--components" in args
+    mults = [
+        int(a) for a in args if a not in ("--ann", "--index", "--components")
+    ] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_components:
+        _components_stress(spark, mults)
+        return
     if do_index:
         _index_stress(spark, sf_dir, mults)
         return
