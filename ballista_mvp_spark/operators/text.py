@@ -595,3 +595,84 @@ def bm25_topk(
     topk = scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
     w = W.orderBy(F.col("bm25").desc(), id_col)  # k rows — single partition fine
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bpe_merges(
+    df,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 8,
+    max_word_len: int = 20,
+):
+    """First-k BPE merge discovery (Sennrich, Haddow & Birch, "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016 —
+    the tokenizer-induction algorithm behind GPT/LLaMA-family vocabs):
+    start from characters, repeatedly merge the most frequent adjacent
+    symbol pair, frequency-weighted by word counts.
+
+    Scale shape — the part that matters at 100 TB: exactly ONE
+    corpus-wide shuffle builds the word-frequency table (the classic BPE
+    trick — training runs on the VOCABULARY, whose size is
+    corpus-independent, not on the corpus). Each merge round is then an
+    explode + map-side-combined groupBy over that vocabulary-sized
+    table, a 1-row driver collect of the argmax pair (bounded metadata,
+    same class as the PQ codebooks), and a codegen'd regexp merge;
+    lineage is cut per round with localCheckpoint so round N never
+    replays rounds 1..N-1. No Python in any per-row path.
+
+    Determinism: ties break by (freq DESC, pair ASC) — exact integer
+    counts, so the merge sequence is reproducible on any engine.
+    Symbols stay in [a-z] (words are lowercased letter runs), so the
+    merge regexp needs no quoting and `\\b` token boundaries are exact.
+
+    Returns (merge_rank int, pair string, freq bigint) — the ordered
+    merge table a tokenizer build would persist.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+                )
+            ).alias("w")
+        )
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    state = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            state.select(F.split("s", " ").alias("t"), "c")
+            # guard: sequence(0, -1) DESCENDS in Spark — a 1-symbol word
+            # would emit null pairs without this filter
+            .filter(F.expr("size(t) >= 2"))
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1])")
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("freq"))
+            .orderBy(F.col("freq").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        merges.append((rank, pair, freq))
+        state = state.select(
+            F.regexp_replace(
+                "s", r"\b" + pair + r"\b", pair.replace(" ", "")
+            ).alias("s"),
+            "c",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, freq bigint"
+    )

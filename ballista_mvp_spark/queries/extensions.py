@@ -448,6 +448,58 @@ FROM assigned GROUP BY bucket ORDER BY bucket
 """
 
 
+def text_bpe_merges(spark, sf_dir):
+    """First-8 BPE merge discovery over the corpus (operators/
+    text.bpe_merges; Sennrich et al. 2016) — tokenizer-vocabulary
+    induction as a certified query: the merge sequence is exactly
+    reproducible (integer pair frequencies, freq-DESC/pair-ASC
+    tie-break), so the DuckDB oracle unrolls the same 8 rounds over the
+    same word-frequency table and must produce the identical merge
+    table. One corpus-wide shuffle total; every round after it runs on
+    the vocabulary-sized symbol table."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.bpe_merges(d, "doc_id", "text", num_merges=8)
+
+
+def _bpe_oracle(k: int = 8) -> str:
+    rounds = []
+    sel = []
+    prev = "t0"
+    for i in range(1, k + 1):
+        rounds.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT pr, CAST(sum(c) AS BIGINT) AS f FROM (
+    SELECT unnest(list_transform(range(1, len(str_split(s, ' '))),
+                  j -> str_split(s, ' ')[j] || ' ' || str_split(s, ' ')[j + 1])) AS pr,
+           c
+    FROM {prev} WHERE len(str_split(s, ' ')) >= 2)
+  GROUP BY pr),
+m{i} AS MATERIALIZED (SELECT pr, f FROM p{i} ORDER BY f DESC, pr LIMIT 1),
+t{i} AS MATERIALIZED (
+  SELECT regexp_replace(s, '\\b' || (SELECT pr FROM m{i}) || '\\b',
+                        replace((SELECT pr FROM m{i}), ' ', ''), 'g') AS s, c
+  FROM {prev})"""
+        )
+        sel.append(f"SELECT {i} AS merge_rank, pr AS pair, f AS freq FROM m{i}")
+        prev = f"t{i}"
+    joined_rounds = ",\n".join(rounds)
+    joined_sel = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w),
+t0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c FROM words),
+{joined_rounds}
+{joined_sel}
+ORDER BY merge_rank
+"""
+
+
+TEXT_BPE_MERGES_ORACLE = _bpe_oracle()
+
+
 def stats_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations over lineitem's four numeric
     measures — the column-correlation statistic a CBO consumes for
@@ -457,7 +509,6 @@ def stats_corr_matrix(spark, sf_dir):
     result row into (col_a, col_b, corr6) rows — one scan, one 1-row
     exchange, no matter how many columns; at 100 TB this is the same
     plan with bigger partial-agg buffers."""
-    li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     aggs = [
@@ -1809,6 +1860,7 @@ QUERIES = {
     "text_normalize": text_normalize,
     "text_line_dedup": text_line_dedup,
     "text_dsir": text_dsir,
+    "text_bpe_merges": text_bpe_merges,
     "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -1849,6 +1901,7 @@ ORACLES = {
     "text_normalize": TEXT_NORMALIZE_ORACLE,
     "text_line_dedup": TEXT_LINE_DEDUP_ORACLE,
     "text_dsir": TEXT_DSIR_ORACLE,
+    "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,
     "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_phash": MULTIMODAL_PHASH_ORACLE,

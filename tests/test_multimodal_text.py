@@ -399,3 +399,27 @@ def test_cjk_aware_token_count_crafted(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 4, 3: 7, 4: 0, 5: 5}
+
+
+def test_bpe_merges_hand_computed(spark):
+    # corpus: "low lower" + "low" -> words low:2, lower:1
+    # chars:  "l o w":2, "l o w e r":1
+    # round1 pairs: l-o:3, o-w:3, w-e:1, e-r:1 -> tie 3, asc -> "l o"
+    # round2: lo-w:3, w-e:1, e-r:1               -> "lo w"
+    # round3: low-e:1, e-r:1 -> tie 1, asc       -> "e r"
+    # round4: low-er:1                           -> "low er"
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "low")], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.pair, r.freq)
+        for r in TX.bpe_merges(docs, "doc_id", "text", num_merges=4).collect()
+    ]
+    assert got == [(1, "l o", 3), (2, "lo w", 3), (3, "e r", 1), (4, "low er", 1)]
+
+
+def test_bpe_merges_exhausted_corpus_stops_early(spark):
+    # single 2-char word: one merge then no pairs remain -> early stop
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    got = TX.bpe_merges(docs, "doc_id", "text", num_merges=5).collect()
+    assert [(r.merge_rank, r.pair, r.freq) for r in got] == [(1, "a b", 2)]
