@@ -72,6 +72,12 @@ OPS = {
     # copies' disjoint vocabularies grow the distinct-token table
     # linearly, stressing the vocab ranking alongside the token shuffles.
     "text_dsir": lambda d: _dsir_op(d),
+    # BPE merge loop: the ¤-salt is stripped by the [a-z] word filter, so
+    # replication multiplies word COUNTS while the vocabulary stays fixed
+    # — exactly the real-world regime (vocab saturates as the corpus
+    # grows). Expected: the one corpus-wide word-count pass scales
+    # linearly; the 4-round merge loop is corpus-size-independent.
+    "text_bpe": lambda d: _bpe_op(d),
 }
 
 
@@ -81,6 +87,12 @@ def _dsir_op(d):
     return TX.dsir_logweights(
         d, "doc_id", "text", F.col("doc_id") % 20 == 0, vocab_size=64
     )
+
+
+def _bpe_op(d):
+    from ballista_mvp_spark.operators import text as TX
+
+    return TX.bpe_merges(d, "doc_id", "text", num_merges=4)
 
 
 def _line_dedup_op(d):
