@@ -610,9 +610,10 @@ def connected_components(
     lineage is cut with localCheckpoint so round N's plan doesn't replay
     rounds 1..N-1. Converges in O(graph diameter) rounds with a driver-side
     fixpoint test (a 1-row count per round — the loop count is O(log-ish),
-    not O(rows); near-dup clusters have tiny diameters). At extreme scale
-    swap in alternating large-star/small-star (Kiveris et al. 2014), which
-    converges in O(log^2 n) rounds with the same join-agg primitive.
+    not O(rows); near-dup clusters have tiny diameters). Exhausting
+    max_iter RAISES rather than returning silently-wrong labels; for
+    unbounded diameters use connected_components_twophase (alternating
+    large-star/small-star, O(log^2 n) rounds on any graph).
 
     Two structural choices that matter: the edge list is checkpointed ONCE
     (its upstream — typically the whole near-dup pair pipeline — must not
@@ -626,6 +627,7 @@ def connected_components(
     )
     active = sym.select(F.col("a").alias("id")).distinct()
     labels = active.select("id", F.col("id").alias("comp")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")), "b")
@@ -650,7 +652,99 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the budget) — raise max_iter or use "
+            "connected_components_twophase (diameter-independent O(log^2 n))"
+        )
+    return nodes.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
+
+
+def connected_components_twophase(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Diameter-independent connected components: alternating
+    large-star / small-star contractions (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — converges in O(log² n) rounds on ANY graph,
+    where the plain min-label propagation (connected_components) needs
+    O(diameter) rounds. Use this when cluster graphs may contain long
+    chains (e.g. transitive near-dup chains across a crawl).
+
+    Each round is two groupBy-min + join passes over the edge set:
+
+    - large-star: every node u connects its LARGER neighbors to
+      m = min(Γ(u) ∪ {u});
+    - small-star: every edge oriented toward its smaller endpoint,
+      every center connects itself and its smaller neighbors to its
+      minimum neighbor.
+
+    Both preserve connectivity; at fixpoint every edge is (v, root).
+    Same interface and output as connected_components: (id, comp) with
+    comp = min id in the component; singletons labeled by the final
+    left join, never entering the loop.
+    """
+    e = (
+        edges.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        if e.isEmpty():
+            converged = True
+            break
+        # large-star: sym view (c=center, n=neighbor); m = min(Γ(c) ∪ {c})
+        sym = e.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = sym.groupBy("c").agg(F.min("n").alias("mn"))
+        m = F.least(F.col("mn"), F.col("c"))
+        large = (
+            sym.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(m.alias("a"), F.col("n").alias("b"))
+        )
+        # small-star over the large-star output: orient to the smaller
+        # endpoint; every center and its smaller neighbors attach to the
+        # center's minimum neighbor
+        le = large.select(
+            F.greatest("a", "b").alias("c"), F.least("a", "b").alias("n")
+        ).filter(F.col("c") != F.col("n"))
+        smins = le.groupBy("c").agg(F.min("n").alias("mn"))
+        small = (
+            le.join(smins, "c")
+            .select(F.col("mn").alias("u"), F.col("n").alias("v"))
+            .union(smins.select(F.col("mn").alias("u"), F.col("c").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same_count = small.count() == e.count()
+        stable = same_count and small.exceptAll(e).isEmpty()
+        e = small
+        if stable:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in {max_rounds} "
+            "rounds — not expected for any graph below ~2^64 nodes; check "
+            "the edge set for pathological input"
+        )
+    labels = (
+        e.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+        .union(e.select(F.col("u").alias("id"), F.col("u").alias("comp")))
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )
     return nodes.select("id").join(labels, "id", "left").select(
         "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
     )

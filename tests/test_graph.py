@@ -73,3 +73,63 @@ def test_connected_components_chain_converges(spark):
     nodes = spark.createDataFrame([(i,) for i in range(13)], ["id"])
     got = {r.id: r.comp for r in D.connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def _uf_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_twophase_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from ballista_mvp_spark.operators import dedup as D
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150 + 100 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _uf_components(nodes, edges)
+        ndf = spark.createDataFrame([(i,) for i in nodes], ["id"])
+        edf = spark.createDataFrame(edges, ["a", "b"])
+        got = {
+            r.id: r.comp for r in D.connected_components_twophase(ndf, edf).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_twophase_long_chain_beyond_propagation_budget(spark):
+    from ballista_mvp_spark.operators import dedup as D
+
+    # a 120-edge chain has diameter 120: the plain propagation loop's
+    # default 25-round budget must raise, the two-phase variant must
+    # converge (O(log^2 n) rounds) and label everything with node 0
+    edges = spark.createDataFrame([(i, i + 1) for i in range(120)], ["a", "b"])
+    nodes = spark.createDataFrame([(i,) for i in range(121)], ["id"])
+    got = {r.id: r.comp for r in D.connected_components_twophase(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, edges, max_iter=10)
