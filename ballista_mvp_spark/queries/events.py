@@ -1043,6 +1043,37 @@ ORDER BY id
 """
 
 
+def graph_components_twophase(spark, sf_dir):
+    """The diameter-independent variant of graph_components: same
+    binary-lifting tree per (lang, source) group, labeled by the
+    alternating large-star/small-star contraction
+    (operators/dedup.connected_components_twophase, Kiveris et al. SoCC
+    2014 — O(log² n) rounds on ANY graph). Certifying BOTH algorithms
+    against the same closed-form oracle proves they agree with each
+    other and with ground truth — the swap-in story for unbounded-
+    diameter duplicate chains is tested, not aspirational."""
+    from ..operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    ranked = d.select(
+        "lang", "source", "doc_id", F.row_number().over(w).alias("r")
+    )
+    parents = ranked.select(
+        "lang", "source", F.col("doc_id").alias("a"), F.col("r").alias("pr")
+    )
+    edges = (
+        ranked.filter(F.col("r") >= 2)
+        .select(
+            "lang", "source", F.col("doc_id").alias("b"), F.expr("r DIV 2").alias("pr")
+        )
+        .join(parents, ["lang", "source", "pr"])
+        .select("a", "b")
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return D.connected_components_twophase(nodes, edges).orderBy("id")
+
+
 def events_ab_test(spark, sf_dir):
     """A/B experiment readout: users split by user_id parity, conversion
     = `purchase` events are >= 20% of the user's activity (a rate-based
@@ -1356,6 +1387,7 @@ QUERIES = {
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
     "graph_components": graph_components,
+    "graph_components_twophase": graph_components_twophase,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -1393,6 +1425,7 @@ ORACLES = {
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "graph_components": GRAPH_COMPONENTS_ORACLE,
+    "graph_components_twophase": GRAPH_COMPONENTS_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

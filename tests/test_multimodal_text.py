@@ -378,6 +378,7 @@ def test_text_operators_on_empty_corpus(spark):
         "exact_dedup": D.exact_dedup(empty, TX.fingerprint(F.col("text")), "doc_id"),
         "minhash": D.minhash_lsh_pairs(empty, "doc_id", "text", num_hashes=8, bands=4),
         "langid": TX.langid_trigram(empty, "doc_id", "lang", "text"),
+        "bpe": TX.bpe_merges(empty, "doc_id", "text", num_merges=3),
     }
     for name, df in ops.items():
         assert df.count() == 0, name

@@ -243,3 +243,68 @@ def test_stats_histogram_broadcasts_bounds(spark):
     plan = _plan(stats_histogram(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_corr_matrix_single_pass_no_cartesian(spark):
+    """stats_corr_matrix: all six pairwise correlations fold into ONE
+    two-phase aggregate over one lineitem scan — no self-joins, no
+    cartesian, one exchange of a single partial-agg row."""
+    from ballista_mvp_spark.queries.extensions import stats_corr_matrix
+
+    plan = _plan(stats_corr_matrix(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # one scan feeds every corr moment sum
+    assert plan.count("FileScan") == 1
+
+
+def test_graph_components_edges_keyed_join_no_cartesian(spark):
+    """graph_components edge construction: the rank->parent self-join is
+    a keyed (lang, source, pr) equi-join — never a cartesian — and the
+    iteration operates on (id)-keyed joins only."""
+    from ballista_mvp_spark.queries.events import graph_components
+
+    plan = _plan(graph_components(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_word_table_two_phase_agg(spark):
+    """bpe_merges round aggregate: the pair-count groupBy over the
+    vocabulary table is map-side combined (partial_sum below the
+    exchange), and the argmax is TakeOrderedAndProject — never a global
+    sort of the pair table."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    state = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+    )
+    top = (
+        state.select(F.split("s", " ").alias("t"), "c")
+        .filter(F.expr("size(t) >= 2"))
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1])")
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(1)
+    )
+    plan = _plan(top)
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
