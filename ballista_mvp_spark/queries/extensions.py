@@ -448,6 +448,61 @@ FROM assigned GROUP BY bucket ORDER BY bucket
 """
 
 
+def stats_skew_profile(spark, sf_dir):
+    """Join-key skew audit — the pre-flight check before launching a
+    big shuffle (decides salting factor / AQE skew-join thresholds at
+    100 TB): per candidate key, total rows, NDV, the hottest key's row
+    count and share, exact p50/p99 of the per-key row counts, and the
+    max/median skew ratio. Two-phase groupBy per key builds the
+    vocabulary-sized count table; all percentiles run on THAT table
+    (never the fact table). One scan per profiled key."""
+
+    def prof(df, name, col):
+        counts = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("c"))
+        return counts.agg(
+            F.lit(name).alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").alias("ndv"),
+            F.max("c").alias("top_key_rows"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+            F.round(F.percentile("c", F.lit(0.5)), 2).alias("p50_rows"),
+            F.round(F.percentile("c", F.lit(0.99)), 2).alias("p99_rows"),
+            F.round(F.max("c") / F.percentile("c", F.lit(0.5)), 4).alias("skew_ratio"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        prof(li, "l_orderkey", "l_orderkey")
+        .unionAll(prof(li, "l_suppkey", "l_suppkey"))
+        .unionAll(prof(ev, "user_id", "user_id"))
+        .orderBy("key_col")
+    )
+
+
+def _skew_oracle_one(table: str, name: str, col: str) -> str:
+    return f"""
+SELECT '{name}' AS key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS ndv,
+       max(c) AS top_key_rows,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+       round(quantile_cont(c, 0.5), 2) AS p50_rows,
+       round(quantile_cont(c, 0.99), 2) AS p99_rows,
+       round(max(c) / quantile_cont(c, 0.5), 4) AS skew_ratio
+FROM (SELECT {col} AS k, count(*) AS c FROM {table} GROUP BY {col})"""
+
+
+STATS_SKEW_PROFILE_ORACLE = (
+    _skew_oracle_one("lineitem", "l_orderkey", "l_orderkey")
+    + "\nUNION ALL\n"
+    + _skew_oracle_one("lineitem", "l_suppkey", "l_suppkey")
+    + "\nUNION ALL\n"
+    + _skew_oracle_one("events", "user_id", "user_id")
+    + "\nORDER BY key_col"
+)
+
+
 def text_bpe_merges(spark, sf_dir):
     """First-8 BPE merge discovery over the corpus (operators/
     text.bpe_merges; Sennrich et al. 2016) — tokenizer-vocabulary
@@ -1854,6 +1909,7 @@ QUERIES = {
     "stats_column_profile": stats_column_profile,
     "stats_histogram": stats_histogram,
     "stats_corr_matrix": stats_corr_matrix,
+    "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1895,6 +1951,7 @@ ORACLES = {
     "stats_column_profile": STATS_COLUMN_PROFILE_ORACLE,
     "stats_histogram": STATS_HISTOGRAM_ORACLE,
     "stats_corr_matrix": STATS_CORR_MATRIX_ORACLE,
+    "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
