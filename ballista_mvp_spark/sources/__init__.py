@@ -114,6 +114,53 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: str | None = None
+) -> DataFrame:
+    """XML scan (free extension — spark-xml was merged into Spark 4 as a
+    built-in source). Schema inference scans the files once; pass an
+    explicit ``schema`` at scale to skip that pass. Row-granular
+    parallelism: one row element per record, files split as text."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (round-trip complement of read_xml)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-bytes ingestion (binaryFile source): one row per file with
+    (path, modificationTime, length, content binary) — the ingestion
+    leg of the multimodal pipeline (operators/multimodal.py consumes the
+    ``content`` column). Spark lists files in parallel and never splits
+    a blob, so partition count tracks file count; at 100 TB pack small
+    media into larger archive rows first (e.g. the versioned-table
+    sink) — a billion 4 KB files is a listing problem, not a read
+    problem."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     """ORC scan (free extension — the reference scans parquet/csv/avro,
     datafusion.proto:1147-1171; ORC is the remaining big columnar warehouse

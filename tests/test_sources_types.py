@@ -579,3 +579,34 @@ def test_jsonl_corrupt_record_modes(spark, tmp_path):
         spark.read.schema("doc_id long, text string").option(
             "mode", "FAILFAST"
         ).json(str(p)).collect()
+
+
+def test_xml_roundtrip_documents(spark, scratch):
+    """XML round trip (spark-xml became a Spark 4 built-in): write with
+    row/root tags, read back with a PINNED schema (no inference scan at
+    scale) — values and row count must survive exactly."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(scratch, "docs_xml")
+    sources.write_xml(docs, path, row_tag="doc", root_tag="docs")
+    back = sources.read_xml(
+        spark, path, row_tag="doc", schema="doc_id bigint, lang string, n_chars bigint"
+    )
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.select("doc_id", "lang", "n_chars").collect()))
+    assert a == b
+
+
+def test_binary_files_ingestion(spark, scratch):
+    """binaryFile ingestion: one row per blob with exact bytes + length —
+    the multimodal ingestion leg (content feeds operators/multimodal).
+    pathGlobFilter prunes non-matching files at listing time."""
+    blobs = {"a.img": b"\x89IMG\x00\x01", "b.img": b"\xffBLOB", "skip.txt": b"nope"}
+    bdir = os.path.join(scratch, "blobs")
+    os.makedirs(bdir, exist_ok=True)
+    for name, data in blobs.items():
+        with open(os.path.join(bdir, name), "wb") as fh:
+            fh.write(data)
+    df = sources.read_binary_files(spark, bdir, glob="*.img")
+    got = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert got == {"a.img": blobs["a.img"], "b.img": blobs["b.img"]}
+    assert {r.length for r in df.collect()} == {6, 5}
