@@ -58,6 +58,23 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_from_binary_files(blobs: DataFrame) -> DataFrame:
+    """Adapt the binaryFile source schema (path, modificationTime,
+    length, content) to MEDIA_SCHEMA — the real ingestion leg
+    (sources.read_binary_files → this → featurize/perceptual_hash).
+    media_id is xxhash64(path): stable across runs, no driver-side id
+    assignment, collision odds ~n²/2⁶⁴."""
+    return blobs.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("path").alias("source"),
+        ).alias("meta"),
+    )
+
+
 def decode_image(payload: bytes) -> object:
     """REAL DECODE STUB — image codecs are not in this container.
 

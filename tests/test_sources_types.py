@@ -610,3 +610,29 @@ def test_binary_files_ingestion(spark, scratch):
     got = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
     assert got == {"a.img": blobs["a.img"], "b.img": blobs["b.img"]}
     assert {r.length for r in df.collect()} == {6, 5}
+
+
+def test_binary_ingestion_to_phash_dedup_end_to_end(spark, scratch):
+    """The full multimodal ingestion path: blobs on disk → binaryFile
+    source → MEDIA_SCHEMA adapter → perceptual-hash near-dup pairs.
+    Two planted byte-identical blobs must pair; the unrelated blob must
+    not. Payload bytes never shuffle — only (id, signature) rows."""
+    from ballista_mvp_spark.operators import multimodal as M
+
+    bdir = os.path.join(scratch, "media_blobs")
+    os.makedirs(bdir, exist_ok=True)
+    dup = bytes(range(100, 163)) * 4
+    blobs = {"x1.img": dup, "x2.img": dup,
+             "y.img": bytes((i * 37 + 11) % 256 for i in range(256))}
+    for name, data in blobs.items():
+        with open(os.path.join(bdir, name), "wb") as fh:
+            fh.write(data)
+    media = M.media_from_binary_files(sources.read_binary_files(spark, bdir, glob="*.img"))
+    rows = media.collect()
+    assert {bytes(r.payload) for r in rows} == set(blobs.values())
+    assert all(r.meta.n_bytes == len(bytes(r.payload)) for r in rows)
+    ids = {os.path.basename(r.meta.source): r.media_id for r in rows}
+    pairs = {(min(a, b), max(a, b)) for a, b in
+             ((r.a, r.b) for r in M.phash_dup_pairs(media, max_hamming=0).collect())}
+    want = (min(ids["x1.img"], ids["x2.img"]), max(ids["x1.img"], ids["x2.img"]))
+    assert pairs == {want}
