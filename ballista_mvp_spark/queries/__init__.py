@@ -124,3 +124,34 @@ _CERT_FIRST_ROUND5 = [
 assert len(_CERT_FIRST_ROUND5) == 50, len(_CERT_FIRST_ROUND5)
 _missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
 assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"
+
+# ROUND-6 WINDOW (pre-staged; swap into _CERT_FIRST at round-6 start
+# AFTER CORRECTNESS_r05.json lands): the 9 queries added late in round 4
+# (strict-oracle-green at both scales + vanilla session, never
+# driver-certified), padded to 50 with re-certifications of the oldest
+# (round-1/round-2) driver rows so every family is re-proven under the
+# final driver. Validated by tests/test_oracle_queries.py.
+_CERT_FIRST_ROUND6 = [
+    # late-round-4 additions, never driver-certified
+    "market_basket", "customer_rfm", "text_tokens_cjk",
+    "graph_components", "events_ab_test", "stats_corr_matrix",
+    "text_bpe_merges", "graph_components_twophase", "stats_skew_profile",
+    # relational core reps (r1 rows, re-proven)
+    "projection", "filter_pred", "limit_offset", "sort_nulls", "sort_topk",
+    "join_semi", "join_anti", "join_full", "join_nullsafe", "join_residual",
+    "intersect_op", "except_op", "distinct_op", "union_all", "union_distinct",
+    "values_inline", "pivot_op", "unpivot_op", "join_right",
+    "join_cross", "join_right_semi",
+    # function / aggregate families (r2 rows)
+    "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
+    "fn_array_struct", "fn_hash", "agg_median", "agg_stats",
+    # windows (r2 rows)
+    "window_rank_ties", "window_lag_lead", "window_agg_range_frame",
+    # events / dedup / pipeline / udf reps
+    "events_retention", "events_range_join", "events_asof_join",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_spans",
+    "udaf_apply_in_pandas", "udf_pandas_scalar",
+]
+assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
+_missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
+assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"

@@ -166,3 +166,29 @@ def test_round5_window_prestage():
         "text_fingerprint", "dedup_embedding_exact",
     }
     assert never_certified <= set(_CERT_FIRST_ROUND5)
+
+
+def test_round6_window_prestage():
+    """The pre-staged round-6 certification window: 50 unique
+    oracle-backed registry names, includes every late-round-4 addition
+    that lacks a driver row, and overlaps neither the active round-4
+    window nor (except by design, zero here) the round-5 window."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+    )
+
+    assert len(_CERT_FIRST_ROUND6) == 50
+    assert len(set(_CERT_FIRST_ROUND6)) == 50
+    assert set(_CERT_FIRST_ROUND6) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND6) <= set(ALL_ORACLES)
+    assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST)
+    assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST_ROUND5)
+    late_round4 = {
+        "market_basket", "customer_rfm", "text_tokens_cjk",
+        "graph_components", "events_ab_test", "stats_corr_matrix",
+        "text_bpe_merges", "graph_components_twophase",
+        "stats_skew_profile",
+    }
+    assert late_round4 <= set(_CERT_FIRST_ROUND6)
