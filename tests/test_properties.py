@@ -459,3 +459,69 @@ def test_versioned_table_log_matches_model(spark, tmp_path_factory, ops):
         for v in hist:
             got = sorted(r.id for r in V.read_versioned(spark, t, version=v).collect())
             assert got == model[v], (op, v)
+
+
+def _ref_bpe(docs: list[str], k: int) -> list[tuple[int, str, int]]:
+    """Pure-Python BPE reference (Sennrich et al. 2016): word-frequency
+    table, argmax adjacent pair by (freq desc, pair asc), merge, repeat."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in docs:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            if 1 <= len(w) <= 20:
+                words[w] += 1
+    state = {tuple(w): c for w, c in words.items()}
+    out = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (pa, pb), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, f"{pa} {pb}", freq))
+        merged = {}
+        for syms, c in state.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    s.append(pa + pb)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            key = tuple(s)
+            merged[key] = merged.get(key, 0) + c
+        state = merged
+    return out
+
+
+LETTER_WORDS = st.lists(
+    st.sampled_from(
+        ["low", "lower", "lowest", "newer", "wider", "new", "aaa", "aab",
+         "ab", "banana", "bandana", "abab"]
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(docs=st.lists(LETTER_WORDS, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_bpe_merges_match_python_reference(spark, docs):
+    """The distributed BPE merge sequence equals the sequential reference
+    on ANY corpus — same words, same tie-breaks, same frequencies."""
+    from ballista_mvp_spark.operators import text as TX
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.pair, r.freq)
+        for r in TX.bpe_merges(df, "doc_id", "text", num_merges=3).collect()
+    ]
+    assert got == _ref_bpe(texts, 3)
