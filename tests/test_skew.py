@@ -271,3 +271,38 @@ def test_null_split_left_join_rejects_non_left(spark):
     li = load_table(spark, SF_SMALL, "lineitem").limit(1)
     with pytest.raises(ValueError):
         null_split_left_join(li, li, ["l_orderkey"], how="inner")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin — the runtime complement of the manual
+    salting operators in this module: with a 90%-hot key, the finalized
+    adaptive plan must mark the sort-merge join skew-handled
+    (skew=true), splitting the hot partition into subpartitions, and
+    the result must equal the non-adaptive join. Thresholds are forced
+    tiny because the trigger is partition BYTES; at production scale the
+    defaults (256 MB threshold, 5x median factor) do the same thing."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    left = s.range(200000).select(
+        F.when(F.col("id") % 10 == 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = s.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    j = left.join(right, "k")
+    # collect() (not count()) so THIS DataFrame's query execution is the
+    # one finalized by AQE — count() runs a separate execution
+    got = len(j.collect())
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan
+    # result identity: 20000 rows via hot key 0 + 4500 singleton matches
+    assert got == 24500
