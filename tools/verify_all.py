@@ -34,10 +34,14 @@ def run(name: str, cmd: list[str]) -> tuple[bool, str]:
 
 
 def main() -> int:
+    # sweeps run --strict (driver-faithful pandas canonicalization) —
+    # the lenient path is what let the round-3 array/decimal reds through
     gates = [
         ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
-        ("oracle sf0.01", [sys.executable, "tools/run_oracle.py", "/root/testdata/sf0.01"]),
-        ("oracle sf0.1", [sys.executable, "tools/run_oracle.py", "/root/testdata/sf0.1"]),
+        ("oracle sf0.01 strict",
+         [sys.executable, "tools/run_oracle.py", "--strict", "/root/testdata/sf0.01"]),
+        ("oracle sf0.1 strict",
+         [sys.executable, "tools/run_oracle.py", "--strict", "/root/testdata/sf0.1"]),
     ]
     if "--skip-bench" not in sys.argv:
         gates.append(("bench", [sys.executable, "bench.py"]))
