@@ -676,3 +676,73 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
     )
+
+
+def bpe_encode(
+    df,
+    id_col: str,
+    text_col: str,
+    merges: list[str],
+    max_word_len: int = 20,
+):
+    """BPE encoding — apply an ordered merge table to tokenize the
+    corpus (the inference-side complement of :func:`bpe_merges`; same
+    greedy rank-order application as Sennrich et al. 2016 and the
+    GPT-2 encoder's merge loop). THIS is the tokenizer's 100 TB hot
+    path: vocab induction runs once, encoding runs on every byte of
+    every corpus forever after.
+
+    Scale shape: encoding is applied to the DISTINCT-WORD table, not
+    the corpus — the chained merge expressions run O(vocab) times (a
+    natural-language vocab is corpus-independent, ~1e6-1e7 words), and
+    the encoded vocab flows back to the corpus through a broadcast
+    hash join on the word (no shuffle of the corpus beyond the one
+    distinct-word groupBy, which is map-side combined). The k merges
+    compile to k chained ``regexp_replace`` column expressions inside
+    one whole-stage-codegen projection over the vocab — no Python, no
+    per-round pass over the data, no driver loop over rows.
+
+    ``merges`` is an ordered list of space-separated symbol pairs
+    (``["t h", "th e", ...]``) as produced by :func:`bpe_merges`.
+    Symbols must match ``[a-z]+`` (the ``bpe_merges`` alphabet), so the
+    merge regexps need no quoting and ``\\b`` boundaries are exact.
+
+    Returns the corpus-level token frequency table ``(token string,
+    freq bigint, n_words bigint)``: total corpus occurrences of each
+    BPE token (word counts carried through the vocab, so no second
+    corpus pass) and how many vocab-word token slots it fills (a word
+    containing the token twice counts twice).
+    Per-doc token ids, when a caller needs them, are the encoded vocab
+    broadcast-joined back to the corpus words — same plan minus the
+    final groupBy.
+    """
+    for m in merges:
+        a, _, b = m.partition(" ")
+        if not (a.isascii() and a.isalpha() and b.isascii() and b.isalpha()):
+            raise ValueError(f"merge pair must be two [a-z]+ symbols: {m!r}")
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "
+                )
+            ).alias("w")
+        )
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    # Encode each distinct word once: char-split then the merge chain,
+    # rank order = application order (greedy BPE).
+    s = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    for pair in merges:
+        s = F.regexp_replace(s, r"\b" + pair + r"\b", pair.replace(" ", ""))
+    vocab = words.select("w", F.split(s, " ").alias("toks"), "c")
+    return (
+        vocab.select(F.explode("toks").alias("token"), "c")
+        .groupBy("token")
+        .agg(
+            F.sum("c").alias("freq"),
+            F.count("*").alias("n_words"),
+        )
+    )

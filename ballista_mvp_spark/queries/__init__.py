@@ -126,7 +126,7 @@ _missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
 assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"
 
 # ROUND-6 WINDOW (pre-staged; swap into _CERT_FIRST at round-6 start
-# AFTER CORRECTNESS_r05.json lands): the 9 queries added late in round 4
+# AFTER CORRECTNESS_r05.json lands): the 10 queries added late in round 4
 # (strict-oracle-green at both scales + vanilla session, never
 # driver-certified), padded to 50 with re-certifications of the oldest
 # (round-1/round-2) driver rows so every family is re-proven under the
@@ -136,12 +136,13 @@ _CERT_FIRST_ROUND6 = [
     "market_basket", "customer_rfm", "text_tokens_cjk",
     "graph_components", "events_ab_test", "stats_corr_matrix",
     "text_bpe_merges", "graph_components_twophase", "stats_skew_profile",
+    "text_bpe_encode",
     # relational core reps (r1 rows, re-proven)
     "projection", "filter_pred", "limit_offset", "sort_nulls", "sort_topk",
     "join_semi", "join_anti", "join_full", "join_nullsafe", "join_residual",
     "intersect_op", "except_op", "distinct_op", "union_all", "union_distinct",
     "values_inline", "pivot_op", "unpivot_op", "join_right",
-    "join_cross", "join_right_semi",
+    "join_cross",
     # function / aggregate families (r2 rows)
     "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
     "fn_array_struct", "fn_hash", "agg_median", "agg_stats",

@@ -555,6 +555,51 @@ ORDER BY merge_rank
 TEXT_BPE_MERGES_ORACLE = _bpe_oracle()
 
 
+# Ordered merge table for the encoding-side certification. Fixed (not
+# corpus-derived) so the oracle can unroll the identical chain; rank
+# order IS application order, so "th e" follows "t h".
+_BPE_ENC_MERGES = [
+    "t h", "i n", "a n", "e r", "th e", "o n", "r e", "an d",
+]
+
+
+def text_bpe_encode(spark, sf_dir):
+    """BPE encoding over the corpus with a fixed 8-merge table
+    (operators/text.bpe_encode; Sennrich et al. 2016 / GPT-2 encoder
+    merge loop) — the tokenizer's serving-side hot path as a certified
+    query: greedy rank-order merge application over the distinct-word
+    vocabulary, corpus token frequencies carried through the word
+    counts. One corpus-wide shuffle (the word groupBy); the k merges
+    are one codegen'd projection over the vocab-sized table."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.bpe_encode(d, "doc_id", "text", merges=_BPE_ENC_MERGES)
+
+
+def _bpe_encode_oracle(merges) -> str:
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for pair in merges:
+        expr = (
+            "regexp_replace(" + expr + ", '\\b" + pair + "\\b', '"
+            + pair.replace(" ", "") + "', 'g')"
+        )
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w),
+enc AS (SELECT str_split({expr}, ' ') AS toks, c FROM words)
+SELECT token, CAST(sum(c) AS BIGINT) AS freq,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT unnest(toks) AS token, c FROM enc)
+GROUP BY token
+ORDER BY freq DESC, token
+"""
+
+
+TEXT_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_ENC_MERGES)
+
+
 def stats_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations over lineitem's four numeric
     measures — the column-correlation statistic a CBO consumes for
@@ -1917,6 +1962,7 @@ QUERIES = {
     "text_line_dedup": text_line_dedup,
     "text_dsir": text_dsir,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "text_pii": text_pii,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -1959,6 +2005,7 @@ ORACLES = {
     "text_line_dedup": TEXT_LINE_DEDUP_ORACLE,
     "text_dsir": TEXT_DSIR_ORACLE,
     "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,
+    "text_bpe_encode": TEXT_BPE_ENCODE_ORACLE,
     "text_pii": TEXT_PII_ORACLE,
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_phash": MULTIMODAL_PHASH_ORACLE,

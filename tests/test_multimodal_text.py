@@ -424,3 +424,63 @@ def test_bpe_merges_exhausted_corpus_stops_early(spark):
     docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
     got = TX.bpe_merges(docs, "doc_id", "text", num_merges=5).collect()
     assert [(r.merge_rank, r.pair, r.freq) for r in got] == [(1, "a b", 2)]
+
+
+def test_bpe_encode_hand_computed(spark):
+    # vocab: low:2, lower:1; merges l-o then lo-w
+    # low   -> "low"          (x2)
+    # lower -> "low e r"      (x1)
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "low")], ["doc_id", "text"]
+    )
+    got = {
+        r.token: (r.freq, r.n_words)
+        for r in TX.bpe_encode(
+            docs, "doc_id", "text", merges=["l o", "lo w"]
+        ).collect()
+    }
+    assert got == {"low": (3, 2), "e": (1, 1), "r": (1, 1)}
+
+
+def test_bpe_encode_conserves_letters(spark):
+    """Tokens partition each word: sum(freq * len(token)) equals the
+    total corpus letter count, for any merge table."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana abab"), (2, "low lower lowest banana")],
+        ["doc_id", "text"],
+    )
+    letters = docs.select(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))).alias("n")
+    ).collect()[0]["n"]
+    for merges in ([], ["a n"], ["a n", "b an", "an a"]):
+        enc = TX.bpe_encode(docs, "doc_id", "text", merges=merges)
+        tot = enc.select(
+            F.sum(F.col("freq") * F.length("token")).alias("n")
+        ).collect()[0]["n"]
+        assert tot == letters, merges
+
+
+def test_bpe_encode_uses_learned_merges(spark):
+    """Feeding bpe_merges' own output pairs into bpe_encode yields the
+    merged symbols as corpus tokens with the training frequencies."""
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "low")], ["doc_id", "text"]
+    )
+    learned = [r.pair for r in TX.bpe_merges(
+        docs, "doc_id", "text", num_merges=4
+    ).collect()]
+    assert learned == ["l o", "lo w", "e r", "low er"]
+    got = {
+        r.token: r.freq
+        for r in TX.bpe_encode(docs, "doc_id", "text", merges=learned).collect()
+    }
+    # low:2 -> "low"; lower:1 -> "lower"
+    assert got == {"low": 2, "lower": 1}
+
+
+def test_bpe_encode_rejects_non_alpha_merge(spark):
+    docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="merge pair"):
+        TX.bpe_encode(docs, "doc_id", "text", merges=["a .*"])

@@ -189,6 +189,6 @@ def test_round6_window_prestage():
         "market_basket", "customer_rfm", "text_tokens_cjk",
         "graph_components", "events_ab_test", "stats_corr_matrix",
         "text_bpe_merges", "graph_components_twophase",
-        "stats_skew_profile",
+        "stats_skew_profile", "text_bpe_encode",
     }
     assert late_round4 <= set(_CERT_FIRST_ROUND6)

@@ -341,3 +341,20 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_bpe_encode_two_shuffles_no_python(spark):
+    """bpe_encode: the merge chain runs over the vocab (between the word
+    groupBy and the token groupBy — exactly two exchanges, both map-side
+    combined), and no Python touches any row."""
+    from ballista_mvp_spark.operators import text as TX
+    from ballista_mvp_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    enc = TX.bpe_encode(
+        docs, "doc_id", "text", merges=["t h", "i n", "th e"]
+    )
+    plan = _plan(enc)
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
