@@ -331,3 +331,89 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     for v in drop:
         os.remove(_manifest_path(path, v))
     return removed
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (the Delta Lake CDF /
+    Iceberg incremental-read pattern): every row inserted or deleted by
+    commits ``from_version < v <= to_version``, tagged with
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    ``from_version=0`` feeds the whole table history.
+
+    The invariant incremental consumers rely on (property-tested):
+
+        snapshot(from) + inserts(from→to) − deletes(from→to)
+            == snapshot(to)     (as multisets)
+
+    Scale shape — why this beats diffing snapshots: the changed-row set
+    is computed from MANIFEST set-difference (O(files) metadata, no data
+    read to plan), and Spark then scans ONLY the files each commit
+    added/removed — an append of 1 GB to a 100 TB table costs 1 GB, not
+    a 2×100 TB anti-join. Appends emit pure inserts; overwrite commits
+    (rewrites, compactions) emit deletes of the files they retired plus
+    inserts of their replacements — a content-preserving compaction
+    therefore nets to zero, which downstream incremental aggregates
+    absorb for free (delete −, insert +). Deleted versions' files must
+    still exist: reading changes past a vacuum raises (same contract as
+    Delta CDF retention).
+
+    Additive schema evolution is honored: per-commit scans are combined
+    with unionByName(allowMissingColumns), so columns appended in later
+    commits come back NULL on older rows.
+    """
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    to_v = vs[-1] if to_version is None else to_version
+    for v in (from_version, to_v):
+        if v != 0 and v not in vs:
+            raise FileNotFoundError(f"version {v} not in {vs} at {path}")
+    if to_v < from_version:
+        raise ValueError(f"to_version {to_v} < from_version {from_version}")
+    prev_files = (
+        set(_read_manifest(path, from_version)["files"])
+        if from_version
+        else set()
+    )
+    parts: list[DataFrame] = []
+    for v in vs:
+        if not (from_version < v <= to_v):
+            continue
+        cur_files = set(_read_manifest(path, v)["files"])
+        for rel_set, kind in (
+            (cur_files - prev_files, "insert"),
+            (prev_files - cur_files, "delete"),
+        ):
+            if not rel_set:
+                continue
+            paths = [os.path.join(path, f) for f in sorted(rel_set)]
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"change feed needs vacuumed file(s): {missing[:3]}"
+                    " — raise vacuum keep_last or lower from_version"
+                )
+            parts.append(
+                spark.read.parquet(*paths)
+                .withColumn("_change_type", F.lit(kind))
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        prev_files = cur_files
+    if not parts:
+        base = read_versioned(spark, path, version=to_v if to_v else None)
+        return (
+            base.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

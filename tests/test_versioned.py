@@ -306,3 +306,149 @@ def test_compact_versioned_preserves_history(spark, tmp_path):
     assert _ids(V.read_versioned(spark, t, version=4)) == list(range(40))
     assert V.vacuum(t, keep_last=1) >= 8
     assert _ids(V.read_versioned(spark, t)) == list(range(40))
+
+
+def _changes(spark, t, lo, hi=None):
+    return V.read_changes(spark, t, lo, hi).collect()
+
+
+def test_change_feed_appends_are_pure_inserts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 4), t)
+    V.write_versioned(spark.range(4, 7), t, mode="append")
+    rows = _changes(spark, t, 1)  # changes since v1
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["_commit_version"] for r in rows} == {2}
+    assert sorted(r.id for r in rows) == [4, 5, 6]
+    # full-history feed from version 0
+    rows = _changes(spark, t, 0)
+    assert sorted(r.id for r in rows) == list(range(7))
+
+
+def test_change_feed_overwrite_emits_deletes_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 4), t)
+    V.write_versioned(spark.range(100, 102), t, mode="overwrite")
+    rows = _changes(spark, t, 1)
+    ins = sorted(r.id for r in rows if r["_change_type"] == "insert")
+    dels = sorted(r.id for r in rows if r["_change_type"] == "delete")
+    assert ins == [100, 101] and dels == [0, 1, 2, 3]
+
+
+def test_change_feed_snapshot_invariant(spark, tmp_path):
+    """snapshot(from) + inserts − deletes == snapshot(to), as multisets,
+    across appends, an overwrite, and a compaction."""
+    from collections import Counter
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 6), t)
+    V.write_versioned(spark.range(6, 9), t, mode="append")
+    V.write_versioned(spark.range(3, 12), t, mode="overwrite")
+    V.write_versioned(spark.range(12, 14), t, mode="append")
+    V.compact_versioned(spark, t, target_file_mb=256)
+    vs = [h["version"] for h in V.history(t)]
+    for lo in vs:
+        for hi in [v for v in vs if v >= lo]:
+            snap_lo = Counter(r.id for r in V.read_versioned(spark, t, version=lo).collect())
+            snap_hi = Counter(r.id for r in V.read_versioned(spark, t, version=hi).collect())
+            ch = _changes(spark, t, lo, hi)
+            got = Counter(snap_lo)
+            got.update(r.id for r in ch if r["_change_type"] == "insert")
+            got.subtract(r.id for r in ch if r["_change_type"] == "delete")
+            assert +got == snap_hi, (lo, hi)
+
+
+def test_change_feed_compaction_nets_to_zero(spark, tmp_path):
+    from collections import Counter
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 5).repartition(4), t)
+    v_before = V.history(t)[-1]["version"]
+    V.compact_versioned(spark, t, target_file_mb=256)
+    rows = _changes(spark, t, v_before)
+    ins = Counter(r.id for r in rows if r["_change_type"] == "insert")
+    dels = Counter(r.id for r in rows if r["_change_type"] == "delete")
+    assert ins == dels  # content-preserving rewrite nets out
+
+
+def test_change_feed_incremental_aggregate_maintenance(spark, tmp_path):
+    """Maintain a per-key count/sum from the feed alone == recompute
+    from the full snapshot — incremental view maintenance end-to-end."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark.range(0, 40).select("id", (F.col("id") % 4).alias("k")), t
+    )
+    v0 = V.history(t)[-1]["version"]
+    base = (
+        V.read_versioned(spark, t)
+        .groupBy("k").agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+    )
+    # two more commits: an append and a rewrite that drops id >= 30
+    V.write_versioned(
+        spark.range(40, 50).select("id", (F.col("id") % 4).alias("k")), t,
+        mode="append",
+    )
+    full = V.read_versioned(spark, t).filter("id < 30")
+    V.write_versioned(full, t, mode="overwrite")
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        V.read_changes(spark, t, v0)
+        .groupBy("k")
+        .agg(F.sum(sign).alias("dn"), F.sum(F.col("id") * sign).alias("ds"))
+    )
+    maintained = (
+        base.join(delta, "k", "full")
+        .select(
+            "k",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    recomputed = (
+        V.read_versioned(spark, t)
+        .groupBy("k").agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+    )
+    got = {(r.k, r.n, r.s) for r in maintained.collect()}
+    want = {(r.k, r.n, r.s) for r in recomputed.collect()}
+    assert got == want
+
+
+def test_change_feed_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 3), t)
+    V.write_versioned(
+        spark.range(3, 5).withColumn("tag", F.lit("new")), t, mode="append"
+    )
+    rows = _changes(spark, t, 0)
+    tags = {r.id: r.tag for r in rows}
+    assert tags == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
+
+
+def test_change_feed_errors(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        V.read_changes(spark, t, 0)
+    V.write_versioned(spark.range(0, 3), t)
+    V.write_versioned(spark.range(100, 102), t, mode="overwrite")
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        V.read_changes(spark, t, 9)
+    with pytest.raises(ValueError, match="to_version"):
+        V.read_changes(spark, t, 2, 1)
+    # empty range: zero rows, change columns present
+    empty = V.read_changes(spark, t, 2, 2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+    # vacuum breaks history reads: the feed says so instead of lying
+    V.vacuum(t, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="version 1"):
+        V.read_changes(spark, t, 1)
+    # a manually-deleted data file (vacuum never leaves a kept manifest
+    # dangling) is reported, not silently dropped from the feed
+    m = V._read_manifest(t, 2)
+    os.remove(os.path.join(t, m["files"][0]))
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        V.read_changes(spark, t, 0, 2)

@@ -78,6 +78,11 @@ OPS = {
     # grows). Expected: the one corpus-wide word-count pass scales
     # linearly; the 4-round merge loop is corpus-size-independent.
     "text_bpe": lambda d: _bpe_op(d),
+    # BPE ENCODING (the serving-side hot path): same fixed-vocab regime
+    # as text_bpe — replication multiplies word counts, the vocab (and
+    # so the merge-chain work) stays fixed. Expected: linear in the one
+    # word-count pass, flat everywhere else.
+    "text_bpe_encode": lambda d: _bpe_encode_op(d),
 }
 
 
@@ -93,6 +98,15 @@ def _bpe_op(d):
     from ballista_mvp_spark.operators import text as TX
 
     return TX.bpe_merges(d, "doc_id", "text", num_merges=4)
+
+
+def _bpe_encode_op(d):
+    from ballista_mvp_spark.operators import text as TX
+
+    return TX.bpe_encode(
+        d, "doc_id", "text",
+        merges=["t h", "i n", "a n", "e r", "th e", "o n", "r e", "an d"],
+    )
 
 
 def _line_dedup_op(d):
@@ -222,6 +236,11 @@ def main() -> None:
     do_ann = "--ann" in args
     do_index = "--index" in args
     do_components = "--components" in args
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        del args[i:i + 2]
     mults = [
         int(a) for a in args if a not in ("--ann", "--index", "--components")
     ] or [1, 5, 20]
@@ -250,6 +269,8 @@ def main() -> None:
         corpus = replicate(base, m).localCheckpoint(eager=True)  # isolate gen cost
         n = corpus.count()
         for name, op in OPS.items():
+            if only and not name.startswith(only):
+                continue
             t0 = time.perf_counter()
             rows = op(corpus).count()
             dt = time.perf_counter() - t0
