@@ -452,3 +452,80 @@ def test_change_feed_errors(spark, tmp_path):
     os.remove(os.path.join(t, m["files"][0]))
     with pytest.raises(FileNotFoundError, match="vacuum"):
         V.read_changes(spark, t, 0, 2)
+
+
+# ---- versioned_table Spark data source (sources/versioned_stream.py) ----
+
+
+def test_versioned_source_batch_scan(spark, tmp_path):
+    from ballista_mvp_spark.sources import versioned_stream as VS
+
+    VS.register(spark)
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 10), t)
+    V.write_versioned(spark.range(10, 15), t, mode="append")
+    df = spark.read.format("versioned_table").option("path", t).load()
+    assert _ids(df) == list(range(15))
+    assert {r["_change_type"] for r in df.collect()} == {"insert"}
+    # pinned snapshot via option
+    v1 = (
+        spark.read.format("versioned_table")
+        .option("path", t).option("version", "1").load()
+    )
+    assert _ids(v1) == list(range(10))
+
+
+def test_versioned_source_stream_offsets_are_versions(spark, tmp_path):
+    """readStream over the commit log: first run drains all commits;
+    after MORE commits, a restart from the same checkpoint consumes ONLY
+    the new versions (offset = version number)."""
+    from ballista_mvp_spark.sources import versioned_stream as VS
+
+    VS.register(spark)
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    V.write_versioned(spark.range(0, 10), t)
+    V.write_versioned(spark.range(10, 15), t, mode="append")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table").option("path", t).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert _ids(spark.read.parquet(out)) == list(range(15))
+    # an overwrite commit: the restarted stream sees delete+insert only
+    V.write_versioned(spark.range(100, 103), t, mode="overwrite")
+    drain()
+    rows = spark.read.parquet(out).collect()
+    ins = sorted(r.id for r in rows if r["_change_type"] == "insert")
+    dels = sorted(r.id for r in rows if r["_change_type"] == "delete")
+    assert ins == list(range(15)) + [100, 101, 102]
+    assert dels == list(range(15))
+    # stream contents == read_changes over the same version range
+    feed = V.read_changes(spark, t, 0).collect()
+    assert sorted(
+        (r.id, r["_change_type"], r["_commit_version"]) for r in rows
+    ) == sorted((r.id, r["_change_type"], r["_commit_version"]) for r in feed)
+
+
+def test_versioned_source_schema_evolution_pads_nulls(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.sources import versioned_stream as VS
+
+    VS.register(spark)
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 3), t)
+    V.write_versioned(
+        spark.range(3, 5).withColumn("tag", F.lit("new")), t, mode="append"
+    )
+    df = spark.read.format("versioned_table").option("path", t).load()
+    assert {r.id: r.tag for r in df.collect()} == {
+        0: None, 1: None, 2: None, 3: "new", 4: "new"
+    }
