@@ -159,6 +159,17 @@ def write_versioned(
         manifest["stats"] = stats
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    _link_manifest(path, version, manifest, token)
+    return version
+
+
+def _link_manifest(path: str, version: int, manifest: dict, token: str) -> None:
+    """The atomic commit point, shared by every commit kind: write the
+    manifest under a temp name, hard-link it into place. The link FAILS
+    iff the version already exists (rename would silently REPLACE a
+    racing winner's manifest — create-exclusive link semantics close
+    that TOCTOU window); the loser's data files are orphans reclaimed by
+    the next vacuum."""
     tmp = os.path.join(path, _MANIFEST_DIR, f".tmp-{token}-v{version}.json")
     with open(tmp, "w") as fh:
         # default=str: date/timestamp footer stats land as ISO strings
@@ -166,9 +177,6 @@ def write_versioned(
         json.dump(manifest, fh, default=str)
     final = _manifest_path(path, version)
     try:
-        # atomic commit point: link fails iff the version already exists
-        # (rename would silently REPLACE a racing winner's manifest —
-        # create-exclusive link semantics close that TOCTOU window)
         os.link(tmp, final)
     except FileExistsError:
         os.remove(tmp)
@@ -176,7 +184,6 @@ def write_versioned(
             f"concurrent commit: version {version} already exists"
         ) from None
     os.remove(tmp)
-    return version
 
 
 def foreach_batch_sink(path: str):
@@ -280,6 +287,244 @@ def compact_versioned(
     n_out = max(1, round(total_mb / target_file_mb))
     df = read_versioned(spark, path).coalesce(n_out)
     return write_versioned(df, path, mode="overwrite", stats_cols=stats_cols)
+
+
+def _head(path: str) -> tuple[int, dict]:
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return vs[-1], _read_manifest(path, vs[-1])
+
+
+def _overlaps(st: list, lo, hi) -> bool:
+    """Closed-interval overlap against manifest stats. JSON stores
+    date/timestamp bounds as ISO strings (value order == string order),
+    so a typed probe is stringified to compare in the same domain."""
+    a, b = st
+    if isinstance(a, str) and not isinstance(lo, str):
+        lo, hi = str(lo), str(hi)
+    return a <= hi and lo <= b
+
+
+def _touched_files(path: str, rel_files: list[str], marker_df) -> list[str]:
+    """Map ``input_file_name()`` URIs from a phase-1 scan back to
+    manifest-relative paths. The collect is O(touched files) of path
+    strings — bounded by the manifest size, never by row count."""
+    from urllib.parse import unquote, urlparse
+
+    by_abs = {os.path.abspath(os.path.join(path, f)): f for f in rel_files}
+    out = []
+    for (uri,) in marker_df.distinct().collect():
+        p = unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
+        p = os.path.abspath(p)
+        if p not in by_abs:
+            raise RuntimeError(f"scanned file {uri!r} is not in the manifest")
+        out.append(by_abs[p])
+    return sorted(out)
+
+
+def _commit_rewrite(
+    path: str,
+    out_df: DataFrame,
+    untouched: list[str],
+    op: str,
+    prev_stats: dict,
+    stats_cols: list[str] | None,
+    n_rewritten: int,
+) -> int:
+    """Commit a row-level mutation: write ``out_df`` (the rewritten
+    content of the touched files) as new data files, carry every
+    untouched file over BY REFERENCE (with its recorded stats), and
+    link the manifest atomically."""
+    vs = _versions(path)
+    version = vs[-1] + 1
+    token = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join(_DATA_DIR, f"commit-{version}-{token}")
+    commit_dir = os.path.join(path, commit_rel)
+    out_df.write.mode("errorifexists").parquet(commit_dir)
+    added = _data_files(commit_dir)
+    new_files = [os.path.join(commit_rel, f) for f in added]
+    live = untouched + new_files
+    stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
+    if stats_cols:
+        fs = _file_stats(commit_dir, added, stats_cols)
+        stats.update({os.path.join(commit_rel, f): st for f, st in fs.items()})
+    manifest = {
+        "version": version,
+        "op": op,
+        "files": live,
+        "n_files": len(live),
+        "n_added": len(new_files),
+        "n_rewritten": n_rewritten,
+    }
+    if stats:
+        manifest["stats"] = stats
+    _link_manifest(path, version, manifest, token)
+    return version
+
+
+def delete_versioned(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    stats_cols: list[str] | None = None,
+    prune: tuple | None = None,
+) -> int:
+    """Row-level DELETE as a commit — the Delta Lake two-phase MERGE
+    shape (Armbrust et al., "Delta Lake: High-Performance ACID Table
+    Storage over Cloud Object Stores", VLDB 2020). ``predicate`` is a
+    SQL boolean expression; rows where it is TRUE are deleted, rows
+    where it is FALSE **or NULL** survive (standard DELETE WHERE
+    three-valued logic).
+
+    Phase 1 finds the files that actually CONTAIN a matching row (an
+    ``input_file_name()`` scan, optionally pre-shrunk by manifest stats
+    via ``prune=(col, lo, hi)``); phase 2 rewrites ONLY those files
+    minus the matching rows. Every untouched file carries over by
+    reference — deleting one bad document from a 100 TB / 100k-file
+    table rewrites one file, not the table, and time travel to every
+    prior version is preserved. Returns the new version, or the current
+    head unchanged if nothing matches (no empty commits)."""
+    from pyspark.sql import functions as F
+
+    head_v, m = _head(path)
+    files = m["files"]
+    stats = m.get("stats", {})
+    cand = files
+    if prune is not None:
+        col, lo, hi = prune
+        cand = [
+            f
+            for f in files
+            if (st := stats.get(f, {}).get(col)) is None or _overlaps(st, lo, hi)
+        ]
+    if not cand:
+        return head_v
+    pred = F.expr(predicate)
+    scan = spark.read.parquet(*[os.path.join(path, f) for f in cand])
+    marker = scan.filter(pred).select(F.input_file_name().alias("_f"))
+    touched = _touched_files(path, cand, marker)
+    if not touched:
+        return head_v
+    survivors = spark.read.parquet(
+        *[os.path.join(path, f) for f in touched]
+    ).filter(~F.coalesce(pred, F.lit(False)))
+    untouched = [f for f in files if f not in set(touched)]
+    return _commit_rewrite(
+        path, survivors, untouched, "delete", stats, stats_cols, len(touched)
+    )
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """MERGE / upsert as a commit: target rows whose ``key`` appears in
+    ``source`` are REPLACED by the source row; source rows with no
+    match are INSERTED. Same two-phase file-pruned shape as
+    ``delete_versioned`` (the Delta MERGE algorithm):
+
+    1. manifest prune — a file can only be touched if its recorded
+       [min, max] for ``key`` overlaps the source key range (O(files)
+       metadata, no data read); then an exact semi-join scan of the
+       surviving candidates finds the files that really contain a
+       matched key (AQE broadcasts the key set when the upsert batch is
+       small — the common case);
+    2. touched files are rewritten as (their rows anti-joined on key)
+       ∪ source; untouched files carry over by reference.
+
+    A daily 1 GB upsert into a 100 TB key-clustered table therefore
+    rewrites O(overlapping files), not the table. Source keys must be
+    unique and non-null (multiple source matches for one target row are
+    ambiguous — same error Delta raises); verified with one small agg.
+    """
+    from pyspark.sql import functions as F
+
+    head_v, m = _head(path)
+    files = m["files"]
+    stats = m.get("stats", {})
+    chk = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key).alias("nd"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("nnull"),
+    ).first()
+    if chk["n"] == 0:
+        return head_v
+    if chk["nnull"]:
+        raise ValueError(f"merge source has {chk['nnull']} NULL {key} keys")
+    if chk["n"] != chk["nd"]:
+        raise ValueError(
+            f"merge source keys not unique on {key}: "
+            f"{chk['n']} rows, {chk['nd']} distinct"
+        )
+    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    cand = [
+        f
+        for f in files
+        if (st := stats.get(f, {}).get(key)) is None or _overlaps(st, lo, hi)
+    ]
+    keys_df = source.select(key).distinct()
+    touched: list[str] = []
+    if cand:
+        marker = (
+            spark.read.parquet(*[os.path.join(path, f) for f in cand])
+            .select(key)
+            .withColumn("_f", F.input_file_name())
+            .join(keys_df, key, "left_semi")
+            .select("_f")
+        )
+        touched = _touched_files(path, cand, marker)
+    if touched:
+        survivors = spark.read.parquet(
+            *[os.path.join(path, f) for f in touched]
+        ).join(keys_df, key, "left_anti")
+        out = survivors.unionByName(source.select(*survivors.columns))
+    else:
+        out = source  # no key overlap anywhere: pure insert
+    untouched = [f for f in files if f not in set(touched)]
+    return _commit_rewrite(
+        path, out, untouched, "merge", stats, stats_cols, len(touched)
+    )
+
+
+def restore_versioned(path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF — commits ``version``'s exact file
+    list (and its stats) as the NEW head. Metadata-only: zero data bytes
+    written or copied, whatever the table size (Delta RESTORE
+    semantics). The restored files must still exist (not vacuumed).
+    History is preserved — the rollback is itself a commit, so both the
+    mistake and the recovery stay in the log, and the change feed sees
+    the restore as deletes of the abandoned files plus inserts of the
+    restored ones."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs} at {path}")
+    m_old = _read_manifest(path, version)
+    missing = [
+        f for f in m_old["files"] if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{version} needs vacuumed file(s): {missing[:3]}"
+        )
+    new_v = vs[-1] + 1
+    manifest = {
+        "version": new_v,
+        "op": "restore",
+        "files": m_old["files"],
+        "n_files": len(m_old["files"]),
+        "n_added": 0,
+        "restored_from": version,
+    }
+    if m_old.get("stats"):
+        manifest["stats"] = m_old["stats"]
+    _link_manifest(path, new_v, manifest, uuid.uuid4().hex[:12])
+    return new_v
 
 
 def vacuum(path: str, keep_last: int = 1) -> int:

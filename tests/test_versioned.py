@@ -529,3 +529,194 @@ def test_versioned_source_schema_evolution_pads_nulls(spark, tmp_path):
     assert {r.id: r.tag for r in df.collect()} == {
         0: None, 1: None, 2: None, 3: "new", 4: "new"
     }
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE / MERGE / RESTORE commits
+
+
+def _setup_keyed(spark, t):
+    """Two commits with disjoint id ranges, one file each, stats on id —
+    so file-level effects of row mutations are observable."""
+    V.write_versioned(
+        spark.range(0, 10).toDF("id").coalesce(1), t, stats_cols=["id"]
+    )
+    V.write_versioned(
+        spark.range(100, 110).toDF("id").coalesce(1),
+        t,
+        mode="append",
+        stats_cols=["id"],
+    )
+    m = V._read_manifest(t, 2)
+    assert m["n_files"] == 2
+    return m
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m2 = _setup_keyed(spark, t)
+    low_file = [f for f in m2["files"] if m2["stats"][f]["id"][0] == 0][0]
+    high_file = [f for f in m2["files"] if f != low_file][0]
+    v = V.delete_versioned(spark, t, "id % 3 = 0 AND id < 50", stats_cols=["id"])
+    assert v == 3
+    m3 = V._read_manifest(t, 3)
+    # the high-range file carried over BY REFERENCE; the low one was rewritten
+    assert high_file in m3["files"] and low_file not in m3["files"]
+    assert m3["op"] == "delete" and m3["n_rewritten"] == 1
+    # carried file keeps its recorded stats
+    assert m3["stats"][high_file] == m2["stats"][high_file]
+    assert _ids(V.read_versioned(spark, t)) == [
+        i for i in range(10) if i % 3 != 0
+    ] + list(range(100, 110))
+    # time travel to the pre-delete snapshot is intact
+    assert _ids(V.read_versioned(spark, t, version=2)) == list(range(10)) + list(
+        range(100, 110)
+    )
+
+
+def test_delete_no_match_commits_nothing(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    assert V.delete_versioned(spark, t, "id > 10000") == 2
+    assert [h["version"] for h in V.history(t)] == [1, 2]
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """DELETE WHERE uses three-valued logic: NULL predicate keeps the row."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 40)], "id int, score int"
+    ).coalesce(1)
+    V.write_versioned(df, t)
+    V.delete_versioned(spark, t, "score > 10")
+    assert _ids(V.read_versioned(spark, t)) == [1, 2]
+
+
+def test_delete_manifest_prune_skips_phase1_scan(spark, tmp_path):
+    """With prune bounds, files whose stats miss the interval are not
+    even phase-1 scanned; result identical."""
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    v = V.delete_versioned(
+        spark, t, "id = 105", stats_cols=["id"], prune=("id", 100, 110)
+    )
+    m = V._read_manifest(t, v)
+    assert m["n_rewritten"] == 1
+    assert _ids(V.read_versioned(spark, t)) == list(range(10)) + [
+        i for i in range(100, 110) if i != 105
+    ]
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "old") for i in range(5)], "id int, tag string"
+    ).coalesce(1)
+    V.write_versioned(df, t, stats_cols=["id"])
+    V.write_versioned(
+        spark.createDataFrame(
+            [(i, "old") for i in range(100, 105)], "id int, tag string"
+        ).coalesce(1),
+        t,
+        mode="append",
+        stats_cols=["id"],
+    )
+    source = spark.createDataFrame(
+        [(3, "new"), (4, "new"), (200, "ins")], "id int, tag string"
+    )
+    v = V.merge_versioned(spark, t, source, key="id", stats_cols=["id"])
+    m = V._read_manifest(t, v)
+    # only the low file overlaps [3, 200]... both files overlap the key
+    # RANGE, but only the low file CONTAINS a matched key -> 1 rewritten
+    assert m["op"] == "merge" and m["n_rewritten"] == 1
+    rows = {r.id: r.tag for r in V.read_versioned(spark, t).collect()}
+    assert rows[3] == "new" and rows[4] == "new" and rows[200] == "ins"
+    assert rows[0] == "old" and rows[100] == "old"
+    assert len(rows) == 11
+    # pre-merge snapshot intact
+    assert _ids(V.read_versioned(spark, t, version=2)) == list(range(5)) + list(
+        range(100, 105)
+    )
+
+
+def test_merge_disjoint_keys_is_pure_insert(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    source = spark.range(500, 503).toDF("id")
+    v = V.merge_versioned(spark, t, source, key="id", stats_cols=["id"])
+    m = V._read_manifest(t, v)
+    assert m["n_rewritten"] == 0
+    assert _ids(V.read_versioned(spark, t)) == list(range(10)) + list(
+        range(100, 110)
+    ) + [500, 501, 502]
+
+
+def test_merge_rejects_bad_source_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 5), t)
+    with pytest.raises(ValueError, match="not unique"):
+        V.merge_versioned(
+            spark, t, spark.createDataFrame([(1,), (1,)], "id long"), key="id"
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        V.merge_versioned(
+            spark,
+            t,
+            spark.createDataFrame([(None,), (2,)], "id long"),
+            key="id",
+        )
+    # empty source: no-op, no commit
+    assert V.merge_versioned(spark, t, spark.range(0).toDF("id"), key="id") == 1
+
+
+def test_merge_change_feed_invariant(spark, tmp_path):
+    """snapshot(from) + inserts - deletes == snapshot(to) across a merge
+    commit (multiset), so incremental consumers absorb upserts for free."""
+    from collections import Counter
+
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    source = spark.createDataFrame([(5,), (105,), (300,)], "id long")
+    v = V.merge_versioned(spark, t, source, key="id", stats_cols=["id"])
+    before = Counter(r.id for r in V.read_versioned(spark, t, version=2).collect())
+    after = Counter(r.id for r in V.read_versioned(spark, t, version=v).collect())
+    got = Counter(before)
+    for r in V.read_changes(spark, t, 2, v).collect():
+        if r["_change_type"] == "insert":
+            got[r.id] += 1
+        else:
+            got[r.id] -= 1
+    assert +got == after
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    V.delete_versioned(spark, t, "id < 5")  # v3: the "mistake"
+    n_data_files_before = len(glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    v = V.restore_versioned(t, 2)
+    assert v == 4
+    # zero data files written: pure manifest commit
+    assert (
+        len(glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+        == n_data_files_before
+    )
+    m = V._read_manifest(t, 4)
+    assert m["op"] == "restore" and m["restored_from"] == 2 and m["n_added"] == 0
+    assert _ids(V.read_versioned(spark, t)) == list(range(10)) + list(range(100, 110))
+    # the mistake stays in the log (auditable), and vacuum keeps the
+    # restored head's files because the head manifest references them
+    assert [h["op"] for h in V.history(t)] == ["append", "append", "delete", "restore"]
+    V.vacuum(t, keep_last=1)
+    assert _ids(V.read_versioned(spark, t)) == list(range(10)) + list(range(100, 110))
+
+
+def test_restore_errors(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _setup_keyed(spark, t)
+    with pytest.raises(FileNotFoundError, match="not in"):
+        V.restore_versioned(t, 9)
+    V.write_versioned(spark.range(50, 55), t, mode="overwrite")
+    V.vacuum(t, keep_last=1)  # v1/v2 files reclaimed
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        V.restore_versioned(str(tmp_path / "nope"), 1)
