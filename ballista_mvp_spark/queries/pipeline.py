@@ -1323,6 +1323,96 @@ FROM per_bin CROSS JOIN total ORDER BY bin
 """
 
 
+def versioned_time_travel(spark, sf_dir):
+    """End-to-end certification of the versioned-table transaction log
+    (sources/versioned.py) against a SQL oracle: build a table from
+    ``orders`` through four commit kinds — append F-orders (v1), append
+    O-orders (v2), row-level DELETE of every 10th orderkey (v3), MERGE
+    upsert doubling the price of F-orders with orderkey%7==0 while
+    inserting all P-orders (v4) — then time-travel read EVERY version
+    and aggregate it. The oracle replays each version's contents in
+    pure SQL over ``orders``, so manifest bookkeeping, the file-pruned
+    two-phase mutation rewrites, and snapshot isolation are all
+    value-certified against DuckDB.
+
+    The per-version aggregation is the distributed work; the final
+    4-row assembly is bounded driver metadata (one row per version).
+    At 100 TB the same log scales as O(files) metadata per commit and
+    delete/merge rewrite only the files whose stats overlap the
+    affected keys."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import versioned as V
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = tempfile.mkdtemp(prefix="bms_vtt_")
+    t = os.path.join(tdir, "tbl")
+    try:
+        V.write_versioned(
+            orders.filter("o_orderstatus = 'F'"), t, stats_cols=["o_orderkey"]
+        )
+        V.write_versioned(
+            orders.filter("o_orderstatus = 'O'"),
+            t,
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+        V.delete_versioned(
+            spark, t, "o_orderkey % 10 = 0", stats_cols=["o_orderkey"]
+        )
+        src = orders.filter("o_orderstatus = 'P'").unionByName(
+            orders.filter("o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        V.merge_versioned(spark, t, src, key="o_orderkey", stats_cols=["o_orderkey"])
+        rows = []
+        for v in (1, 2, 3, 4):
+            n, s, c = (
+                V.read_versioned(spark, t, version=v)
+                .agg(
+                    F.count(F.lit(1)),
+                    F.round(F.sum("o_totalprice"), 2),
+                    F.countDistinct("o_custkey"),
+                )
+                .first()
+            )
+            rows.append((v, n, float(s), c))
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders bigint, sum_price double, n_cust bigint"
+    ).orderBy("version")
+
+
+VERSIONED_TIME_TRAVEL_ORACLE = """
+WITH v2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F','O')),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 10 != 0),
+v4 AS (
+  SELECT o_custkey, o_totalprice FROM v3
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT o_custkey, o_totalprice * 2 FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+SELECT 1 AS version, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(DISTINCT o_custkey) AS n_cust
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 2, count(*), round(sum(o_totalprice), 2), count(DISTINCT o_custkey) FROM v2
+UNION ALL
+SELECT 3, count(*), round(sum(o_totalprice), 2), count(DISTINCT o_custkey) FROM v3
+UNION ALL
+SELECT 4, count(*), round(sum(o_totalprice), 2), count(DISTINCT o_custkey) FROM v4
+ORDER BY version
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
@@ -1356,6 +1446,7 @@ QUERIES = {
     "profile_histogram": profile_histogram,
     "pipeline_drift": pipeline_drift,
     "pipeline_leakage": pipeline_leakage,
+    "versioned_time_travel": versioned_time_travel,
 }
 
 ORACLES = {
@@ -1390,4 +1481,5 @@ ORACLES = {
     "profile_histogram": PROFILE_HISTOGRAM_ORACLE,
     "pipeline_drift": PIPELINE_DRIFT_ORACLE,
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
+    "versioned_time_travel": VERSIONED_TIME_TRAVEL_ORACLE,
 }
