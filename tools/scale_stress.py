@@ -230,21 +230,82 @@ def _components_stress(spark, mults) -> None:
         )
 
 
+def _mutate_stress(spark, sf_dir, mults) -> None:
+    """Fixed-size MERGE/DELETE cost vs table size: with key-clustered
+    files + manifest min/max stats, a constant-size mutation must
+    rewrite a ~constant number of files, so wall time stays ~flat as
+    the table grows — the O(touched files) contract of
+    sources/versioned.py. The unpruned delete row is the contrast: an
+    arbitrary-predicate phase-1 scan grows with the table (column-pruned
+    to the predicate columns, but still a full pass)."""
+    import shutil
+    import tempfile
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for m in mults:
+        corpus = replicate(base, m).localCheckpoint(eager=True)
+        n = corpus.count()
+        d = tempfile.mkdtemp()
+        t = os.path.join(d, "tbl")
+        try:
+            V.write_versioned(
+                corpus.repartitionByRange(4 * m, "doc_id"), t,
+                stats_cols=["doc_id"],
+            )
+            src = base.filter(F.col("doc_id") < 200).select(
+                "doc_id", F.concat(F.lit("v2 "), "text").alias("text")
+            )
+            t0 = time.perf_counter()
+            v = V.merge_versioned(spark, t, src, key="doc_id", stats_cols=["doc_id"])
+            tm = time.perf_counter() - t0
+            mm = V._read_manifest(t, v)
+            t0 = time.perf_counter()
+            v = V.delete_versioned(
+                spark, t, "doc_id >= 300 AND doc_id < 400",
+                stats_cols=["doc_id"], prune=("doc_id", 300, 399),
+            )
+            td = time.perf_counter() - t0
+            md = V._read_manifest(t, v)
+            t0 = time.perf_counter()
+            v = V.delete_versioned(
+                spark, t, "doc_id >= 500 AND doc_id < 600", stats_cols=["doc_id"]
+            )
+            tu = time.perf_counter() - t0
+            mu = V._read_manifest(t, v)
+            print(
+                f"x{m:<3} docs={n:<8} files={mm['n_files']:<4} "
+                f"merge200 rw={mm['n_rewritten']} {tm:5.2f}s | "
+                f"del+prune rw={md['n_rewritten']} {td:5.2f}s | "
+                f"del-noprune rw={mu['n_rewritten']} {tu:5.2f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = sys.argv[1:]
     do_ann = "--ann" in args
     do_index = "--index" in args
     do_components = "--components" in args
+    do_mutate = "--mutate" in args
     only = None
     if "--only" in args:
         i = args.index("--only")
         only = args[i + 1]
         del args[i:i + 2]
     mults = [
-        int(a) for a in args if a not in ("--ann", "--index", "--components")
+        int(a)
+        for a in args
+        if a not in ("--ann", "--index", "--components", "--mutate")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_mutate:
+        _mutate_stress(spark, sf_dir, mults)
+        return
     if do_components:
         _components_stress(spark, mults)
         return
