@@ -206,6 +206,78 @@ def foreach_batch_sink(path: str):
     return _sink
 
 
+def cdc_merge_sink(
+    path: str,
+    key: str,
+    seq_col: str | None = None,
+    stats_cols: list[str] | None = None,
+):
+    """Exactly-once streaming UPSERT sink — the CDC-apply pattern:
+    ``writeStream.foreachBatch(cdc_merge_sink(table, key))`` turns a
+    change stream into MERGE commits, so the table converges to the
+    latest row per key instead of accumulating appends.
+
+    Per micro-batch: (1) replayed batch ids found in the manifest log
+    are dropped (idempotent, same as ``foreach_batch_sink``); (2) when
+    ``seq_col`` is given, only the latest change per key survives
+    (max-seq row, key order as tiebreaker is unnecessary since one
+    key's changes carry distinct sequence numbers — enforce that
+    upstream); (3) the deduplicated batch merges via
+    ``merge_versioned`` — file-pruned, so a small CDC batch into a
+    large key-clustered table rewrites only the overlapping files. The
+    first batch on an empty table is a plain append commit.
+
+    Without ``seq_col`` the batch must already be unique per key
+    (``merge_versioned`` raises otherwise — never guess which change
+    wins)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for v in _versions(path):
+            if _read_manifest(path, v).get("batch_id") == batch_id:
+                return  # replay of a committed batch: drop it
+        batch = batch_df
+        if seq_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", seq_col)
+            )
+        if not _versions(path):
+            write_versioned(
+                batch, path, mode="append", batch_id=batch_id,
+                stats_cols=stats_cols,
+            )
+            return
+        merge_versioned(
+            batch_df.sparkSession, path, batch, key=key,
+            stats_cols=stats_cols, batch_id=batch_id,
+        )
+
+    return _sink
+
+
+def mutate_with_retry(fn, retries: int = 3):
+    """Optimistic-concurrency loop for DELETE/MERGE/append commits:
+    ``fn()`` must run the FULL two-phase plan against the current head
+    (e.g. ``lambda: merge_versioned(spark, t, src, key="id")``). If it
+    loses the manifest-link race it raises ``concurrent commit``;
+    re-running from the new head is the correct — and only correct —
+    rebase, because the winner may have rewritten or retired the very
+    files the loser planned to carry by reference. (Delta's
+    commit-retry does the same logical re-check; with one manifest per
+    commit the re-check IS the re-plan.) Returns fn()'s result; raises
+    after ``retries`` consecutive lost races."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e) or attempt == retries:
+                raise
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
@@ -331,6 +403,7 @@ def _commit_rewrite(
     prev_stats: dict,
     stats_cols: list[str] | None,
     n_rewritten: int,
+    batch_id: int | None = None,
 ) -> int:
     """Commit a row-level mutation: write ``out_df`` (the rewritten
     content of the touched files) as new data files, carry every
@@ -359,6 +432,8 @@ def _commit_rewrite(
     }
     if stats:
         manifest["stats"] = stats
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     _link_manifest(path, version, manifest, token)
     return version
 
@@ -421,6 +496,7 @@ def merge_versioned(
     source: DataFrame,
     key: str,
     stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE / upsert as a commit: target rows whose ``key`` appears in
     ``source`` are REPLACED by the source row; source rows with no
@@ -486,7 +562,8 @@ def merge_versioned(
         out = source  # no key overlap anywhere: pure insert
     untouched = [f for f in files if f not in set(touched)]
     return _commit_rewrite(
-        path, out, untouched, "merge", stats, stats_cols, len(touched)
+        path, out, untouched, "merge", stats, stats_cols, len(touched),
+        batch_id=batch_id,
     )
 
 

@@ -720,3 +720,113 @@ def test_restore_errors(spark, tmp_path):
     V.vacuum(t, keep_last=1)  # v1/v2 files reclaimed
     with pytest.raises(FileNotFoundError, match="no committed version"):
         V.restore_versioned(str(tmp_path / "nope"), 1)
+
+
+def test_cdc_merge_sink_streaming_upsert(spark, tmp_path):
+    """Change stream → MERGE commits: the table converges to the latest
+    row per key (not an append log); replayed batch ids are dropped;
+    checkpoint restart with no new data commits nothing."""
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(i, "v1", 1) for i in range(5)], "id int, val string, seq int"
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    def run():
+        q = (
+            spark.readStream.schema("id int, val string, seq int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(
+                V.cdc_merge_sink(tbl, key="id", seq_col="seq", stats_cols=["id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {(r.id, r.val) for r in V.read_versioned(spark, tbl).collect()} == {
+        (i, "v1") for i in range(5)
+    }
+    n_versions = len(V.history(tbl))
+
+    # restart, nothing new: no commits
+    run()
+    assert len(V.history(tbl)) == n_versions
+
+    # next batch: two changes for id=2 (seq 2 then 3 — latest wins),
+    # one brand-new key
+    spark.createDataFrame(
+        [(2, "stale", 2), (2, "fresh", 3), (9, "new", 2)],
+        "id int, val string, seq int",
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run()
+    rows = {(r.id, r.val) for r in V.read_versioned(spark, tbl).collect()}
+    assert rows == {(0, "v1"), (1, "v1"), (3, "v1"), (4, "v1"), (2, "fresh"), (9, "new")}
+    m = V._read_manifest(tbl, len(V.history(tbl)))
+    assert m["op"] == "merge" and m["n_rewritten"] == 1
+
+    # at-least-once replay of a committed batch id: dropped
+    sink = V.cdc_merge_sink(tbl, key="id", seq_col="seq")
+    committed = [
+        V._read_manifest(tbl, h["version"]).get("batch_id")
+        for h in V.history(tbl)
+    ]
+    sink(
+        spark.createDataFrame([(2, "ghost", 99)], "id int, val string, seq int"),
+        committed[-1],
+    )
+    assert {(r.id, r.val) for r in V.read_versioned(spark, tbl).collect()} == rows
+
+
+def test_mutate_with_retry_rebases_on_lost_race(spark, tmp_path, monkeypatch):
+    """A lost manifest-link race re-runs the full plan against the new
+    head and succeeds; non-race errors propagate immediately."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 3), t)
+    # a racing winner lands v2 between the loser's read and its link
+    with open(V._manifest_path(t, 2), "w") as fh:
+        json.dump(
+            {"version": 2, "op": "append",
+             "files": V._read_manifest(t, 1)["files"],
+             "n_files": 1, "n_added": 0}, fh,
+        )
+    real_versions = V._versions
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return [1] if calls["n"] == 1 else real_versions(p)
+
+    monkeypatch.setattr(V, "_versions", stale_once)
+    v = V.mutate_with_retry(
+        lambda: V.write_versioned(spark.range(3, 6), t, mode="append")
+    )
+    assert v == 3
+    monkeypatch.setattr(V, "_versions", real_versions)
+    assert _ids(V.read_versioned(spark, t)) == list(range(6))
+
+    # exhausted retries: the race error surfaces
+    monkeypatch.setattr(V, "_versions", lambda p: [1])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.mutate_with_retry(
+            lambda: V.write_versioned(spark.range(9, 12), t, mode="append"),
+            retries=2,
+        )
+    monkeypatch.setattr(V, "_versions", real_versions)
+
+    # a non-race error is NOT retried
+    boom = {"n": 0}
+
+    def bad():
+        boom["n"] += 1
+        raise RuntimeError("schema mismatch")
+
+    with pytest.raises(RuntimeError, match="schema mismatch"):
+        V.mutate_with_retry(bad)
+    assert boom["n"] == 1
