@@ -25,6 +25,7 @@ the mapping). We deliberately do not rebuild any of it.
 from __future__ import annotations
 
 import random
+import re
 import string
 import threading
 from dataclasses import dataclass, field
@@ -42,6 +43,28 @@ _FORMAT_ALIASES = {
     "json": "json",
     "orc": "orc",
 }
+
+# Transaction-log SQL statements over tables registered via
+# register_versioned (Delta Lake's SQL surface, reduced to its core).
+# Conservative anchored patterns: anything that doesn't match — or names
+# an unregistered table — falls through to Catalyst untouched.
+_VSQL_HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.I)
+_VSQL_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_VSQL_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.I,
+)
+_VSQL_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$", re.I
+)
+_VSQL_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(?:\((.+)\)|(\w+))\s+ON\s+(\w+)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 def _gen_job_id(rng: random.Random) -> str:
@@ -69,6 +92,7 @@ class Engine:
     seed: int | None = None
     _prepared: dict[str, PreparedStatement] = field(default_factory=dict)
     _jobs: dict[str, str] = field(default_factory=dict)  # job_id -> description
+    _versioned: dict[str, str] = field(default_factory=dict)  # view -> table path
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     def __post_init__(self) -> None:
@@ -223,16 +247,99 @@ class Engine:
             raise FileNotFoundError(f"no committed version at {path}")
         v = vs[-1] if version is None else version
         _V.read_versioned(self.spark, path, v).createOrReplaceTempView(name)
+        self._versioned[name.lower()] = path
         return v
+
+    # -- transaction-log SQL -------------------------------------------------
+    def _sql_versioned(self, q: str) -> DataFrame | None:
+        """Dispatch DESCRIBE HISTORY / DELETE FROM / MERGE INTO / RESTORE
+        / VACUUM over tables registered via :meth:`register_versioned`
+        (the Delta Lake SQL surface over sources/versioned.py). Returns
+        None when the statement isn't one of ours — the caller falls
+        through to Catalyst. After a mutation the registered view is
+        re-pinned to the new head; queries already planned keep reading
+        their pinned (immutable) files, the snapshot-isolation contract.
+        Every result is a small info DataFrame (O(versions) rows at
+        most), mirroring how Spark SQL surfaces command output."""
+        from .sources import versioned as _V
+
+        def _path(name: str) -> str | None:
+            return self._versioned.get(name.lower())
+
+        if (m := _VSQL_HISTORY.match(q)) and (path := _path(m.group(1))):
+            hist = _V.history(path)
+            return self.spark.createDataFrame(
+                [(h["version"], h["op"], h["n_files"], h["n_added"]) for h in hist],
+                "version int, op string, n_files int, n_added int",
+            )
+        if (m := _VSQL_DELETE.match(q)) and (path := _path(m.group(1))):
+            v = _V.delete_versioned(self.spark, path, m.group(2))
+            self.register_versioned(m.group(1), path)
+            mm = _V._read_manifest(path, v)
+            return self.spark.createDataFrame(
+                [(v, mm.get("n_rewritten", 0))],
+                "version int, files_rewritten int",
+            )
+        if (m := _VSQL_MERGE.match(q)) and (path := _path(m.group(1))):
+            subquery, view, key = m.group(2), m.group(3), m.group(4)
+            source = self.spark.sql(subquery) if subquery else self.spark.table(view)
+            v = _V.merge_versioned(self.spark, path, source, key=key)
+            self.register_versioned(m.group(1), path)
+            mm = _V._read_manifest(path, v)
+            return self.spark.createDataFrame(
+                [(v, mm.get("n_rewritten", 0))],
+                "version int, files_rewritten int",
+            )
+        if (m := _VSQL_RESTORE.match(q)) and (path := _path(m.group(1))):
+            v = _V.restore_versioned(path, int(m.group(2)))
+            self.register_versioned(m.group(1), path)
+            return self.spark.createDataFrame(
+                [(v, int(m.group(2)))], "version int, restored_from int"
+            )
+        if (m := _VSQL_VACUUM.match(q)) and (path := _path(m.group(1))):
+            keep = int(m.group(2)) if m.group(2) else 1
+            removed = _V.vacuum(path, keep_last=keep)
+            return self.spark.createDataFrame(
+                [(removed,)], "files_removed int"
+            )
+        return None
+
+    def _rewrite_time_travel(self, q: str) -> str:
+        """Rewrite ``<table> VERSION AS OF <n>`` (Delta's time-travel SQL
+        syntax) for registered versioned tables: each occurrence becomes
+        a temp view pinned to that version. Unregistered names are left
+        for Catalyst to reject naturally."""
+        if not self._versioned:
+            return q
+        from .sources import versioned as _V
+
+        names = "|".join(re.escape(n) for n in self._versioned)
+        pat = re.compile(rf"\b({names})\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.I)
+
+        def _sub(m: re.Match) -> str:
+            name, ver = m.group(1).lower(), int(m.group(2))
+            view = f"{name}__v{ver}"
+            _V.read_versioned(
+                self.spark, self._versioned[name], ver
+            ).createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(_sub, q)
 
     # -- query -------------------------------------------------------------
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """SQL entry point ≅ flight_sql.rs:566-579 (parse → analyze →
         optimize happens inside Catalyst). ``args`` gives parameterized SQL
-        (≅ PrepareNode placeholders, datafusion.proto:186-190)."""
+        (≅ PrepareNode placeholders, datafusion.proto:186-190).
+        Transaction-log statements over registered versioned tables
+        (DESCRIBE HISTORY / DELETE FROM / MERGE INTO / RESTORE / VACUUM /
+        ``VERSION AS OF`` time travel) are dispatched to
+        sources/versioned.py first; everything else goes to Catalyst."""
         if args is not None:
             return self.spark.sql(query, args=args)
-        return self.spark.sql(query)
+        if (out := self._sql_versioned(query)) is not None:
+            return out
+        return self.spark.sql(self._rewrite_time_travel(query))
 
     def prepare(self, query: str) -> PreparedStatement:
         handle = _gen_job_id(self._rng)

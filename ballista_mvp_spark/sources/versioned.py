@@ -522,6 +522,22 @@ def merge_versioned(
     head_v, m = _head(path)
     files = m["files"]
     stats = m.get("stats", {})
+    # Align the source to the TARGET schema before anything else (the
+    # Delta MERGE implicit cast): a bigint source id written into an
+    # int table would corrupt the table's parquet type consistency.
+    # Missing/extra columns are a hard error; type drift is cast (under
+    # ANSI mode an overflowing cast raises rather than corrupting).
+    from pyspark.sql import functions as _F
+
+    tgt = spark.read.parquet(os.path.join(path, files[0])).schema
+    if set(source.columns) != {f.name for f in tgt}:
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != "
+            f"target columns {sorted(f.name for f in tgt)}"
+        )
+    source = source.select(
+        [_F.col(f.name).cast(f.dataType) for f in tgt]
+    )
     chk = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(key).alias("nd"),

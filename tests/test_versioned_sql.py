@@ -1,0 +1,113 @@
+"""Transaction-log SQL surface (engine.py _sql_versioned /
+_rewrite_time_travel): DESCRIBE HISTORY, DELETE FROM, MERGE INTO,
+RESTORE, VACUUM, and VERSION AS OF time travel over tables registered
+via Engine.register_versioned — the Delta Lake SQL surface reduced to
+its core, dispatched ahead of Catalyst."""
+
+from __future__ import annotations
+
+import pytest
+
+from ballista_mvp_spark.engine import Engine
+from ballista_mvp_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(spark=spark, seed=7)
+
+
+def _tbl(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark.createDataFrame(
+            [(i, "a") for i in range(10)], "id int, tag string"
+        ).coalesce(1),
+        t,
+        stats_cols=["id"],
+    )
+    V.write_versioned(
+        spark.createDataFrame(
+            [(i, "b") for i in range(100, 110)], "id int, tag string"
+        ).coalesce(1),
+        t,
+        mode="append",
+        stats_cols=["id"],
+    )
+    return t
+
+
+def test_describe_history_and_time_travel(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    hist = eng.sql("DESCRIBE HISTORY docs").collect()
+    assert [(h.version, h.op) for h in hist] == [(1, "append"), (2, "append")]
+    # VERSION AS OF inside an ordinary SELECT (mixed-case keywords)
+    n1 = eng.sql("SELECT count(*) AS n FROM docs version as of 1").first().n
+    n2 = eng.sql("SELECT count(*) AS n FROM docs").first().n
+    assert (n1, n2) == (10, 20)
+    # two pins of the SAME table in one query
+    joined = eng.sql(
+        "SELECT count(*) AS n FROM docs VERSION AS OF 2 a "
+        "JOIN docs VERSION AS OF 1 b ON a.id = b.id"
+    ).first().n
+    assert joined == 10
+
+
+def test_delete_from_sql(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    out = eng.sql("DELETE FROM docs WHERE id % 2 = 0 AND id < 50").first()
+    assert out.version == 3 and out.files_rewritten == 1
+    # the registered view was re-pinned to the new head
+    assert eng.sql("SELECT count(*) AS n FROM docs").first().n == 15
+    # pre-delete snapshot still queryable
+    assert eng.sql("SELECT count(*) AS n FROM docs VERSION AS OF 2").first().n == 20
+
+
+def test_merge_into_sql(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    out = eng.sql(
+        "MERGE INTO docs USING "
+        "(SELECT id * 3 AS id, 'm' AS tag FROM range(2)) ON id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert out.version == 3
+    rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
+    assert rows[0] == "m" and rows[3] == "m" and rows[1] == "a"
+    # USING a named view, no WHEN suffix (upsert semantics implied)
+    spark.createDataFrame([(105, "z")], "id int, tag string").createOrReplaceTempView(
+        "updates"
+    )
+    eng.sql("MERGE INTO docs USING updates ON id")
+    rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
+    assert rows[105] == "z" and len(rows) == 20
+
+
+def test_restore_and_vacuum_sql(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    eng.sql("DELETE FROM docs WHERE id >= 100")
+    assert eng.sql("SELECT count(*) AS n FROM docs").first().n == 10
+    out = eng.sql("RESTORE TABLE docs TO VERSION AS OF 2").first()
+    assert out.version == 4 and out.restored_from == 2
+    assert eng.sql("SELECT count(*) AS n FROM docs").first().n == 20
+    removed = eng.sql("VACUUM docs RETAIN 1 VERSIONS").first().files_removed
+    assert removed >= 0
+    assert eng.sql("SELECT count(*) AS n FROM docs").first().n == 20
+    assert [h.version for h in eng.sql("DESCRIBE HISTORY docs").collect()] == [4]
+
+
+def test_unregistered_names_fall_through(eng, spark, tmp_path):
+    """Statements naming unregistered tables reach Catalyst untouched
+    (and fail there naturally); ordinary SQL is unaffected."""
+    assert eng.sql("SELECT 1 AS x").first().x == 1
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        eng.sql("DELETE FROM nosuch WHERE x = 1")
+    # a registered versioned table doesn't shadow ordinary tables
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    assert eng.sql("SELECT max(id) AS m FROM range(5)").first().m == 4
