@@ -59,12 +59,42 @@ _VSQL_RESTORE = re.compile(
 _VSQL_VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$", re.I
 )
+_VSQL_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _VSQL_MERGE = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(?:\((.+)\)|(\w+))\s+ON\s+(\w+)"
     r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
     re.I | re.S,
 )
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split an UPDATE SET list on top-level commas only (commas inside
+    function calls / CASE arms don't separate assignments); each
+    assignment splits on its FIRST '=' — the left side is a bare column
+    name, the right side may itself contain '='."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for part in parts:
+        if "=" not in part:
+            raise ValueError(f"malformed SET assignment: {part.strip()!r}")
+        col, expr = part.split("=", 1)
+        out[col.strip()] = expr.strip()
+    return out
 
 
 def _gen_job_id(rng: random.Random) -> str:
@@ -271,6 +301,15 @@ class Engine:
             return self.spark.createDataFrame(
                 [(h["version"], h["op"], h["n_files"], h["n_added"]) for h in hist],
                 "version int, op string, n_files int, n_added int",
+            )
+        if (m := _VSQL_UPDATE.match(q)) and (path := _path(m.group(1))):
+            assigns = _split_assignments(m.group(2))
+            v = _V.update_versioned(self.spark, path, assigns, m.group(3))
+            self.register_versioned(m.group(1), path)
+            mm = _V._read_manifest(path, v)
+            return self.spark.createDataFrame(
+                [(v, mm.get("n_rewritten", 0))],
+                "version int, files_rewritten int",
             )
         if (m := _VSQL_DELETE.match(q)) and (path := _path(m.group(1))):
             v = _V.delete_versioned(self.spark, path, m.group(2))

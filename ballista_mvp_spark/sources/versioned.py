@@ -91,7 +91,7 @@ def _file_stats(commit_dir: str, files: list[str], cols: list[str]) -> dict:
     for f in files:
         md = pq.ParquetFile(os.path.join(commit_dir, f)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        st = {}
+        st = {"#rows": md.num_rows}
         for c in cols:
             if c not in idx:
                 continue
@@ -143,11 +143,8 @@ def write_versioned(
         pm = _read_manifest(path, prev[-1])
         live = pm["files"] + new_files
         stats = dict(pm.get("stats", {}))
-    if stats_cols:
-        fs = _file_stats(commit_dir, added, stats_cols)
-        stats.update(
-            {os.path.join(commit_rel, f): st for f, st in fs.items()}
-        )
+    fs = _file_stats(commit_dir, added, stats_cols or [])
+    stats.update({os.path.join(commit_rel, f): st for f, st in fs.items()})
     manifest = {
         "version": version,
         "op": mode,
@@ -419,9 +416,8 @@ def _commit_rewrite(
     new_files = [os.path.join(commit_rel, f) for f in added]
     live = untouched + new_files
     stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
-    if stats_cols:
-        fs = _file_stats(commit_dir, added, stats_cols)
-        stats.update({os.path.join(commit_rel, f): st for f, st in fs.items()})
+    fs = _file_stats(commit_dir, added, stats_cols or [])
+    stats.update({os.path.join(commit_rel, f): st for f, st in fs.items()})
     manifest = {
         "version": version,
         "op": op,
@@ -487,6 +483,89 @@ def delete_versioned(
     untouched = [f for f in files if f not in set(touched)]
     return _commit_rewrite(
         path, survivors, untouched, "delete", stats, stats_cols, len(touched)
+    )
+
+
+def table_rows(path: str, version: int | None = None) -> int | None:
+    """Metadata-only ``COUNT(*)``: every commit records each data file's
+    footer row count in the manifest (``#rows``), so the table's
+    cardinality at ANY version is one manifest read — on a 100 TB /
+    100k-file table that's O(files) JSON instead of a cluster-wide scan
+    (the same trick Delta/Iceberg pull from their file statistics).
+    Returns None when any live file predates row-count recording (never
+    guess — the caller falls back to a real count)."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs} at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    total = 0
+    for f in m["files"]:
+        r = stats.get(f, {}).get("#rows")
+        if r is None:
+            return None
+        total += r
+    return total
+
+
+def update_versioned(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    stats_cols: list[str] | None = None,
+    prune: tuple | None = None,
+) -> int:
+    """Row-level UPDATE as a commit — completes the DML triad with
+    ``delete_versioned`` / ``merge_versioned`` (same Delta two-phase
+    shape). ``set_exprs`` maps column → SQL expression evaluated against
+    the OLD row (all assignments simultaneous, standard UPDATE
+    semantics); rows where ``predicate`` is FALSE or NULL pass through
+    untouched. Only files that CONTAIN a matching row are rewritten;
+    assignments are cast back to each column's existing type so the
+    table's parquet type consistency can't drift. Returns the new
+    version, or the head unchanged if nothing matches."""
+    from pyspark.sql import functions as F
+
+    head_v, m = _head(path)
+    files = m["files"]
+    stats = m.get("stats", {})
+    cand = files
+    if prune is not None:
+        col, lo, hi = prune
+        cand = [
+            f
+            for f in files
+            if (st := stats.get(f, {}).get(col)) is None or _overlaps(st, lo, hi)
+        ]
+    if not cand:
+        return head_v
+    pred = F.expr(predicate)
+    scan = spark.read.parquet(*[os.path.join(path, f) for f in cand])
+    unknown = set(set_exprs) - set(scan.columns)
+    if unknown:
+        raise ValueError(f"UPDATE SET names unknown columns: {sorted(unknown)}")
+    marker = scan.filter(pred).select(F.input_file_name().alias("_f"))
+    touched = _touched_files(path, cand, marker)
+    if not touched:
+        return head_v
+    df = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+    cond = F.coalesce(pred, F.lit(False))
+    cols = [
+        F.when(cond, F.expr(set_exprs[fld.name]).cast(fld.dataType))
+        .otherwise(F.col(fld.name))
+        .alias(fld.name)
+        if fld.name in set_exprs
+        else F.col(fld.name)
+        for fld in df.schema.fields
+    ]
+    untouched = [f for f in files if f not in set(touched)]
+    return _commit_rewrite(
+        path, df.select(cols), untouched, "update", stats, stats_cols,
+        len(touched),
     )
 
 

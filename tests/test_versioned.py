@@ -830,3 +830,47 @@ def test_mutate_with_retry_rebases_on_lost_race(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="schema mismatch"):
         V.mutate_with_retry(bad)
     assert boom["n"] == 1
+
+
+def test_update_rewrites_only_touched_files(spark, tmp_path):
+    """UPDATE: simultaneous assignments against the OLD row, NULL
+    predicate rows untouched, only containing files rewritten, value
+    types preserved."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 200), (3, 30, 300)], "id int, a int, b int"
+    ).coalesce(1)
+    V.write_versioned(df, t, stats_cols=["id"])
+    V.write_versioned(
+        spark.createDataFrame([(50, 5, 5)], "id int, a int, b int").coalesce(1),
+        t, mode="append", stats_cols=["id"],
+    )
+    v = V.update_versioned(
+        spark, t, {"a": "b", "b": "a + b"}, "a > 5 AND id < 10"
+    )
+    m = V._read_manifest(t, v)
+    assert m["op"] == "update" and m["n_rewritten"] == 1
+    rows = {r.id: (r.a, r.b) for r in V.read_versioned(spark, t).collect()}
+    # id=1: a<-b(100), b<-a+b(110) evaluated against the OLD row
+    assert rows[1] == (100, 110) and rows[3] == (300, 330)
+    assert rows[2] == (None, 200)  # NULL predicate: untouched
+    assert rows[50] == (5, 5)      # untouched file carried by reference
+    # no match / unknown column
+    assert V.update_versioned(spark, t, {"a": "0"}, "id > 999") == v
+    with pytest.raises(ValueError, match="unknown columns"):
+        V.update_versioned(spark, t, {"nope": "1"}, "id = 1")
+
+
+def test_table_rows_metadata_only_count(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 7), t)
+    V.write_versioned(spark.range(7, 12), t, mode="append")
+    assert V.table_rows(t) == 12
+    assert V.table_rows(t, version=1) == 7
+    V.delete_versioned(spark, t, "id < 3")
+    assert V.table_rows(t) == 9
+    # count survives restore (stats carried wholesale)
+    V.restore_versioned(t, 2)
+    assert V.table_rows(t) == 12
+    with pytest.raises(FileNotFoundError):
+        V.table_rows(str(tmp_path / "none"))

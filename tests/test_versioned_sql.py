@@ -111,3 +111,18 @@ def test_unregistered_names_fall_through(eng, spark, tmp_path):
     t = _tbl(spark, tmp_path)
     eng.register_versioned("docs", t)
     assert eng.sql("SELECT max(id) AS m FROM range(5)").first().m == 4
+
+
+def test_update_sql(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    out = eng.sql(
+        "UPDATE docs SET tag = concat(tag, '!') WHERE id IN (1, 105)"
+    ).first()
+    assert out.version == 3 and out.files_rewritten == 2
+    rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
+    assert rows[1] == "a!" and rows[105] == "b!" and rows[2] == "a"
+    # multi-assignment with a function call containing commas
+    eng.sql("UPDATE docs SET tag = concat(tag, '-', 'x'), id = id + 1000 WHERE id = 2")
+    rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
+    assert rows[1002] == "a-x" and 2 not in rows
