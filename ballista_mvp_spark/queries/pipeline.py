@@ -294,6 +294,87 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup cluster RESOLUTION the way production pipelines do it:
+    within each duplicate cluster keep the BEST member — longest by
+    token count, min doc_id tiebreak — instead of the arbitrary min-id
+    survivor (boilerplate-trimmed crawl variants usually lose to the
+    fullest copy). Composition: the certified CC clustering
+    (dedup_clusters) + one token-count projection + a row_number window
+    keyed on the component — exactly one extra shuffle on the component
+    id beyond the clustering itself. Output: one row per real duplicate
+    cluster (size > 1)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.2)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = D.connected_components(nodes, pairs.select("a", "b"))
+    ntok = docs.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).cast("bigint").alias("n_tok"),
+    )
+    j = comp.join(ntok, comp["id"] == ntok["doc_id"]).select(
+        "comp", "doc_id", "n_tok"
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    sizes = j.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            "comp",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_tok").alias("kept_tokens"),
+        )
+        .join(sizes, "comp")
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("comp").alias("component"),
+            "cluster_size",
+            "kept_doc",
+            "kept_tokens",
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+cp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b FROM cp
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.2),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks),
+j AS (SELECT comp.id AS doc_id, comp.component, nt.n_tok
+      FROM comp JOIN nt ON nt.doc_id = comp.id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component ORDER BY n_tok DESC, doc_id) AS rn
+  FROM j),
+cs AS (SELECT component, count(*) AS cluster_size FROM j GROUP BY 1)
+SELECT r.component, cs.cluster_size, r.doc_id AS kept_doc, r.n_tok AS kept_tokens
+FROM ranked r JOIN cs USING (component)
+WHERE r.rn = 1 AND cs.cluster_size > 1
+ORDER BY r.component
+"""
+
+
 DEDUP_CLUSTERS_ORACLE = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
@@ -1430,6 +1511,7 @@ QUERIES = {
     "text_tfidf": text_tfidf,
     "text_decontaminate": text_decontaminate,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_spans": dedup_spans,
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
@@ -1466,6 +1548,7 @@ ORACLES = {
     "text_tfidf": TEXT_TFIDF_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
     "dedup_spans": DEDUP_SPANS_ORACLE,
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,

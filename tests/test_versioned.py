@@ -874,3 +874,38 @@ def test_table_rows_metadata_only_count(spark, tmp_path):
     assert V.table_rows(t) == 12
     with pytest.raises(FileNotFoundError):
         V.table_rows(str(tmp_path / "none"))
+
+
+def test_concurrent_appenders_all_land_with_retry(spark, tmp_path):
+    """REAL race (no monkeypatch): 6 threads append concurrently through
+    mutate_with_retry. Every commit must land (serialized by the
+    create-exclusive link), no version skipped, no rows lost."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 1), t)
+    errs = []
+    barrier = threading.Barrier(6)
+
+    def appender(i):
+        try:
+            barrier.wait()
+            V.mutate_with_retry(
+                lambda: V.write_versioned(
+                    spark.range(100 * i, 100 * i + 3), t, mode="append"
+                ),
+                retries=20,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(1, 7)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    assert [h["version"] for h in V.history(t)] == list(range(1, 8))
+    expect = [0] + [100 * i + j for i in range(1, 7) for j in range(3)]
+    assert _ids(V.read_versioned(spark, t)) == sorted(expect)
+    assert V.table_rows(t) == 19
