@@ -95,13 +95,15 @@ ALL_QUERIES = {
 
 # ROUND-5 WINDOW (pre-staged; swap into _CERT_FIRST at round-5 start
 # AFTER CORRECTNESS_r04.json lands): the 5 queries added mid-round-4 +
-# the 11 oracle-backed leftovers (closing driver certification for
-# EVERY oracle-backed query in the registry — after this window the
+# the 11 oracle-backed leftovers + the two post-window additions
+# versioned_time_travel / dedup_keep_best (closing driver certification
+# for EVERY oracle-backed query in the registry — after this window the
 # only queries without a green driver row are fn_misc and the 6
 # rows-only sketch/ANN entries, whose rows can only log `err:
 # no_oracle`), padded to 50 with high-value re-certifications (all 22
-# TPC-H + the headline bench members) to re-prove stability under the
-# final driver. Validated by tests/test_oracle_queries.py.
+# TPC-H + the headline bench members; join_inner/agg_basic yielded
+# their slots to the two new queries — their join/agg families re-prove
+# in the round-6 window). Validated by tests/test_oracle_queries.py.
 _CERT_FIRST_ROUND5 = [
     # added mid-round-4, strict-oracle-green, never driver-certified
     "text_normalize", "text_line_dedup", "text_dsir",
@@ -118,7 +120,9 @@ _CERT_FIRST_ROUND5 = [
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "count_star", "agg_grouping_sets", "window_row_number",
     "events_hourly", "events_sessionize", "dedup_exact",
-    "text_quality", "sim_topk", "join_inner", "agg_basic",
+    "text_quality", "sim_topk",
+    # late-round-4 additions, strict-oracle-green, never driver-certified
+    "versioned_time_travel", "dedup_keep_best",
     "pipeline_split", "events_funnel",
 ]
 assert len(_CERT_FIRST_ROUND5) == 50, len(_CERT_FIRST_ROUND5)
