@@ -203,6 +203,58 @@ def foreach_batch_sink(path: str):
     return _sink
 
 
+def commit_files(
+    path: str,
+    added_files: list[str],
+    mode: str = "append",
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Commit data files ALREADY WRITTEN under the table root by an
+    external writer (the Python DataSource write path, whose executors
+    write parquet directly). ``added_files`` are table-root-relative;
+    ONLY files named here enter the live set — stray outputs of failed
+    or speculative tasks stay invisible orphans until vacuum, exactly
+    the write-data-then-link contract of ``write_versioned``. Same
+    atomic create-exclusive manifest link; same stats/row-count
+    recording (footer reads on the added files only)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    missing = [f for f in added_files if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise FileNotFoundError(f"commit names absent file(s): {missing[:3]}")
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    prev = _versions(path)
+    version = (prev[-1] + 1) if prev else 1
+    new_files = sorted(added_files)
+    live = list(new_files)
+    stats = {}
+    if mode == "append" and prev:
+        pm = _read_manifest(path, prev[-1])
+        live = pm["files"] + new_files
+        stats = dict(pm.get("stats", {}))
+    for f in new_files:
+        fs = _file_stats(
+            os.path.join(path, os.path.dirname(f)),
+            [os.path.basename(f)],
+            stats_cols or [],
+        )
+        stats[f] = fs[os.path.basename(f)]
+    manifest = {
+        "version": version,
+        "op": mode,
+        "files": live,
+        "n_files": len(live),
+        "n_added": len(new_files),
+    }
+    if stats:
+        manifest["stats"] = stats
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    _link_manifest(path, version, manifest, uuid.uuid4().hex[:12])
+    return version
+
+
 def cdc_merge_sink(
     path: str,
     key: str,

@@ -30,11 +30,16 @@ from __future__ import annotations
 
 import os
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -178,6 +183,111 @@ class VersionedStreamReader(DataSourceStreamReader):
         pass
 
 
+class _WroteFile(WriterCommitMessage):
+    """One executor task's receipt: which file it wrote (table-root
+    relative; None for an empty partition) and how many rows."""
+
+    def __init__(self, rel_path: str | None, rows: int):
+        self.rel_path = rel_path
+        self.rows = rows
+
+
+class _VersionedWriteBase:
+    """Executor-side write shared by the batch and streaming writers:
+    each partition writes ONE parquet file into a staging commit dir and
+    returns its receipt. Only files named in receipts ever enter a
+    manifest — outputs of failed or speculative tasks are invisible
+    orphans (vacuum reclaims them), the same write-data-then-link
+    contract as write_versioned, here expressed through Spark's
+    commit-coordinator (receipts == WriterCommitMessages). Local-FS
+    file APIs; an object-store port swaps them for fsspec calls, the
+    protocol is unchanged."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.schema = schema
+        self.stats_cols = [
+            c.strip()
+            for c in options.get("stats_cols", "").split(",")
+            if c.strip()
+        ]
+        self.token = uuid.uuid4().hex[:12]
+        self.commit_rel = os.path.join(V._DATA_DIR, f"commit-w-{self.token}")
+
+    def write(self, iterator) -> _WroteFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        arrow_schema = pa.schema(
+            [(f.name, to_arrow_type(f.dataType)) for f in self.schema.fields]
+        )
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _WroteFile(None, 0)
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        cdir = os.path.join(self.path, self.commit_rel)
+        os.makedirs(cdir, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(cdir, fname))
+        return _WroteFile(os.path.join(self.commit_rel, fname), len(rows))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.commit_rel), ignore_errors=True)
+
+    def _added(self, messages) -> list[str]:
+        return [m.rel_path for m in messages if m is not None and m.rel_path]
+
+
+class VersionedTableWriter(_VersionedWriteBase, DataSourceWriter):
+    """Batch write: ``df.write.format("versioned_table").option("path",
+    t).mode("append"|"overwrite").save()`` — one new table version per
+    save, the overwrite's predecessor staying time-travelable."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        super().__init__(options, schema)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        V.commit_files(
+            self.path,
+            self._added(messages),
+            mode="overwrite" if self.overwrite else "append",
+            stats_cols=self.stats_cols or None,
+        )
+
+
+class VersionedTableStreamWriter(_VersionedWriteBase, DataSourceStreamWriter):
+    """Streaming write: ``df.writeStream.format("versioned_table")`` —
+    each micro-batch commits one batch-id-stamped version; a replayed
+    batch id found in the manifest log is skipped (its re-written
+    staging files stay invisible orphans), so at-least-once replay +
+    idempotent commit = exactly-once table contents, the same contract
+    as foreach_batch_sink without leaving the DataFrame API."""
+
+    def commit(self, messages, batchId: int) -> None:
+        for v in V._versions(self.path):
+            if V._read_manifest(self.path, v).get("batch_id") == batchId:
+                return  # replay of a committed batch: drop it
+        V.commit_files(
+            self.path,
+            self._added(messages),
+            mode="append",
+            batch_id=batchId,
+            stats_cols=self.stats_cols or None,
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        _VersionedWriteBase.abort(self, messages)
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -198,6 +308,12 @@ class VersionedTableDataSource(DataSource):
             [f for f in schema.fields if f.name not in ("_change_type", "_commit_version")]
         )
         return VersionedStreamReader(self.options, data)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return VersionedTableWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return VersionedTableStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:
