@@ -51,16 +51,16 @@ for _m in _MODULES:
 # families, the remaining windows, every events_* query, streaming,
 # text-curation, and the training-pipeline family.
 #
-# ROUND-4 WINDOW (active): every query without a driver row after round
-# 3 except family-covered leftovers argued in COVERAGE.md, PLUS the five
-# round-3 RED rows re-certified after their output-encoding rewrite
-# (agg_quantiles / fn_map / fn_higher_order / sim_quantize → arrays now
-# comma-joined strings; fn_decimal → fixed-scale decimal CAST AS STRING
-# on both engines). Those five displaced five rows-only entries
-# (sim_ann_pq, sim_ann_ivfpq, sketch_cms, sketch_hll_windowed,
-# sketch_topk) whose driver rows could only ever log `err: no_oracle` —
-# they remain pytest-certified (exactness/recall/merge-invariant tests).
-_CERT_FIRST = [
+# ROUND-4 WINDOW (historical record — CORRECTNESS_r04.json: 49/50
+# hash-green, dedup_incremental_minhash `no_oracle` by design): every
+# query without a driver row after round 3 except family-covered
+# leftovers argued in COVERAGE.md, PLUS the five round-3 RED rows
+# re-certified after their output-encoding rewrite (agg_quantiles /
+# fn_map / fn_higher_order / sim_quantize → arrays comma-joined
+# strings; fn_decimal → fixed-scale decimal CAST AS STRING on both
+# engines). Lesson recorded in COVERAGE.md: rows-only queries never
+# enter a certification window again.
+_CERT_FIRST_ROUND4 = [
     # round-3 RED rows, re-certified with driver-safe output encodings
     "agg_quantiles", "fn_decimal", "fn_map", "fn_higher_order",
     "sim_quantize",
@@ -81,20 +81,13 @@ _CERT_FIRST = [
     "tpch_q2_partsupp", "tpch_q9_partsupp", "tpch_q11_partsupp",
     "tpch_q16_partsupp", "tpch_q20_partsupp", "udtf_ngrams",
 ]
-assert len(_CERT_FIRST) == 50, len(_CERT_FIRST)
-_missing = [n for n in _CERT_FIRST if n not in ALL_QUERIES]
-assert not _missing, f"_CERT_FIRST names not in registry: {_missing}"
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
+assert len(_CERT_FIRST_ROUND4) == 50, len(_CERT_FIRST_ROUND4)
 
 # Rounds 1-3 windows are recorded in COVERAGE.md ("driver-certification
-# accounting"); CORRECTNESS_r0{1,2,3}.json hold their driver rows.
+# accounting"); CORRECTNESS_r0{1,2,3,4}.json hold their driver rows.
 
-# ROUND-5 WINDOW (pre-staged; swap into _CERT_FIRST at round-5 start
-# AFTER CORRECTNESS_r04.json lands): the 5 queries added mid-round-4 +
+# ROUND-5 WINDOW (ACTIVE — swapped in at round-5 start per VERDICT r4
+# next-round #1): the 5 queries added mid-round-4 +
 # the 11 oracle-backed leftovers + the two post-window additions
 # versioned_time_travel / dedup_keep_best (closing driver certification
 # for EVERY oracle-backed query in the registry — after this window the
@@ -128,6 +121,15 @@ _CERT_FIRST_ROUND5 = [
 assert len(_CERT_FIRST_ROUND5) == 50, len(_CERT_FIRST_ROUND5)
 _missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
 assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"
+
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-5 window leads.
+_CERT_FIRST = _CERT_FIRST_ROUND5
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
 
 # ROUND-6 WINDOW (pre-staged; swap into _CERT_FIRST at round-6 start
 # AFTER CORRECTNESS_r05.json lands): the 10 queries added late in round 4

@@ -141,20 +141,26 @@ def test_registry_contract_hygiene():
         assert head in {"SELECT", "WITH"}, (name, head)
 
 
-def test_round5_window_prestage():
-    """The pre-staged round-5 certification window: 50 unique registry
-    names, every one oracle-backed (a driver row can hash-certify), no
-    overlap with the active round-4 window, and it includes every
-    oracle-backed query that still lacks a driver row after round 4 —
-    swapping it in closes driver certification for the whole
-    oracle-backed registry."""
-    from ballista_mvp_spark.queries import _CERT_FIRST, _CERT_FIRST_ROUND5
+def test_round5_window_active():
+    """The round-5 certification window (ACTIVE since round-5 start): 50
+    unique registry names, every one oracle-backed (a driver row can
+    hash-certify), no overlap with the historical round-4 window, leads
+    the registry insertion order, and includes every oracle-backed query
+    that still lacked a driver row after round 4 — certifying it closes
+    driver certification for the whole oracle-backed registry."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
+        _CERT_FIRST_ROUND4,
+        _CERT_FIRST_ROUND5,
+    )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND5  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND5  # driver sees it
     assert len(_CERT_FIRST_ROUND5) == 50
     assert len(set(_CERT_FIRST_ROUND5)) == 50
     assert set(_CERT_FIRST_ROUND5) <= set(ALL_QUERIES)
     assert set(_CERT_FIRST_ROUND5) <= set(ALL_ORACLES)  # all hash-certifiable
-    assert not set(_CERT_FIRST_ROUND5) & set(_CERT_FIRST)
+    assert not set(_CERT_FIRST_ROUND5) & set(_CERT_FIRST_ROUND4)
     never_certified = {
         # added mid-round-4
         "text_normalize", "text_line_dedup", "text_dsir",
@@ -171,10 +177,10 @@ def test_round5_window_prestage():
 def test_round6_window_prestage():
     """The pre-staged round-6 certification window: 50 unique
     oracle-backed registry names, includes every late-round-4 addition
-    that lacks a driver row, and overlaps neither the active round-4
-    window nor (except by design, zero here) the round-5 window."""
+    that lacks a driver row, and overlaps neither the historical
+    round-4 window nor the active round-5 window."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
+        _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
     )
@@ -183,7 +189,7 @@ def test_round6_window_prestage():
     assert len(set(_CERT_FIRST_ROUND6)) == 50
     assert set(_CERT_FIRST_ROUND6) <= set(ALL_QUERIES)
     assert set(_CERT_FIRST_ROUND6) <= set(ALL_ORACLES)
-    assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST)
+    assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST_ROUND4)
     assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST_ROUND5)
     late_round4 = {
         "market_basket", "customer_rfm", "text_tokens_cjk",
