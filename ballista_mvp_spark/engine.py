@@ -73,11 +73,30 @@ _VSQL_MERGE = re.compile(
 
 def _split_assignments(text: str) -> dict[str, str]:
     """Split an UPDATE SET list on top-level commas only (commas inside
-    function calls / CASE arms don't separate assignments); each
-    assignment splits on its FIRST '=' — the left side is a bare column
-    name, the right side may itself contain '='."""
-    parts, depth, cur = [], 0, []
-    for ch in text:
+    function calls / CASE arms / string literals don't separate
+    assignments); each assignment splits on its FIRST '=' OUTSIDE a
+    string literal — the left side is a bare column name, the right
+    side may itself contain '='. Characters inside single-quoted SQL
+    literals (with '' escaping — ``'it''s'`` is one literal) never
+    affect comma splitting or paren/bracket depth."""
+    parts, depth, cur, i, n = [], 0, [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            # consume the whole literal, '' is an escaped quote
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in SET: {text!r}")
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
         if ch in "([":
             depth += 1
         elif ch in ")]":
@@ -87,13 +106,29 @@ def _split_assignments(text: str) -> dict[str, str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     parts.append("".join(cur))
     out: dict[str, str] = {}
     for part in parts:
-        if "=" not in part:
+        # first '=' outside a literal ('=' may appear inside strings)
+        eq, k, m = -1, 0, len(part)
+        while k < m:
+            if part[k] == "'":
+                k += 1
+                while k < m:
+                    if part[k] == "'":
+                        if k + 1 < m and part[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif part[k] == "=":
+                eq = k
+                break
+            k += 1
+        if eq < 0:
             raise ValueError(f"malformed SET assignment: {part.strip()!r}")
-        col, expr = part.split("=", 1)
-        out[col.strip()] = expr.strip()
+        out[part[:eq].strip()] = part[eq + 1 :].strip()
     return out
 
 

@@ -295,6 +295,24 @@ def cdc_merge_sink(
                 .drop("_rn", seq_col)
             )
         if not _versions(path):
+            # The first batch seeds the table through write_versioned,
+            # bypassing merge_versioned — enforce the same per-key
+            # invariant here (NULL-free, unique keys), or batch 2's
+            # merge guarantees would rest on an unchecked foundation.
+            chk = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(key).alias("nd"),
+                F.count(F.when(F.col(key).isNull(), 1)).alias("nnull"),
+            ).first()
+            if chk["nnull"]:
+                raise ValueError(
+                    f"cdc first batch has {chk['nnull']} NULL {key} keys"
+                )
+            if chk["n"] != chk["nd"]:
+                raise ValueError(
+                    f"cdc first batch keys not unique on {key}: "
+                    f"{chk['n']} rows, {chk['nd']} distinct"
+                )
             write_versioned(
                 batch, path, mode="append", batch_id=batch_id,
                 stats_cols=stats_cols,
@@ -365,7 +383,7 @@ def read_versioned(
             f
             for f in rel_files
             if (st := stats.get(f, {}).get(col)) is None
-            or (st[0] <= hi and lo <= st[1])
+            or _overlaps(st, lo, hi)
         ]
     if not m["files"]:
         raise FileNotFoundError(f"version {v} at {path} has no files")
@@ -396,8 +414,11 @@ def compact_versioned(
     untouched (compaction never breaks time travel; that is the whole
     point of doing it through the log), the swap is the usual atomic
     manifest link, and the superseded small files become reclaimable by
-    the next vacuum. Narrow coalesce — no shuffle. Returns the new
-    version number."""
+    the next vacuum. Narrow coalesce — no shuffle. Reads with
+    merge_schema=True so a schema-evolved live set (mixed per-file
+    schemas) compacts to the UNION schema instead of silently dropping
+    later-added columns (schema inferred from one arbitrary file).
+    Returns the new version number."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -406,7 +427,7 @@ def compact_versioned(
         os.path.getsize(os.path.join(path, f)) for f in m["files"]
     ) / 1e6
     n_out = max(1, round(total_mb / target_file_mb))
-    df = read_versioned(spark, path).coalesce(n_out)
+    df = read_versioned(spark, path, merge_schema=True).coalesce(n_out)
     return write_versioned(df, path, mode="overwrite", stats_cols=stats_cols)
 
 
@@ -524,12 +545,19 @@ def delete_versioned(
     if not cand:
         return head_v
     pred = F.expr(predicate)
-    scan = spark.read.parquet(*[os.path.join(path, f) for f in cand])
+    # mergeSchema on both phases: on a schema-evolved live set the
+    # predicate may name a later-added column (NULL for older files),
+    # and the rewrite must keep the UNION schema — a single-file-
+    # inferred schema would silently drop evolved columns from the
+    # rewritten files (permanent loss at the new head).
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in cand]
+    )
     marker = scan.filter(pred).select(F.input_file_name().alias("_f"))
     touched = _touched_files(path, cand, marker)
     if not touched:
         return head_v
-    survivors = spark.read.parquet(
+    survivors = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in touched]
     ).filter(~F.coalesce(pred, F.lit(False)))
     untouched = [f for f in files if f not in set(touched)]
@@ -596,7 +624,11 @@ def update_versioned(
     if not cand:
         return head_v
     pred = F.expr(predicate)
-    scan = spark.read.parquet(*[os.path.join(path, f) for f in cand])
+    # mergeSchema on both phases — same rationale as delete_versioned:
+    # never let a single-file-inferred schema drop evolved columns.
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in cand]
+    )
     unknown = set(set_exprs) - set(scan.columns)
     if unknown:
         raise ValueError(f"UPDATE SET names unknown columns: {sorted(unknown)}")
@@ -604,7 +636,9 @@ def update_versioned(
     touched = _touched_files(path, cand, marker)
     if not touched:
         return head_v
-    df = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in touched]
+    )
     cond = F.coalesce(pred, F.lit(False))
     cols = [
         F.when(cond, F.expr(set_exprs[fld.name]).cast(fld.dataType))
@@ -660,7 +694,15 @@ def merge_versioned(
     # ANSI mode an overflowing cast raises rather than corrupting).
     from pyspark.sql import functions as _F
 
-    tgt = spark.read.parquet(os.path.join(path, files[0])).schema
+    # Union schema across the live set (not files[0]'s arbitrary
+    # schema): on a schema-evolved table the target schema is the
+    # merge of all live files' schemas, same as read_versioned(
+    # merge_schema=True) — footer-only cost.
+    tgt = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in files])
+        .schema
+    )
     if set(source.columns) != {f.name for f in tgt}:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} != "
@@ -693,7 +735,8 @@ def merge_versioned(
     touched: list[str] = []
     if cand:
         marker = (
-            spark.read.parquet(*[os.path.join(path, f) for f in cand])
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(path, f) for f in cand])
             .select(key)
             .withColumn("_f", F.input_file_name())
             .join(keys_df, key, "left_semi")
@@ -701,9 +744,11 @@ def merge_versioned(
         )
         touched = _touched_files(path, cand, marker)
     if touched:
-        survivors = spark.read.parquet(
-            *[os.path.join(path, f) for f in touched]
-        ).join(keys_df, key, "left_anti")
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(path, f) for f in touched])
+            .join(keys_df, key, "left_anti")
+        )
         out = survivors.unionByName(source.select(*survivors.columns))
     else:
         out = source  # no key overlap anywhere: pure insert
@@ -751,22 +796,37 @@ def restore_versioned(path: str, version: int) -> int:
     return new_v
 
 
-def vacuum(path: str, keep_last: int = 1) -> int:
+def vacuum(path: str, keep_last: int = 1, retain_seconds: float = 86400.0) -> int:
     """Reclaim storage: drop all but the last ``keep_last`` manifests,
     then delete every data file no kept manifest references (dead
     versions' exclusive files AND orphans from crashed commits). Returns
     the number of files deleted. Metadata-only decision — no data bytes
-    are read."""
+    are read.
+
+    ``retain_seconds`` (Delta-style ``VACUUM ... RETAIN``, default 24 h)
+    guards the multi-writer race: a concurrent commit writes its data
+    files BEFORE linking its manifest, so a commit directory referenced
+    by NO manifest is indistinguishable from an in-flight commit — it is
+    only deleted once older than the retention window. Directories named
+    by SOME manifest (kept or dropped) were definitely committed, so
+    their superseded files reclaim immediately regardless of age. Pass
+    ``retain_seconds=0`` only when no other writer can be active."""
     import shutil
+    import time as _time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(path)
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     referenced = set()
-    for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+    committed = set()  # named by ANY manifest => not an in-flight commit
+    for v in vs:
+        m_files = _read_manifest(path, v)["files"]
+        committed.update(m_files)
+        if v in keep:
+            referenced.update(m_files)
     removed = 0
+    now = _time.time()
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for commit in sorted(os.listdir(data_root)):
@@ -776,6 +836,7 @@ def vacuum(path: str, keep_last: int = 1) -> int:
             # a data file is live iff a kept manifest names it;
             # _SUCCESS / .crc sidecars are never individually targeted
             live_here = False
+            ever_committed = False
             dead = []
             for f in os.listdir(cdir):
                 if f.startswith(("_", ".")):
@@ -783,11 +844,25 @@ def vacuum(path: str, keep_last: int = 1) -> int:
                 rel = os.path.relpath(os.path.join(cdir, f), path)
                 if rel in referenced:
                     live_here = True
-                else:
+                if rel in committed:
+                    ever_committed = True
+                if rel not in referenced:
                     dead.append(f)
             if not live_here:
-                # whole commit is dead (or a crashed-commit orphan):
-                # remove the directory, sidecars included
+                if not ever_committed and retain_seconds > 0:
+                    # no manifest has ever named this directory: either a
+                    # crashed commit's orphan or a commit IN FLIGHT right
+                    # now (data written, manifest link pending). Only age
+                    # separates the two — keep it until the retention
+                    # window has passed.
+                    try:
+                        age = now - os.path.getmtime(cdir)
+                    except OSError:
+                        continue  # racing writer relinked/removed it
+                    if age < retain_seconds:
+                        continue
+                # whole commit is dead (or an expired orphan): remove
+                # the directory, sidecars included
                 removed += len(dead)
                 shutil.rmtree(cdir)
             else:

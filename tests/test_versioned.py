@@ -40,7 +40,11 @@ def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path):
     orphan = os.path.join(t, "data", "commit-99-deadbeef")
     spark.range(1000, 1010).write.parquet(orphan)
     assert _ids(V.read_versioned(spark, t)) == [0, 1, 2, 3]  # unaffected
-    removed = V.vacuum(t, keep_last=1)
+    # default retention: the never-committed dir could be an IN-FLIGHT
+    # writer (data linked, manifest pending) — vacuum must not touch it
+    assert V.vacuum(t, keep_last=1) == 0 and os.path.exists(orphan)
+    # past the retention window (or with retention waived) it's garbage
+    removed = V.vacuum(t, keep_last=1, retain_seconds=0)
     assert removed >= 1 and not os.path.exists(orphan)
     assert _ids(V.read_versioned(spark, t)) == [0, 1, 2, 3]
 
@@ -90,7 +94,8 @@ def test_concurrent_commit_single_winner(spark, tmp_path, monkeypatch):
     with open(winner) as fh:
         assert json.load(fh)["n_files"] == 0
     # and the loser's orphan data files are invisible + vacuumable
-    assert V.vacuum(t, keep_last=2) >= 1
+    # (retention waived: the loser is known-dead, not in-flight)
+    assert V.vacuum(t, keep_last=2, retain_seconds=0) >= 1
 
 
 def test_read_errors(spark, tmp_path):
@@ -909,3 +914,95 @@ def test_concurrent_appenders_all_land_with_retry(spark, tmp_path):
     expect = [0] + [100 * i + j for i in range(1, 7) for j in range(3)]
     assert _ids(V.read_versioned(spark, t)) == sorted(expect)
     assert V.table_rows(t) == 19
+
+
+def test_mutations_preserve_evolved_schema(spark, tmp_path):
+    """Row-level mutations and compaction on a schema-evolved live set
+    must rewrite with the UNION schema (ADVICE r4): without mergeSchema
+    on the touched-file re-read, Spark infers the schema from one
+    arbitrary file and a DELETE touching mixed-schema files could
+    silently drop the later-added column from the rewritten files —
+    permanent loss at the new head."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 4).toDF("id").coalesce(1), t,
+                      stats_cols=["id"])
+    V.write_versioned(
+        spark.range(4, 8).select("id", F.lit("en").alias("lang")).coalesce(1),
+        t, mode="append", stats_cols=["id"],
+    )
+    # DELETE matches rows in BOTH files -> both rewritten together
+    V.delete_versioned(spark, t, "id IN (0, 5)", stats_cols=["id"])
+    got = {r.id: r.lang
+           for r in V.read_versioned(spark, t, merge_schema=True).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: "en", 6: "en", 7: "en"}
+    # UPDATE touching both files keeps the evolved column too
+    V.update_versioned(spark, t, {"id": "id + 100"}, "id IN (1, 4)",
+                       stats_cols=["id"])
+    got = {r.id: r.lang
+           for r in V.read_versioned(spark, t, merge_schema=True).collect()}
+    assert got == {101: None, 2: None, 3: None, 104: "en", 6: "en", 7: "en"}
+    # predicate on the EVOLVED column analyzes (NULL for old files = keep)
+    V.delete_versioned(spark, t, "lang = 'en' AND id = 6")
+    ids = sorted(r.id for r in
+                 V.read_versioned(spark, t, merge_schema=True).collect())
+    assert ids == [2, 3, 7, 101, 104]
+    # compaction of the mixed-schema live set keeps the union schema
+    V.compact_versioned(spark, t)
+    head = V.read_versioned(spark, t)
+    assert set(head.columns) == {"id", "lang"}
+    assert {r.id: r.lang for r in head.collect()} == {
+        2: None, 3: None, 101: None, 7: "en", 104: "en"}
+    # MERGE validates the source against the UNION target schema
+    src = spark.createDataFrame([(2, "fr"), (999, "de")], "id long, lang string")
+    V.merge_versioned(spark, t, src, key="id")
+    got = {r.id: r.lang for r in V.read_versioned(spark, t).collect()}
+    assert got[2] == "fr" and got[999] == "de" and got[104] == "en"
+
+
+def test_prune_typed_date_stats(spark, tmp_path):
+    """read_versioned(prune=) with a date/timestamp probe must use the
+    same string-domain overlap as delete/update/merge (ADVICE r4):
+    manifest stats are ISO strings (json default=str), so a typed probe
+    used to raise TypeError in read_versioned's raw comparison."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    for mo in (1, 2):
+        V.write_versioned(
+            spark.range(0, 3)
+            .select(F.make_date(F.lit(2026), F.lit(mo), F.col("id") + 1)
+                    .alias("d"))
+            .coalesce(1),
+            t, mode="append", stats_cols=["d"],
+        )
+    probe_lo = datetime.date(2026, 2, 1)
+    probe_hi = datetime.date(2026, 2, 28)
+    pruned = V.read_versioned(spark, t, prune=("d", probe_lo, probe_hi))
+    assert len(pruned.inputFiles()) == 1  # January file skipped
+    assert pruned.count() == 3
+
+
+def test_cdc_first_batch_enforces_key_invariant(spark, tmp_path):
+    """The first batch on an empty table seeds it via write_versioned —
+    it must pass the same NULL-key / unique-key validation
+    merge_versioned applies from batch 2 on (ADVICE r4)."""
+    sink = V.cdc_merge_sink(str(tmp_path / "t1"), key="id")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id int, val string")
+    with pytest.raises(ValueError, match="not unique"):
+        sink(dup, 0)
+    sink2 = V.cdc_merge_sink(str(tmp_path / "t2"), key="id")
+    nulls = spark.createDataFrame([(None, "a"), (2, "b")], "id int, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        sink2(nulls, 0)
+    # neither invalid batch committed anything
+    assert V._versions(str(tmp_path / "t1")) == []
+    assert V._versions(str(tmp_path / "t2")) == []
+    # a valid first batch still seeds the table
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    sink(ok, 0)
+    assert {r.id for r in V.read_versioned(spark, str(tmp_path / "t1")).collect()} \
+        == {1, 2}

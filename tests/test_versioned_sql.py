@@ -126,3 +126,31 @@ def test_update_sql(eng, spark, tmp_path):
     eng.sql("UPDATE docs SET tag = concat(tag, '-', 'x'), id = id + 1000 WHERE id = 2")
     rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
     assert rows[1002] == "a-x" and 2 not in rows
+
+
+def test_split_assignments_quote_aware():
+    """SET-list splitting must ignore commas / parens / '=' inside
+    single-quoted SQL literals, with '' escaping (ADVICE r4)."""
+    from ballista_mvp_spark.engine import _split_assignments
+
+    assert _split_assignments("s = 'a,b'") == {"s": "'a,b'"}
+    assert _split_assignments("s = '(', t = ')'") == {"s": "'('", "t": "')'"}
+    assert _split_assignments("s = 'it''s, ok', n = n + 1") == {
+        "s": "'it''s, ok'", "n": "n + 1"}
+    assert _split_assignments("s = 'x=y'") == {"s": "'x=y'"}
+    assert _split_assignments(
+        "a = concat('p,q', b), c = CASE WHEN d = ',' THEN '[' ELSE ']' END"
+    ) == {"a": "concat('p,q', b)",
+          "c": "CASE WHEN d = ',' THEN '[' ELSE ']' END"}
+    with pytest.raises(ValueError, match="malformed"):
+        _split_assignments("nonsense")
+    with pytest.raises(ValueError, match="unterminated"):
+        _split_assignments("s = 'oops")
+
+
+def test_update_sql_literal_with_comma(eng, spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    eng.sql("UPDATE docs SET tag = 'x,y', id = id + 1000 WHERE id = 1")
+    rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
+    assert rows[1001] == "x,y" and 1 not in rows and rows[2] == "a"
