@@ -57,7 +57,12 @@ _VSQL_RESTORE = re.compile(
     re.I,
 )
 _VSQL_VACUUM = re.compile(
-    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$", re.I
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    re.I,
+)
+_VSQL_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*$", re.I
 )
 _VSQL_UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
@@ -318,7 +323,7 @@ class Engine:
     # -- transaction-log SQL -------------------------------------------------
     def _sql_versioned(self, q: str) -> DataFrame | None:
         """Dispatch DESCRIBE HISTORY / DELETE FROM / MERGE INTO / RESTORE
-        / VACUUM over tables registered via :meth:`register_versioned`
+        / VACUUM / OPTIMIZE over tables registered via :meth:`register_versioned`
         (the Delta Lake SQL surface over sources/versioned.py). Returns
         None when the statement isn't one of ours — the caller falls
         through to Catalyst. After a mutation the registered view is
@@ -372,9 +377,23 @@ class Engine:
             )
         if (m := _VSQL_VACUUM.match(q)) and (path := _path(m.group(1))):
             keep = int(m.group(2)) if m.group(2) else 1
-            removed = _V.vacuum(path, keep_last=keep)
+            kwargs = {}
+            if m.group(3) is not None:  # RETAIN n HOURS (Delta syntax)
+                kwargs["retain_seconds"] = float(m.group(3)) * 3600.0
+            removed = _V.vacuum(path, keep_last=keep, **kwargs)
             return self.spark.createDataFrame(
                 [(removed,)], "files_removed int"
+            )
+        if (m := _VSQL_OPTIMIZE.match(q)) and (path := _path(m.group(1))):
+            # Delta's OPTIMIZE: small-file compaction as a commit; time
+            # travel to pre-compaction versions is untouched.
+            target = int(m.group(2)) if m.group(2) else 256
+            v = _V.compact_versioned(self.spark, path, target_file_mb=target)
+            self.register_versioned(m.group(1), path)
+            mm = _V._read_manifest(path, v)
+            return self.spark.createDataFrame(
+                [(v, mm["n_files"], mm["n_added"])],
+                "version int, n_files int, n_added int",
             )
         return None
 

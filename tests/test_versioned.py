@@ -1006,3 +1006,53 @@ def test_cdc_first_batch_enforces_key_invariant(spark, tmp_path):
     sink(ok, 0)
     assert {r.id for r in V.read_versioned(spark, str(tmp_path / "t1")).collect()} \
         == {1, 2}
+
+
+def test_concurrent_row_mutations_conflict_and_rebase(spark, tmp_path):
+    """Two row-level mutations racing on the SAME head (both plans built
+    against the same manifest, both may touch the same file): exactly
+    one wins the manifest link; the loser's mutate_with_retry re-plans
+    from the winner's head, so BOTH effects land and no stale file
+    reference survives. This is the conflict class beyond the
+    single-winner append race: a rewrite-vs-rewrite conflict where
+    replanning is semantically required, not just version renumbering."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 10).toDF("id").coalesce(1), t,
+                      stats_cols=["id"])
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def deleter():
+        try:
+            barrier.wait()
+            V.mutate_with_retry(
+                lambda: V.delete_versioned(spark, t, "id < 2"), retries=20)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def updater():
+        try:
+            barrier.wait()
+            V.mutate_with_retry(
+                lambda: V.update_versioned(spark, t, {"id": "id + 100"},
+                                           "id >= 8"),
+                retries=20)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=deleter), threading.Thread(target=updater)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=300)
+    assert not errs, errs
+    # both mutations landed, in SOME serial order
+    assert _ids(V.read_versioned(spark, t)) == [2, 3, 4, 5, 6, 7, 108, 109]
+    # manifest integrity: every live file exists on disk
+    head = V._read_manifest(t, V._versions(t)[-1])
+    for f in head["files"]:
+        assert os.path.exists(os.path.join(t, f)), f
+    # history shows three commits (initial + two mutations)
+    assert len(V.history(t)) == 3

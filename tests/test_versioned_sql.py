@@ -154,3 +154,40 @@ def test_update_sql_literal_with_comma(eng, spark, tmp_path):
     eng.sql("UPDATE docs SET tag = 'x,y', id = id + 1000 WHERE id = 1")
     rows = {r.id: r.tag for r in eng.sql("SELECT * FROM docs").collect()}
     assert rows[1001] == "x,y" and 1 not in rows and rows[2] == "a"
+
+
+def test_optimize_sql_compacts_as_commit(eng, spark, tmp_path):
+    """OPTIMIZE <t> [TARGET n MB] = compaction-as-commit through SQL:
+    the live set shrinks to few files, rows are identical, and time
+    travel to the pre-compaction version still works."""
+    t = str(tmp_path / "tbl")
+    for i in range(6):  # six tiny single-file commits
+        V.write_versioned(
+            spark.createDataFrame([(i, "a")], "id int, tag string").coalesce(1),
+            t, mode="append",
+        )
+    eng.register_versioned("docs", t)
+    before = eng.sql("DESCRIBE HISTORY docs").collect()[-1]
+    assert before.n_files == 6
+    out = eng.sql("OPTIMIZE docs TARGET 128 MB").first()
+    assert out.version == 7 and out.n_files < 6
+    assert eng.sql("SELECT count(*) AS n FROM docs").first().n == 6
+    assert {r.id for r in eng.sql("SELECT * FROM docs").collect()} == set(range(6))
+    # pre-compaction snapshot intact
+    assert eng.sql("SELECT count(*) AS n FROM docs VERSION AS OF 6").first().n == 6
+
+
+def test_vacuum_retain_hours_sql(eng, spark, tmp_path):
+    """VACUUM <t> RETAIN 0 HOURS waives the in-flight-commit retention
+    guard (Delta syntax); without it a fresh never-committed dir
+    survives."""
+    import os
+
+    t = _tbl(spark, tmp_path)
+    eng.register_versioned("docs", t)
+    orphan = os.path.join(t, "data", "commit-99-cafebabe")
+    spark.range(0, 3).write.parquet(orphan)
+    assert eng.sql("VACUUM docs").first().files_removed == 0
+    assert os.path.exists(orphan)
+    removed = eng.sql("VACUUM docs RETAIN 1 VERSIONS RETAIN 0 HOURS").first()
+    assert removed.files_removed >= 1 and not os.path.exists(orphan)
