@@ -628,7 +628,7 @@ def connected_components(
     active = sym.select(F.col("a").alias("id")).distinct()
     labels = active.select("id", F.col("id").alias("comp")).localCheckpoint()
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr = (
             sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")), "b")
             .groupBy("a")
@@ -654,6 +654,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    # diagnostic for the scale-stress harness: rounds actually executed
+    connected_components.last_rounds = _round + 1
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -696,7 +698,8 @@ def connected_components_twophase(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_rounds):
+    _round = 0
+    for _round in range(max_rounds):
         if e.isEmpty():
             converged = True
             break
@@ -733,6 +736,8 @@ def connected_components_twophase(
         if stable:
             converged = True
             break
+    # diagnostic for the scale-stress harness: rounds actually executed
+    connected_components_twophase.last_rounds = _round + 1
     if not converged:
         raise RuntimeError(
             f"connected_components_twophase did not converge in {max_rounds} "

@@ -1355,6 +1355,74 @@ ORDER BY event_type, day
 """
 
 
+def streaming_cdc_upsert(spark, sf_dir):
+    """End-to-end CDC apply through the STREAMING engine into the
+    versioned transaction log (sources/versioned.cdc_merge_sink): the
+    events table becomes a change stream keyed by user_id with
+    event_id as the change-sequence column; each micro-batch keeps the
+    latest change per key and MERGE-commits it, so the table converges
+    to the latest row per user instead of an append log.
+
+    Each user's full history is routed to exactly ONE batch file
+    (user_id % 3), which makes the final state independent of batch
+    order: the within-batch max-seq row IS that user's global latest
+    change. The oracle states the converged semantics directly —
+    arg-max by event_id per user. Watermark-free availableNow drain;
+    batch-id-stamped commits keep the sink exactly-once under replay
+    (restart/idempotency covered in tests/test_versioned.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import versioned as V
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tdir = tempfile.mkdtemp(prefix="bms_cdc_")
+    src = os.path.join(tdir, "src")
+    tbl = os.path.join(tdir, "tbl")
+    ckpt = os.path.join(tdir, "ckpt")
+    try:
+        for b in range(3):
+            e.filter(F.col("user_id") % 3 == b).coalesce(1).write.parquet(
+                os.path.join(src, f"b{b}")
+            )
+        q = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .writeStream.foreachBatch(
+                V.cdc_merge_sink(
+                    tbl, key="user_id", seq_col="event_id",
+                    stats_cols=["user_id"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [
+            (r.user_id, r.event_type, float(r.value))
+            for r in V.read_versioned(spark, tbl).collect()
+        ]
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, last_type string, last_value double"
+    ).orderBy("user_id")
+
+
+STREAMING_CDC_UPSERT_ORACLE = """
+SELECT user_id, max_by(event_type, event_id) AS last_type,
+       max_by(value, event_id) AS last_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
@@ -1383,6 +1451,7 @@ QUERIES = {
     "events_paths": events_paths,
     "streaming_tumbling": streaming_tumbling,
     "streaming_sliding": streaming_sliding,
+    "streaming_cdc_upsert": streaming_cdc_upsert,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1421,6 +1490,7 @@ ORACLES = {
     "events_paths": EVENTS_PATHS_ORACLE,
     "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
+    "streaming_cdc_upsert": STREAMING_CDC_UPSERT_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

@@ -643,6 +643,68 @@ def _corr_matrix_oracle() -> str:
 STATS_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+def stats_mutual_info(spark, sf_dir):
+    """Mutual information and entropies between two categorical corpus
+    dimensions (lang × source) — the dependence statistic a curation
+    pipeline uses to detect confounded sampling (e.g. one source
+    dominating one language) before fixing mixture weights.
+
+    One corpus-scale shuffle builds the (lang, source) contingency
+    table; everything after runs on that tiny table (|langs|·|sources|
+    rows): marginals via window sums, then H(lang), H(source),
+    H(lang,source), MI = Σ p_xy·ln(p_xy·N²/(n_x·n_y)) and the
+    normalized MI / sqrt(H_x·H_y). Identities H(x)+H(y)−H(xy)=MI hold
+    by construction; counts are exact integers, so both engines
+    evaluate the same closed-form doubles (rounded 6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        j.withColumn("tot", F.sum("n").over(W.partitionBy()))
+        .withColumn("nx", F.sum("n").over(W.partitionBy("lang")))
+        .withColumn("ny", F.sum("n").over(W.partitionBy("source")))
+    )
+    p = F.col("n") / F.col("tot")
+    terms = j.select(
+        (p * F.log(F.col("n") * F.col("tot") / (F.col("nx") * F.col("ny")))).alias("mi_t"),
+        (-p * F.log(p)).alias("hj_t"),
+        (-p * F.log(F.col("nx") / F.col("tot"))).alias("hx_t"),
+        (-p * F.log(F.col("ny") / F.col("tot"))).alias("hy_t"),
+    )
+    return terms.agg(
+        F.round(F.sum("hx_t"), 6).alias("h_lang"),
+        F.round(F.sum("hy_t"), 6).alias("h_source"),
+        F.round(F.sum("hj_t"), 6).alias("h_joint"),
+        F.round(F.sum("mi_t"), 6).alias("mi"),
+        F.round(
+            F.sum("mi_t") / F.sqrt(F.sum("hx_t") * F.sum("hy_t")), 6
+        ).alias("nmi"),
+    )
+
+
+STATS_MUTUAL_INFO_ORACLE = """
+WITH j AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+m AS (
+  SELECT n,
+         sum(n) OVER () AS tot,
+         sum(n) OVER (PARTITION BY lang) AS nx,
+         sum(n) OVER (PARTITION BY source) AS ny
+  FROM j),
+t AS (
+  SELECT (n * 1.0 / tot) * ln(n * 1.0 * tot / (nx * 1.0 * ny)) AS mi_t,
+         -(n * 1.0 / tot) * ln(n * 1.0 / tot) AS hj_t,
+         -(n * 1.0 / tot) * ln(nx * 1.0 / tot) AS hx_t,
+         -(n * 1.0 / tot) * ln(ny * 1.0 / tot) AS hy_t
+  FROM m)
+SELECT round(sum(hx_t), 6) AS h_lang,
+       round(sum(hy_t), 6) AS h_source,
+       round(sum(hj_t), 6) AS h_joint,
+       round(sum(mi_t), 6) AS mi,
+       round(sum(mi_t) / sqrt(sum(hx_t) * sum(hy_t)), 6) AS nmi
+FROM t
+"""
+
+
 PROFILE_CONSTRAINTS_ORACLE = """
 SELECT 'pk_unique_orderkey' AS check_name, count(*) AS n_violations
 FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
@@ -1954,6 +2016,7 @@ QUERIES = {
     "stats_column_profile": stats_column_profile,
     "stats_histogram": stats_histogram,
     "stats_corr_matrix": stats_corr_matrix,
+    "stats_mutual_info": stats_mutual_info,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
@@ -1997,6 +2060,7 @@ ORACLES = {
     "stats_column_profile": STATS_COLUMN_PROFILE_ORACLE,
     "stats_histogram": STATS_HISTOGRAM_ORACLE,
     "stats_corr_matrix": STATS_CORR_MATRIX_ORACLE,
+    "stats_mutual_info": STATS_MUTUAL_INFO_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,

@@ -1494,6 +1494,183 @@ ORDER BY version
 """
 
 
+def versioned_update_restore(spark, sf_dir):
+    """Certification of the remaining transaction-log verbs through the
+    SQL dispatch surface (engine.py _sql_versioned): UPDATE with a
+    quoted-comma literal in the SET list (the quote-aware
+    _split_assignments path), OPTIMIZE (compaction-as-commit — content
+    must be bit-identical to the pre-compaction version), and RESTORE
+    (metadata-only rollback). Complements versioned_time_travel, which
+    certifies append/DELETE/MERGE through the Python API.
+
+    Commits: v1 append all F-orders; v2 ``UPDATE SET o_orderstatus =
+    'F,U', o_totalprice = o_totalprice * 2 WHERE o_orderkey % 5 = 0``;
+    v3 ``OPTIMIZE`` (same content, fewer files); v4 ``RESTORE TO
+    VERSION AS OF 1`` (content == v1). Every version is then
+    time-travel read and aggregated; the oracle replays all four states
+    in pure SQL. Doubling (not ×1.1) keeps the price arithmetic exact
+    in binary on both engines."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+    from ..sources import versioned as V
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = tempfile.mkdtemp(prefix="bms_vur_")
+    t = os.path.join(tdir, "tbl")
+    try:
+        V.write_versioned(
+            orders.filter("o_orderstatus = 'F'"), t, stats_cols=["o_orderkey"]
+        )
+        eng = Engine(spark)
+        eng.register_versioned("vur_tbl", t)
+        eng.sql(
+            "UPDATE vur_tbl SET o_orderstatus = 'F,U', "
+            "o_totalprice = o_totalprice * 2 WHERE o_orderkey % 5 = 0"
+        )
+        eng.sql("OPTIMIZE vur_tbl")
+        eng.sql("RESTORE TABLE vur_tbl TO VERSION AS OF 1")
+        rows = []
+        for v in (1, 2, 3, 4):
+            n, s, u = (
+                V.read_versioned(spark, t, version=v)
+                .agg(
+                    F.count(F.lit(1)),
+                    F.round(F.sum("o_totalprice"), 2),
+                    F.count(F.when(F.col("o_orderstatus") == "F,U", 1)),
+                )
+                .first()
+            )
+            rows.append((v, n, float(s), u))
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders bigint, sum_price double, n_updated bigint"
+    ).orderBy("version")
+
+
+VERSIONED_UPDATE_RESTORE_ORACLE = """
+WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+u AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p,
+         CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS upd
+  FROM f)
+SELECT 1 AS version, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(0 AS BIGINT) AS n_updated
+FROM f
+UNION ALL
+SELECT 2, count(*), round(sum(p), 2), CAST(sum(upd) AS BIGINT) FROM u
+UNION ALL
+SELECT 3, count(*), round(sum(p), 2), CAST(sum(upd) AS BIGINT) FROM u
+UNION ALL
+SELECT 4, count(*), round(sum(o_totalprice), 2), CAST(0 AS BIGINT) FROM f
+ORDER BY version
+"""
+
+
+def versioned_cdf(spark, sf_dir):
+    """Change-data-feed certification (sources/versioned.read_changes)
+    against a SQL replay: same commit sequence as versioned_time_travel
+    (append F / append O / DELETE every 10th key / MERGE doubling F%7
+    prices and inserting P-orders), then the whole-history change feed
+    is aggregated per commit as NET row count and NET price delta
+    (inserts minus deletes).
+
+    The net aggregation is the file-layout-independent formulation of
+    the CDF invariant ``snapshot(v-1) + inserts − deletes ==
+    snapshot(v)``: the feed emits touched-file contents (retired files
+    as deletes, rewritten files as inserts), so per-version nets equal
+    the logical row/value deltas no matter how Spark partitioned each
+    rewrite — exactly what an incremental downstream aggregate consumes.
+    At 100 TB the feed plans from manifest set-difference (O(files)
+    metadata) and scans only per-commit added/removed files."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import versioned as V
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = tempfile.mkdtemp(prefix="bms_vcdf_")
+    t = os.path.join(tdir, "tbl")
+    try:
+        V.write_versioned(
+            orders.filter("o_orderstatus = 'F'"), t, stats_cols=["o_orderkey"]
+        )
+        V.write_versioned(
+            orders.filter("o_orderstatus = 'O'"),
+            t,
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+        V.delete_versioned(
+            spark, t, "o_orderkey % 10 = 0", stats_cols=["o_orderkey"]
+        )
+        src = orders.filter("o_orderstatus = 'P'").unionByName(
+            orders.filter("o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        V.merge_versioned(spark, t, src, key="o_orderkey", stats_cols=["o_orderkey"])
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        out = (
+            V.read_changes(spark, t, from_version=0)
+            .groupBy(F.col("_commit_version").alias("version"))
+            .agg(
+                F.sum(sign).cast("bigint").alias("net_rows"),
+                F.round(F.sum(sign * F.col("o_totalprice")), 2).alias("net_price"),
+            )
+            .orderBy("version")
+            .collect()
+        )
+        rows = [(r.version, r.net_rows, float(r.net_price)) for r in out]
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, net_rows bigint, net_price double"
+    ).orderBy("version")
+
+
+VERSIONED_CDF_ORACLE = """
+WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+del AS (SELECT * FROM orders WHERE o_orderstatus IN ('F','O')
+        AND o_orderkey % 10 = 0),
+-- table state after v3, keyed
+s3 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F','O')
+       AND o_orderkey % 10 != 0),
+-- merge source: all P + doubled F%7
+src AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0),
+m AS (
+  SELECT src.o_orderkey, src.o_totalprice AS new_p, s3.o_totalprice AS old_p,
+         CASE WHEN s3.o_orderkey IS NULL THEN 1 ELSE 0 END AS inserted
+  FROM src LEFT JOIN s3 ON src.o_orderkey = s3.o_orderkey)
+SELECT 1 AS version, CAST(count(*) AS BIGINT) AS net_rows,
+       round(sum(o_totalprice), 2) AS net_price FROM f
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM o
+UNION ALL
+SELECT 3, CAST(-count(*) AS BIGINT), round(-sum(o_totalprice), 2) FROM del
+UNION ALL
+SELECT 4, CAST(sum(inserted) AS BIGINT),
+       round(sum(new_p) - sum(coalesce(old_p, 0)), 2) FROM m
+ORDER BY version
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
@@ -1529,6 +1706,8 @@ QUERIES = {
     "pipeline_drift": pipeline_drift,
     "pipeline_leakage": pipeline_leakage,
     "versioned_time_travel": versioned_time_travel,
+    "versioned_update_restore": versioned_update_restore,
+    "versioned_cdf": versioned_cdf,
 }
 
 ORACLES = {
@@ -1565,4 +1744,6 @@ ORACLES = {
     "pipeline_drift": PIPELINE_DRIFT_ORACLE,
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
     "versioned_time_travel": VERSIONED_TIME_TRAVEL_ORACLE,
+    "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
+    "versioned_cdf": VERSIONED_CDF_ORACLE,
 }

@@ -222,10 +222,22 @@ def _components_stress(spark, mults) -> None:
         comp = D.connected_components(nodes, edges)
         n_comp = comp.select("comp").distinct().count()
         dt = time.perf_counter() - t0
+        rounds = getattr(D.connected_components, "last_rounds", -1)
         assert n_comp == groups, (n_comp, groups)
         print(
             f"x{m:<3} nodes={n:<9} graph_components comps={n_comp:<6} "
-            f"depth~{(n // groups).bit_length()} {dt:6.2f}s",
+            f"rounds={rounds} ({dt / max(rounds, 1):4.2f}s/round) {dt:6.2f}s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        comp2 = D.connected_components_twophase(nodes, edges)
+        n_comp2 = comp2.select("comp").distinct().count()
+        dt2 = time.perf_counter() - t0
+        rounds2 = getattr(D.connected_components_twophase, "last_rounds", -1)
+        assert n_comp2 == groups, (n_comp2, groups)
+        print(
+            f"x{m:<3} nodes={n:<9} components_twophase comps={n_comp2:<6} "
+            f"rounds={rounds2} ({dt2 / max(rounds2, 1):4.2f}s/round) {dt2:6.2f}s",
             flush=True,
         )
 
