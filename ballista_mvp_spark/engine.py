@@ -137,6 +137,89 @@ def _split_assignments(text: str) -> dict[str, str]:
     return out
 
 
+def _scan_sql(text: str):
+    """Yield (index, char, depth) for top-level SQL scanning: characters
+    inside single-quoted literals ('' escaping) and double-quoted
+    identifiers are skipped; depth tracks parens/brackets."""
+    depth, i, n = 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            q = ch
+            j = i + 1
+            while j < n:
+                if text[j] == q:
+                    if q == "'" and j + 1 < n and text[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        yield i, ch, depth
+        i += 1
+
+
+def _find_kw(text: str, kws: tuple[str, ...], start: int = 0) -> tuple[int, str]:
+    """First top-level occurrence (index, keyword) of any whole-word
+    keyword in ``kws`` (case-insensitive, outside literals/parens), or
+    (-1, ''). Multi-word keywords use single spaces."""
+    up = text.upper()
+    for i, _ch, depth in _scan_sql(text):
+        if depth != 0 or i < start:
+            continue
+        for kw in kws:
+            j = i + len(kw)
+            if (
+                up.startswith(kw, i)
+                and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
+                and (j >= len(up) or not (up[j].isalnum() or up[j] == "_"))
+            ):
+                return i, kw
+    return -1, ""
+
+
+def _rewrite_qualify(q: str) -> str:
+    """Rewrite a top-level ``QUALIFY <pred>`` clause (DuckDB / Snowflake
+    / BigQuery syntax — filter rows AFTER window functions evaluate,
+    the window analogue of HAVING; Spark has no native QUALIFY) into
+    standard Spark SQL:
+
+        SELECT <sel> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+        → SELECT * EXCEPT (__qualify__) FROM (
+              SELECT <sel>, (<pred>) AS __qualify__ FROM ...
+          ) WHERE __qualify__ [ORDER BY ...] [LIMIT n]
+
+    The predicate may reference select-list aliases (Spark's lateral
+    column aliases) or contain window expressions directly. Scanning is
+    quote- and paren-aware, so QUALIFY inside strings or subqueries is
+    left alone; statements without a top-level QUALIFY pass through
+    byte-identical."""
+    qi, _ = _find_kw(q, ("QUALIFY",))
+    if qi < 0:
+        return q
+    si, _ = _find_kw(q, ("SELECT",))
+    if si < 0:
+        return q
+    fi, _ = _find_kw(q, ("FROM",), start=si)
+    if fi < 0 or not (si < fi < qi):
+        return q
+    ti, _ = _find_kw(q, ("ORDER BY", "LIMIT"), start=qi)
+    pred = (q[qi + len("QUALIFY"):ti] if ti >= 0 else q[qi + len("QUALIFY"):]).strip()
+    tail = (" " + q[ti:].strip()) if ti >= 0 else ""
+    sel = q[si + len("SELECT"):fi].strip()
+    body = q[fi:qi].strip()
+    return (
+        f"SELECT * EXCEPT (__qualify__) FROM ("
+        f"SELECT {sel}, ({pred}) AS __qualify__ {body}"
+        f") WHERE __qualify__{tail}"
+    )
+
+
 def _gen_job_id(rng: random.Random) -> str:
     """7-char alphanumeric job id, like the reference's
     ``TaskManager::generate_job_id`` (task_manager.rs:517-525)."""
@@ -432,7 +515,9 @@ class Engine:
             return self.spark.sql(query, args=args)
         if (out := self._sql_versioned(query)) is not None:
             return out
-        return self.spark.sql(self._rewrite_time_travel(query))
+        return self.spark.sql(
+            _rewrite_qualify(self._rewrite_time_travel(query))
+        )
 
     def prepare(self, query: str) -> PreparedStatement:
         handle = _gen_job_id(self._rng)

@@ -643,6 +643,202 @@ def _corr_matrix_oracle() -> str:
 STATS_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+def stats_chi2(spark, sf_dir):
+    """Chi-square test of independence + Cramér's V over the same
+    lang × source contingency table as stats_mutual_info — the
+    frequentist complement (effect size on a [0,1] scale lets mixture
+    audits compare corpora of different sizes). One corpus shuffle for
+    the joint counts; χ² = Σ (o−e)²/e with e = n_x·n_y/N over the tiny
+    table; dof and Cramér's V from the marginal cardinalities. Exact
+    integer counts → identical closed-form doubles on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        j.withColumn("tot", F.sum("n").over(W.partitionBy()))
+        .withColumn("nx", F.sum("n").over(W.partitionBy("lang")))
+        .withColumn("ny", F.sum("n").over(W.partitionBy("source")))
+        .withColumn("kx", F.size(F.collect_set("lang").over(W.partitionBy())))
+        .withColumn("ky", F.size(F.collect_set("source").over(W.partitionBy())))
+    )
+    e = F.col("nx") * F.col("ny") / F.col("tot")
+    cell = ((F.col("n") - e) ** 2 / e).alias("chi_t")
+    return j.select(
+        cell, "tot", "kx", "ky"
+    ).agg(
+        F.round(F.sum("chi_t"), 6).alias("chi2"),
+        ((F.first("kx") - 1) * (F.first("ky") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum("chi_t")
+                / (F.first("tot") * F.least(F.first("kx") - 1, F.first("ky") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+STATS_CHI2_ORACLE = """
+WITH j AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+m AS (
+  SELECT n,
+         sum(n) OVER () AS tot,
+         sum(n) OVER (PARTITION BY lang) AS nx,
+         sum(n) OVER (PARTITION BY source) AS ny,
+         (SELECT count(DISTINCT lang) FROM documents) AS kx,
+         (SELECT count(DISTINCT source) FROM documents) AS ky
+  FROM j),
+t AS (
+  SELECT pow(n - nx * 1.0 * ny / tot, 2) / (nx * 1.0 * ny / tot) AS chi_t,
+         tot, kx, ky
+  FROM m)
+SELECT round(sum(chi_t), 6) AS chi2,
+       CAST((max(kx) - 1) * (max(ky) - 1) AS BIGINT) AS dof,
+       round(sqrt(sum(chi_t) / (max(tot) * least(max(kx) - 1, max(ky) - 1))), 6)
+         AS cramers_v
+FROM t
+"""
+
+
+def text_script_profile(spark, sf_dir):
+    """Per-document Unicode-script composition (Latin / digit / CJK
+    counts and fractions) + dominant-script classification — the
+    routing signal a multilingual curation pipeline applies before
+    language-specific tokenizers (CJK text has no whitespace word
+    boundaries; langid stopword lists assume Latin). Pure column
+    regexes — narrow, scan-speed, zero shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_latin = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_cjk = F.regexp_count(t, F.lit(r"[一-鿿]"))
+    total = F.greatest(F.length(t), F.lit(1))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_latin.alias("n_latin"),
+        n_digit.alias("n_digit"),
+        n_cjk.alias("n_cjk"),
+        F.round(n_latin / total, 6).alias("frac_latin"),
+        F.round(n_cjk / total, 6).alias("frac_cjk"),
+        F.when((n_cjk >= n_latin) & (n_cjk >= n_digit), F.lit("cjk"))
+        .when(n_latin >= n_digit, F.lit("latin"))
+        .otherwise(F.lit("digit"))
+        .alias("dominant"),
+    ).orderBy("doc_id")
+
+
+TEXT_SCRIPT_PROFILE_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+         greatest(length(text), 1) AS total
+  FROM documents)
+SELECT doc_id, lang, n_latin, n_digit, n_cjk,
+       round(n_latin * 1.0 / total, 6) AS frac_latin,
+       round(n_cjk * 1.0 / total, 6) AS frac_cjk,
+       CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit THEN 'cjk'
+            WHEN n_latin >= n_digit THEN 'latin'
+            ELSE 'digit' END AS dominant
+FROM c ORDER BY doc_id
+"""
+
+
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document from deterministic counts:
+    sentences = [.!?]+ runs, words = whitespace tokens, syllables ≈
+    [aeiouy]+ vowel groups in the lowercased text (the standard
+    regex-only approximation). A curation pipeline thresholds this to
+    skim too-simple / degenerate text the stopword-based quality score
+    misses. Pure column regexes — zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    words = F.greatest(
+        F.regexp_count(F.trim(t), F.lit(r"\S+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syll / words)
+    )
+    return docs.select(
+        "doc_id",
+        sents.cast("bigint").alias("n_sents"),
+        words.cast("bigint").alias("n_words"),
+        syll.cast("bigint").alias("n_syll"),
+        F.round(flesch, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+TEXT_READABILITY_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         greatest(len(regexp_extract_all(trim(text), '\S+')), 1) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents)
+SELECT doc_id, n_sents, n_words, n_syll,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                     - 84.6 * (n_syll * 1.0 / n_words), 4) AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose heuristic: density of code punctuation
+    ({}();=<>[]) plus programming-keyword hits — the filter that keeps
+    (or routes) source code in a web-scale training corpus. Score =
+    0.6·min(10·punct_density, 1) + 0.4·keyword_hit; is_code at 0.5.
+    Pure column expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_code = F.regexp_count(t, F.lit(r"[{}();=<>\[\]]"))
+    density = n_code / F.greatest(F.length(t), F.lit(1))
+    has_kw = (
+        F.regexp_count(
+            t, F.lit(r"\b(def|return|function|var|class|import|void|int)\b")
+        )
+        > 0
+    ).cast("int")
+    score = F.round(
+        F.lit(0.6) * F.least(density * 10, F.lit(1.0)) + F.lit(0.4) * has_kw, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_code.cast("bigint").alias("n_code_chars"),
+        F.round(density, 6).alias("code_density"),
+        has_kw.alias("has_kw"),
+        score.alias("code_score"),
+        (score > 0.5).cast("int").alias("is_code"),
+    ).orderBy("doc_id")
+
+
+TEXT_CODE_DETECT_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS n_code,
+         greatest(length(text), 1) AS total,
+         CASE WHEN regexp_matches(text,
+              '\b(def|return|function|var|class|import|void|int)\b')
+              THEN 1 ELSE 0 END AS has_kw
+  FROM documents),
+s AS (
+  SELECT doc_id, n_code, has_kw,
+         round(n_code * 1.0 / total, 6) AS code_density,
+         round(0.6 * least(n_code * 10.0 / total, 1.0) + 0.4 * has_kw, 6)
+           AS code_score
+  FROM c)
+SELECT doc_id, CAST(n_code AS BIGINT) AS n_code_chars, code_density, has_kw,
+       code_score,
+       CASE WHEN code_score > 0.5 THEN 1 ELSE 0 END AS is_code
+FROM s ORDER BY doc_id
+"""
+
+
 def stats_mutual_info(spark, sf_dir):
     """Mutual information and entropies between two categorical corpus
     dimensions (lang × source) — the dependence statistic a curation
@@ -2017,6 +2213,10 @@ QUERIES = {
     "stats_histogram": stats_histogram,
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mutual_info": stats_mutual_info,
+    "stats_chi2": stats_chi2,
+    "text_script_profile": text_script_profile,
+    "text_readability": text_readability,
+    "text_code_detect": text_code_detect,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
@@ -2061,6 +2261,10 @@ ORACLES = {
     "stats_histogram": STATS_HISTOGRAM_ORACLE,
     "stats_corr_matrix": STATS_CORR_MATRIX_ORACLE,
     "stats_mutual_info": STATS_MUTUAL_INFO_ORACLE,
+    "stats_chi2": STATS_CHI2_ORACLE,
+    "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
+    "text_readability": TEXT_READABILITY_ORACLE,
+    "text_code_detect": TEXT_CODE_DETECT_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,

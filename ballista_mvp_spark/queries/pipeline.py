@@ -1494,6 +1494,69 @@ ORDER BY version
 """
 
 
+def pipeline_curriculum(spark, sf_dir):
+    """Curriculum staging: assign every document to an easy→hard
+    training stage by global token-count quartile. The thresholds come
+    from ONE exact multi-quantile aggregate (same percentile /
+    quantile_cont parity as agg_quantiles) broadcast back over the
+    corpus — no global-order window, so no single-partition sort at any
+    corpus size (the failure mode of ntile-based curricula). Stage
+    counts and per-stage token means certify the assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).cast("bigint").alias("n_tok"),
+    )
+    q = toks.agg(
+        F.expr("percentile(n_tok, array(0.25D, 0.5D, 0.75D))").alias("_q")
+    ).select(
+        F.element_at("_q", 1).alias("q1"),
+        F.element_at("_q", 2).alias("q2"),
+        F.element_at("_q", 3).alias("q3"),
+    )
+    staged = toks.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "n_tok",
+        F.when(F.col("n_tok") <= F.col("q1"), F.lit(1))
+        .when(F.col("n_tok") <= F.col("q2"), F.lit(2))
+        .when(F.col("n_tok") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("stage_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tok"),
+        )
+        .orderBy("stage")
+    )
+
+
+PIPELINE_CURRICULUM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+q AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS qs FROM toks),
+staged AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= qs[1] THEN 1
+              WHEN n_tok <= qs[2] THEN 2
+              WHEN n_tok <= qs[3] THEN 3
+              ELSE 4 END AS stage
+  FROM toks CROSS JOIN q)
+SELECT stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS stage_tokens,
+       round(avg(n_tok), 4) AS mean_tok
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 def versioned_update_restore(spark, sf_dir):
     """Certification of the remaining transaction-log verbs through the
     SQL dispatch surface (engine.py _sql_versioned): UPDATE with a
@@ -1706,6 +1769,7 @@ QUERIES = {
     "pipeline_drift": pipeline_drift,
     "pipeline_leakage": pipeline_leakage,
     "versioned_time_travel": versioned_time_travel,
+    "pipeline_curriculum": pipeline_curriculum,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
 }
@@ -1744,6 +1808,7 @@ ORACLES = {
     "pipeline_drift": PIPELINE_DRIFT_ORACLE,
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
     "versioned_time_travel": VERSIONED_TIME_TRAVEL_ORACLE,
+    "pipeline_curriculum": PIPELINE_CURRICULUM_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,
 }

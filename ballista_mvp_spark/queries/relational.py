@@ -607,6 +607,31 @@ FROM documents GROUP BY ALL ORDER BY lang, source
 """
 
 
+def sql_qualify(spark, sf_dir):
+    """QUALIFY clause (DuckDB / Snowflake / BigQuery window-HAVING
+    syntax): top-2 orders per customer by price. Spark lacks native
+    QUALIFY, so Engine.sql rewrites it into a subquery +
+    ``SELECT * EXCEPT`` filter (engine.py _rewrite_qualify); DuckDB
+    runs the IDENTICAL text natively — byte-identical raw-SQL parity,
+    the strongest cross-engine contract in the registry. Plan: one
+    window over the o_custkey shuffle, filter on the rank — the same
+    WindowGroupLimit shape as pipeline_quota."""
+    from ..engine import Engine
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return Engine(spark).sql(SQL_QUALIFY_TEXT)
+
+
+SQL_QUALIFY_TEXT = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+FROM orders
+QUALIFY rk <= 2
+ORDER BY o_custkey, rk
+"""
+
+
 def values_inline(spark, sf_dir):
     """ValuesNode (datafusion.proto:212-217) + EmptyRelation `SELECT 1`
     (datafusion.proto:167-169) via a no-FROM select unioned in."""
@@ -1331,6 +1356,7 @@ QUERIES = {
     "sql_lateral": sql_lateral,
     "sql_pivot": sql_pivot,
     "sql_group_by_all": sql_group_by_all,
+    "sql_qualify": sql_qualify,
     "sql_subquery_exists_in": sql_subquery_exists_in,
     "sql_subquery_scalar": sql_subquery_scalar,
     "sql_recursive_cte": sql_recursive_cte,
@@ -1386,6 +1412,7 @@ ORACLES = {
     "sql_lateral": SQL_LATERAL_ORACLE,
     "sql_pivot": SQL_PIVOT_ORACLE,
     "sql_group_by_all": SQL_GROUP_BY_ALL_TEXT,
+    "sql_qualify": SQL_QUALIFY_TEXT,
     "sql_subquery_exists_in": SQL_SUBQUERY_EXISTS_IN,
     "sql_subquery_scalar": SQL_SUBQUERY_SCALAR_ORACLE,
     "sql_recursive_cte": SQL_RECURSIVE_CTE_ORACLE,
