@@ -597,6 +597,47 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def phrase_search(
+    docs: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Positional inverted-index phrase search: per-document count of
+    exact k-token phrase occurrences (token positions, so overlapping
+    occurrences count — the retrieval-grade contract, not substring
+    matching).
+
+    Shape: one posexplode builds (doc, pos, term) postings, immediately
+    filtered to the QUERY's terms — the shuffle carries only the
+    postings of k terms (Σ df(term) rows), never the corpus, exactly an
+    inverted-index probe. The phrase constraint is k−1 equi-joins on
+    (doc, pos+i): AQE broadcasts the rarer term's postings. At 100 TB
+    the same plan runs against a pre-materialized (term, doc, pos)
+    postings table bucketed by term (the bm25_topk index one level up);
+    building it on the fly here certifies the identical join logic."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    base = toks.filter(F.col("term") == terms[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, [id_col, "p0"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
 def bpe_merges(
     df,
     id_col: str,

@@ -643,6 +643,35 @@ def _corr_matrix_oracle() -> str:
 STATS_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+def text_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over the corpus: per-document occurrence
+    count of the 2-token phrase "table hash" via the positional
+    inverted-index join (operators/text.phrase_search — postings of the
+    query terms only enter the shuffle). The oracle replays the same
+    token-position logic in SQL (ordinality emulated with
+    generate_series), so the index-join plan is value-certified against
+    a direct positional scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.phrase_search(docs, "doc_id", "text", "table hash").orderBy(
+        "doc_id"
+    )
+
+
+TEXT_PHRASE_SEARCH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+p AS (
+  SELECT doc_id, t[i] AS term, i AS ord
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i))
+SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.term = 'table' AND b.term = 'hash'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 def stats_chi2(spark, sf_dir):
     """Chi-square test of independence + Cramér's V over the same
     lang × source contingency table as stats_mutual_info — the
@@ -2217,6 +2246,7 @@ QUERIES = {
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
     "text_code_detect": text_code_detect,
+    "text_phrase_search": text_phrase_search,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
@@ -2265,6 +2295,7 @@ ORACLES = {
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,
+    "text_phrase_search": TEXT_PHRASE_SEARCH_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,

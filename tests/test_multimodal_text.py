@@ -484,3 +484,30 @@ def test_bpe_encode_rejects_non_alpha_merge(spark):
     docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="merge pair"):
         TX.bpe_encode(docs, "doc_id", "text", merges=["a .*"])
+
+
+def test_phrase_search_token_positions(spark):
+    """Phrase matching is token-positional: overlapping occurrences
+    count, substring-inside-a-word does not, k=3 phrases chain the
+    position joins, absent docs are absent (not zero rows)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),            # "a a" at positions 0 and 1 -> 2
+            (2, "breathe cat"),      # substring 'the cat' is NOT a match
+            (3, "the cat sat"),      # 3-gram match
+            (4, "THE  Cat"),         # case/whitespace normalized -> 1
+            (5, "cat the"),          # wrong order -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_matches
+           for r in TX.phrase_search(docs, "doc_id", "text", "a a").collect()}
+    assert got == {1: 2}
+    got = {r.doc_id: r.n_matches
+           for r in TX.phrase_search(docs, "doc_id", "text", "the cat").collect()}
+    assert got == {3: 1, 4: 1}
+    got = {r.doc_id: r.n_matches
+           for r in TX.phrase_search(docs, "doc_id", "text", "the cat sat").collect()}
+    assert got == {3: 1}
+    with pytest.raises(ValueError, match="empty phrase"):
+        TX.phrase_search(docs, "doc_id", "text", "  ")
