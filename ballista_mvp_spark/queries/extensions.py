@@ -672,6 +672,91 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    trigrams that appear in no other document — the continuous
+    dedup-spectrum signal (exact dup ≈ 0, boilerplate-heavy low,
+    original text ≈ 1) a curation pipeline thresholds between the
+    binary dedup ops and quality scores.
+
+    Shape: one distinct (doc, gram) projection, one gram-keyed
+    document-frequency aggregate (map-side combined), one join back —
+    two gram-keyed shuffles total, both over distinct pairs, never raw
+    token streams. The gram travels as its string here so DuckDB can
+    replay it; at 100 TB shuffle xxhash64(gram) instead (the
+    hashes-not-strings rule of dedup_minhash) — same plan, 8-byte
+    keys."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(-1))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                        F.element_at(t, i + 3),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NGRAM_NOVELTY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+dfc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM grams g JOIN dfc ON g.gram = dfc.gram GROUP BY g.doc_id)
+SELECT d.doc_id AS doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       round(coalesce(p.n_novel * 1.0 / p.n_grams, 0.0), 6) AS novelty
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def stats_chi2(spark, sf_dir):
     """Chi-square test of independence + Cramér's V over the same
     lang × source contingency table as stats_mutual_info — the
@@ -2247,6 +2332,7 @@ QUERIES = {
     "text_readability": text_readability,
     "text_code_detect": text_code_detect,
     "text_phrase_search": text_phrase_search,
+    "text_ngram_novelty": text_ngram_novelty,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
@@ -2296,6 +2382,7 @@ ORACLES = {
     "text_readability": TEXT_READABILITY_ORACLE,
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,
     "text_phrase_search": TEXT_PHRASE_SEARCH_ORACLE,
+    "text_ngram_novelty": TEXT_NGRAM_NOVELTY_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,

@@ -358,3 +358,54 @@ def test_bpe_encode_two_shuffles_no_python(spark):
     assert plan.count("Exchange") == 2, plan
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_filters_postings_before_shuffle(spark):
+    """The inverted-index probe contract: the query-term filter runs in
+    the same stage as the scan/explode (postings of the query's terms
+    only enter any exchange), joins are equi-joins on (doc, position) —
+    never a cartesian."""
+    from ballista_mvp_spark.queries.extensions import text_phrase_search
+
+    plan = _plan(text_phrase_search(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # postings filter sits DIRECTLY above the posexplode (same stage —
+    # nothing between the generate and the term IN (...) filter), and
+    # the position constraint is a hash equi-join
+    import re
+
+    assert re.search(
+        r"Filter \(term#\d+ IN \(table,hash\).*\n\s*\S*\s*\+- Generate posexplode",
+        plan,
+    ), plan
+    assert "HashJoin" in plan
+
+
+def test_ngram_novelty_no_cartesian_two_phase(spark):
+    from ballista_mvp_spark.queries.extensions import text_ngram_novelty
+
+    plan = _plan(text_ngram_novelty(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan  # df agg map-side combined
+
+
+def test_curriculum_has_no_global_window(spark):
+    """Curriculum staging must come from a broadcast quantile aggregate,
+    not an ntile/row_number over a global ORDER BY (which would funnel
+    the corpus through one partition)."""
+    from ballista_mvp_spark.queries.pipeline import pipeline_curriculum
+
+    plan = _plan(pipeline_curriculum(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_sql_qualify_compiles_to_group_limit(spark):
+    """The QUALIFY rewrite's rank filter must reach the optimizer as a
+    window group limit (map-side per-group pruning before the shuffle),
+    the same shape pipeline_quota is certified to."""
+    from ballista_mvp_spark.queries.relational import sql_qualify
+
+    plan = _plan(sql_qualify(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
