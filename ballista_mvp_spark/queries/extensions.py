@@ -672,6 +672,55 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+def dedup_bloom_gate(spark, sf_dir):
+    """Incremental batch-vs-corpus exact dedup behind a Bloom prefilter
+    (operators/bloom.bloom_prefilter_dedup): the corpus folds to a
+    2^17-bit Bloom over normalized-text fingerprints; only batch rows
+    the filter flags reach the exact fingerprint join. The final
+    ``is_dup`` verdict is EXACT — the Bloom can only shrink the verify
+    join's input, and its false positives die in the exact join — so
+    the whole gate value-certifies against a plain SQL anti/semi join
+    even though the filter's xxhash bit array is not SQL-replayable.
+    Batch: every doc_id%10==0 doc verbatim (must flag dup) and %10==1
+    with ' v2' appended (must pass as new). At 10^10-key corpora this
+    is the shape that works when the exact key set cannot broadcast:
+    the Bloom is KBs, the join input shrinks to |hits|."""
+    from ..operators import bloom as B
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 10 < 2").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = B.bloom_prefilter_dedup(docs, batch, "doc_id", "text")
+    return out.select(
+        "batch_id", F.col("is_dup").cast("int").alias("is_dup")
+    ).orderBy("batch_id")
+
+
+DEDUP_BLOOM_GATE_ORACLE = r"""
+WITH fps AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+batch AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 < 2),
+b AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM batch)
+SELECT b.doc_id AS batch_id,
+       CASE WHEN fps.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM b LEFT JOIN fps ON b.fp = fps.fp
+ORDER BY batch_id
+"""
+
+
 def text_ngram_novelty(spark, sf_dir):
     """Per-document novelty: the fraction of a document's DISTINCT word
     trigrams that appear in no other document — the continuous
@@ -2333,6 +2382,7 @@ QUERIES = {
     "text_code_detect": text_code_detect,
     "text_phrase_search": text_phrase_search,
     "text_ngram_novelty": text_ngram_novelty,
+    "dedup_bloom_gate": dedup_bloom_gate,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
@@ -2383,6 +2433,7 @@ ORACLES = {
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,
     "text_phrase_search": TEXT_PHRASE_SEARCH_ORACLE,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_ORACLE,
+    "dedup_bloom_gate": DEDUP_BLOOM_GATE_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
