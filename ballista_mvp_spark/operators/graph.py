@@ -124,3 +124,49 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance over the UNDIRECTED graph: every
+    node reachable from any seed within ``max_hops`` hops, labeled with
+    its minimum hop count (seeds = 0). The neighborhood-expansion
+    primitive behind contamination-radius and influence-set queries.
+
+    Frontier-style iteration: per hop one edge equi-join from the
+    CURRENT frontier + an anti-join against the visited set — the
+    shuffled volume is O(frontier-adjacent edges) per round, never the
+    graph, and the loop count is the fixed hop budget (a hyperparameter,
+    not data-bound, so no convergence test is needed). localCheckpoint
+    cuts lineage per hop, the same discipline as
+    dedup.connected_components. ``seeds``: one column ``node``."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds.select(
+        F.col("node"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -1355,6 +1355,68 @@ ORDER BY event_type, day
 """
 
 
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distance (≤4 hops) over the undirected
+    interaction graph from the seed set {nodes with user_id%50==0} —
+    contamination-radius / influence-set analytics
+    (operators/graph.bfs_distances: per-hop frontier equi-join +
+    visited anti-join, shuffles O(frontier edges), fixed hop budget).
+    The oracle unrolls the same four frontier expansions in SQL."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    edges = _interaction_edges(e)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    return (
+        G.bfs_distances(edges, seeds, "src", "dst", max_hops=4)
+        .select(F.col("node").alias("user_id"), "dist")
+        .orderBy("user_id")
+    )
+
+
+def _bfs_oracle() -> str:
+    hops = []
+    visited = "d0"
+    for k in range(1, 5):
+        prev_frontier = f"d{k - 1}"
+        hops.append(
+            f"""f{k} AS (
+  SELECT DISTINCT s.v AS node FROM sym s
+  JOIN {prev_frontier} p ON s.u = p.node),
+d{k} AS (
+  SELECT node, {k} AS dist FROM f{k}
+  WHERE node NOT IN (SELECT node FROM {visited}))"""
+        )
+        visited = f"(SELECT node FROM {visited} UNION SELECT node FROM d{k})"
+    return f"""
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+dir_edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 50 = 0),
+{",".join(hops)}
+SELECT node AS user_id, dist
+FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+      UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+ORDER BY user_id
+"""
+
+
+GRAPH_BFS_ORACLE = _bfs_oracle()
+
+
 def streaming_cdc_upsert(spark, sf_dir):
     """End-to-end CDC apply through the STREAMING engine into the
     versioned transaction log (sources/versioned.cdc_merge_sink): the
@@ -1452,6 +1514,7 @@ QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_sliding": streaming_sliding,
     "streaming_cdc_upsert": streaming_cdc_upsert,
+    "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1491,6 +1554,7 @@ ORACLES = {
     "streaming_tumbling": STREAMING_TUMBLING_ORACLE,
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
     "streaming_cdc_upsert": STREAMING_CDC_UPSERT_ORACLE,
+    "graph_bfs": GRAPH_BFS_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
