@@ -162,3 +162,41 @@ _CERT_FIRST_ROUND6 = [
 assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
 _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
+
+# ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
+# AFTER CORRECTNESS_r06.json lands): the 14 round-5 additions (all
+# strict-oracle-green at both scales + vanilla session, never
+# driver-certified — rows-only entries excluded per the COVERAGE.md
+# lesson), padded to 50 with re-certifications of oracle-backed
+# families no earlier window re-proved. Validated by
+# tests/test_oracle_queries.py::test_round7_window_prestage.
+_CERT_FIRST_ROUND7 = [
+    # round-5 additions, never driver-certified
+    "versioned_update_restore", "versioned_cdf", "streaming_cdc_upsert",
+    "stats_mutual_info", "stats_chi2", "sql_qualify",
+    "text_script_profile", "text_readability", "text_code_detect",
+    "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
+    "dedup_bloom_gate", "graph_bfs",
+    # aggregate-family re-certs (r1/r2 rows)
+    "agg_basic", "agg_cube", "agg_rollup", "agg_regression",
+    "agg_weighted_percentile", "agg_boolean", "agg_string",
+    "agg_array_agg", "agg_distinct_filter",
+    # join leftovers
+    "join_inner", "join_left", "join_right_anti", "join_right_semi",
+    # sql surface
+    "sql_lateral", "sql_subquery_exists_in", "sql_subquery_scalar",
+    "fn_url",
+    # windows
+    "window_ntile", "window_running_total", "window_agg_groups_frame",
+    "window_first_last_nth",
+    # events / streaming
+    "events_gapfill", "events_session_window", "events_trailing_window",
+    "events_topk_users", "streaming_tumbling", "streaming_sessionize",
+    # text / pipeline / tpch / multimodal reps
+    "text_gopher", "text_tfidf", "text_decontaminate",
+    "pipeline_pack", "pipeline_mixture", "pipeline_leakage",
+    "events_type_share", "events_ohlc", "multimodal_meta",
+]
+assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
+_missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
+assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"

@@ -198,3 +198,31 @@ def test_round6_window_prestage():
         "stats_skew_profile", "text_bpe_encode",
     }
     assert late_round4 <= set(_CERT_FIRST_ROUND6)
+
+
+def test_round7_window_prestage():
+    """The pre-staged round-7 certification window: 50 unique
+    oracle-backed registry names, includes every round-5 addition
+    (which all lack driver rows), and overlaps no earlier window."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND4,
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND7,
+    )
+
+    assert len(_CERT_FIRST_ROUND7) == 50
+    assert len(set(_CERT_FIRST_ROUND7)) == 50
+    assert set(_CERT_FIRST_ROUND7) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND7) <= set(ALL_ORACLES)  # no rows-only entries
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND4)
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND5)
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND6)
+    round5_additions = {
+        "versioned_update_restore", "versioned_cdf", "streaming_cdc_upsert",
+        "stats_mutual_info", "stats_chi2", "sql_qualify",
+        "text_script_profile", "text_readability", "text_code_detect",
+        "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
+        "dedup_bloom_gate", "graph_bfs",
+    }
+    assert round5_additions <= set(_CERT_FIRST_ROUND7)
