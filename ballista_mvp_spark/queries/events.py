@@ -1355,6 +1355,53 @@ ORDER BY event_type, day
 """
 
 
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over event types: per user,
+    consecutive event pairs (ts then event_id ordering) counted into
+    (src_type → dst_type) cells with row-normalized probabilities — the
+    sequence-model prior behind next-action prediction and anomaly
+    scoring. One shuffle on user_id for the lag window, one tiny
+    (|types|²) aggregation; the probability normalization is a window
+    over the cell table, not the corpus."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+    )
+    cells = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(W.partitionBy("src_type")), 6
+        ).alias("prob"),
+    ).orderBy("src_type", "dst_type")
+
+
+EVENTS_MARKOV_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS dst_type
+  FROM events),
+cells AS (
+  SELECT src_type, dst_type, count(*) AS n
+  FROM ordered WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+SELECT src_type, dst_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY src_type), 6) AS prob
+FROM cells ORDER BY src_type, dst_type
+"""
+
+
 def graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distance (≤4 hops) over the undirected
     interaction graph from the seed set {nodes with user_id%50==0} —
@@ -1515,6 +1562,7 @@ QUERIES = {
     "streaming_sliding": streaming_sliding,
     "streaming_cdc_upsert": streaming_cdc_upsert,
     "graph_bfs": graph_bfs,
+    "events_markov": events_markov,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1555,6 +1603,7 @@ ORACLES = {
     "streaming_sliding": STREAMING_SLIDING_ORACLE,
     "streaming_cdc_upsert": STREAMING_CDC_UPSERT_ORACLE,
     "graph_bfs": GRAPH_BFS_ORACLE,
+    "events_markov": EVENTS_MARKOV_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

@@ -223,6 +223,6 @@ def test_round7_window_prestage():
         "stats_mutual_info", "stats_chi2", "sql_qualify",
         "text_script_profile", "text_readability", "text_code_detect",
         "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
-        "dedup_bloom_gate", "graph_bfs",
+        "dedup_bloom_gate", "graph_bfs", "events_markov",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
