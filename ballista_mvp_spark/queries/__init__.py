@@ -177,10 +177,10 @@ _CERT_FIRST_ROUND7 = [
     "text_script_profile", "text_readability", "text_code_detect",
     "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
     "dedup_bloom_gate", "graph_bfs", "events_markov",
+    "pipeline_kfold", "stats_ks_test",
     # aggregate-family re-certs (r1/r2 rows)
     "agg_basic", "agg_cube", "agg_rollup", "agg_regression",
-    "agg_weighted_percentile", "agg_boolean", "agg_string",
-    "agg_distinct_filter",
+    "agg_weighted_percentile", "agg_distinct_filter",
     # join leftovers
     "join_inner", "join_left", "join_right_anti", "join_right_semi",
     # sql surface

@@ -1002,6 +1002,66 @@ FROM s ORDER BY doc_id
 """
 
 
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the document-
+    length (n_chars) distributions of two sources — the exact
+    distribution-drift test that complements pipeline_drift's binned
+    PSI (KS needs no bin choice, so it catches shape drift PSI's bins
+    can hide). D = max |ECDF_a − ECDF_b| over the merged support, plus
+    the sample-size-scaled statistic sqrt(nm/(n+m))·D.
+
+    Shape: one groupBy over the two sources' (n_chars, source) pairs;
+    the ECDF cumulative window runs over the DISTINCT-value table
+    (support size, not corpus size) — at 100 TB bucket the support
+    first if it is high-cardinality. Counts are exact integers; the
+    division grid is identical on both engines (rounded 6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    two = docs.filter(F.col("source").isin("src0", "src1"))
+    cells = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    ecdf = cells.select(
+        (F.sum("ca").over(wcum) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(wcum) / F.sum("cb").over(wall)).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return ecdf.agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+        F.round(
+            F.max(F.abs(F.col("fa") - F.col("fb")))
+            * F.sqrt(
+                F.first("na") * F.first("nb")
+                / (F.first("na") + F.first("nb"))
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+STATS_KS_TEST_ORACLE = """
+WITH cells AS (
+  SELECT n_chars,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY n_chars) * 1.0 / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY n_chars) * 1.0 / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM cells)
+SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks_d,
+       round(max(abs(fa - fb)) * sqrt(max(na) * max(nb) * 1.0 / (max(na) + max(nb))), 6) AS ks_scaled
+FROM ecdf
+"""
+
+
 def stats_mutual_info(spark, sf_dir):
     """Mutual information and entropies between two categorical corpus
     dimensions (lang × source) — the dependence statistic a curation
@@ -2377,6 +2437,7 @@ QUERIES = {
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mutual_info": stats_mutual_info,
     "stats_chi2": stats_chi2,
+    "stats_ks_test": stats_ks_test,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
     "text_code_detect": text_code_detect,
@@ -2428,6 +2489,7 @@ ORACLES = {
     "stats_corr_matrix": STATS_CORR_MATRIX_ORACLE,
     "stats_mutual_info": STATS_MUTUAL_INFO_ORACLE,
     "stats_chi2": STATS_CHI2_ORACLE,
+    "stats_ks_test": STATS_KS_TEST_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,

@@ -1557,6 +1557,45 @@ FROM staged GROUP BY stage ORDER BY stage
 """
 
 
+def pipeline_kfold(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    salted-md5 bucket of the doc id — the same zero-shuffle, growth-
+    stable decision rule as hash_split (a new document never reshuffles
+    existing folds; rand()-based folds do). Certified by per-fold
+    counts + per-fold token sums (the assignment AND the disjoint-
+    partition property in one result)."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = (P.hash_bucket(F.col("doc_id"), "fold") % 5).alias("fold")
+    toks = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ).cast("bigint")
+    return (
+        docs.select(fold, toks.alias("n_tok"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("fold_tokens"),
+        )
+        .orderBy("fold")
+    )
+
+
+PIPELINE_KFOLD_ORACLE = r"""
+WITH h AS (SELECT doc_id, md5('fold:' || doc_id) AS m,
+                  CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+d AS (SELECT n_tok,
+        CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+             ELSE ascii(substr(m, 1, 1)) - 48 END AS d1,
+        CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+             ELSE ascii(substr(m, 2, 1)) - 48 END AS d2
+      FROM h)
+SELECT CAST((d1 * 16 + d2) % 5 AS INT) AS fold,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS fold_tokens
+FROM d GROUP BY fold ORDER BY fold
+"""
+
+
 def versioned_update_restore(spark, sf_dir):
     """Certification of the remaining transaction-log verbs through the
     SQL dispatch surface (engine.py _sql_versioned): UPDATE with a
@@ -1770,6 +1809,7 @@ QUERIES = {
     "pipeline_leakage": pipeline_leakage,
     "versioned_time_travel": versioned_time_travel,
     "pipeline_curriculum": pipeline_curriculum,
+    "pipeline_kfold": pipeline_kfold,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
 }
@@ -1809,6 +1849,7 @@ ORACLES = {
     "pipeline_leakage": PIPELINE_LEAKAGE_ORACLE,
     "versioned_time_travel": VERSIONED_TIME_TRAVEL_ORACLE,
     "pipeline_curriculum": PIPELINE_CURRICULUM_ORACLE,
+    "pipeline_kfold": PIPELINE_KFOLD_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,
 }
