@@ -164,7 +164,7 @@ _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
 # ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
-# AFTER CORRECTNESS_r06.json lands): the 14 round-5 additions (all
+# AFTER CORRECTNESS_r06.json lands): the 19 round-5 additions (all
 # strict-oracle-green at both scales + vanilla session, never
 # driver-certified — rows-only entries excluded per the COVERAGE.md
 # lesson), padded to 50 with re-certifications of oracle-backed
@@ -177,7 +177,8 @@ _CERT_FIRST_ROUND7 = [
     "text_script_profile", "text_readability", "text_code_detect",
     "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
     "dedup_bloom_gate", "graph_bfs", "events_markov",
-    "pipeline_kfold", "stats_ks_test",
+    "pipeline_kfold", "stats_ks_test", "stats_mannwhitney",
+    "pipeline_temperature",
     # aggregate-family re-certs (r1/r2 rows)
     "agg_basic", "agg_cube", "agg_rollup", "agg_regression",
     "agg_weighted_percentile", "agg_distinct_filter",
@@ -195,7 +196,7 @@ _CERT_FIRST_ROUND7 = [
     # text / pipeline / tpch / multimodal reps
     "text_gopher", "text_tfidf", "text_decontaminate",
     "pipeline_pack", "pipeline_mixture", "pipeline_leakage",
-    "events_type_share", "events_ohlc", "multimodal_meta",
+    "multimodal_meta",
 ]
 assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
 _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]

@@ -1062,6 +1062,76 @@ FROM ecdf
 """
 
 
+def stats_mannwhitney(spark, sf_dir):
+    """Two-sample Mann–Whitney U rank-sum test (Mann & Whitney 1947)
+    between the document-length (n_chars) distributions of two sources —
+    the rank-based drift test that complements stats_ks_test: U is
+    outlier-proof and measures stochastic dominance (one corpus tending
+    longer overall), which KS's single-max-gap statistic under-weights.
+
+    Shape mirrors stats_ks_test: one groupBy collapses the corpus to the
+    distinct-value support; tie-averaged ranks come from one cumulative
+    window over that tiny table. All rank arithmetic stays exact —
+    2·R_a = Σ ca·(2·cum − t + 1) is an integer, so U_a = (2·R_a −
+    na(na+1))/2 is exact to the half — until the final one-row z
+    expression (normal approximation with the textbook tie-corrected
+    variance na·nb/12·((N+1) − Σ(t³−t)/(N(N−1))), no continuity
+    correction), so both engines compute identical doubles (6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    two = docs.filter(F.col("source").isin("src0", "src1"))
+    cells = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    t = F.col("ca") + F.col("cb")
+    ranked = cells.select(
+        "ca", t.alias("t"), F.sum(t).over(wcum).alias("cum")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("ca") * (2 * F.col("cum") - F.col("t") + 1)).alias("ra2"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("t") - F.col("ca")).alias("nb"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    na, nb, ra2, tie3 = F.col("na"), F.col("nb"), F.col("ra2"), F.col("tie3")
+    n = na + nb
+    u_a = (ra2 - na * (na + 1)) / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * ((n + 1) - tie3 / (n * (n - 1)))
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(na * nb - u_a, 1).alias("u_b"),
+        F.round((u_a - na * nb / F.lit(2.0)) / F.sqrt(var), 6).alias("z_mw"),
+    )
+
+
+STATS_MANNWHITNEY_ORACLE = """
+WITH cells AS (
+  SELECT n_chars,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars),
+ranked AS (
+  SELECT ca, ca + cb AS t,
+         sum(ca + cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cells),
+a AS (
+  SELECT sum(ca * (2 * cum - t + 1)) AS ra2,
+         sum(ca) AS na, sum(t - ca) AS nb,
+         sum(t * t * t - t) AS tie3
+  FROM ranked)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((ra2 - na * (na + 1)) / 2.0, 1) AS u_a,
+       round(na * nb - (ra2 - na * (na + 1)) / 2.0, 1) AS u_b,
+       round(((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / sqrt((na * nb / 12.0)
+                    * ((na + nb + 1) - tie3 * 1.0 / ((na + nb) * (na + nb - 1)))), 6) AS z_mw
+FROM a
+"""
+
+
 def stats_mutual_info(spark, sf_dir):
     """Mutual information and entropies between two categorical corpus
     dimensions (lang × source) — the dependence statistic a curation
@@ -2438,6 +2508,7 @@ QUERIES = {
     "stats_mutual_info": stats_mutual_info,
     "stats_chi2": stats_chi2,
     "stats_ks_test": stats_ks_test,
+    "stats_mannwhitney": stats_mannwhitney,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
     "text_code_detect": text_code_detect,
@@ -2490,6 +2561,7 @@ ORACLES = {
     "stats_mutual_info": STATS_MUTUAL_INFO_ORACLE,
     "stats_chi2": STATS_CHI2_ORACLE,
     "stats_ks_test": STATS_KS_TEST_ORACLE,
+    "stats_mannwhitney": STATS_MANNWHITNEY_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,

@@ -510,6 +510,62 @@ ORDER BY doc_id
 """
 
 
+def pipeline_temperature(spark, sf_dir):
+    """Temperature-smoothed language-mixture weights (exponent α = 0.7),
+    the standard multilingual pre-training sampler (Devlin et al. 2019,
+    mBERT; Conneau & Lample 2019, XLM): sampling share q_i ∝ p_i^α
+    flattens the language distribution so low-resource languages are
+    up-sampled without swamping the head. Since p_i^α = n_i^α / N^α and
+    N^α cancels in the normalization, q_i = n_i^α / Σ n_j^α — computed
+    straight from the exact per-language counts.
+
+    One map-side-combined count shuffle collapses the corpus to |langs|
+    rows; everything after runs on that tiny table. The normalizer is
+    the LAST value of a running sum ORDERED BY lang (all terms positive,
+    so max(running) = total) — both engines add the same doubles in the
+    same order, where a plain unordered window sum over doubles would be
+    accumulation-order-nondeterministic. Output per language: observed
+    share p, smoothed share q, and the boost q/p a sampler multiplies
+    into per-document keep probabilities (pipeline_mixture-style)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w_run = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sm = counts.withColumn("w", F.pow(F.col("n_docs"), F.lit(0.7))).withColumn(
+        "wcum", F.sum("w").over(w_run)
+    )
+    sm = sm.withColumn("wsum", F.max("wcum").over(w_all)).withColumn(
+        "tot", F.sum("n_docs").over(w_all)
+    )
+    p = F.col("n_docs") / F.col("tot")
+    q = F.col("w") / F.col("wsum")
+    return sm.select(
+        "lang",
+        "n_docs",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(q / p, 6).alias("boost"),
+    ).orderBy("lang")
+
+
+PIPELINE_TEMPERATURE_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+s AS (
+  SELECT lang, n_docs, pow(n_docs, 0.7) AS w,
+         sum(pow(n_docs, 0.7)) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcum,
+         sum(n_docs) OVER () AS tot
+  FROM c),
+t AS (SELECT lang, n_docs, w, max(wcum) OVER () AS wsum, tot FROM s)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / tot, 6) AS p,
+       round(w / wsum, 6) AS q,
+       round((w / wsum) / (n_docs * 1.0 / tot), 6) AS boost
+FROM t ORDER BY lang
+"""
+
+
 def pipeline_importance(spark, sf_dir):
     """Deterministic importance sampling: keep probability proportional
     to document length (p = min(1, n_chars/2000)), survivors carry the
@@ -1794,6 +1850,7 @@ QUERIES = {
     "dedup_spans": dedup_spans,
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
+    "pipeline_temperature": pipeline_temperature,
     "pipeline_quota": pipeline_quota,
     "pipeline_reservoir": pipeline_reservoir,
     "pipeline_importance": pipeline_importance,
@@ -1835,6 +1892,7 @@ ORACLES = {
     "dedup_spans": DEDUP_SPANS_ORACLE,
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
+    "pipeline_temperature": PIPELINE_TEMPERATURE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
     "pipeline_reservoir": PIPELINE_RESERVOIR_ORACLE,
     "pipeline_importance": PIPELINE_IMPORTANCE_ORACLE,

@@ -224,6 +224,7 @@ def test_round7_window_prestage():
         "text_script_profile", "text_readability", "text_code_detect",
         "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
         "dedup_bloom_gate", "graph_bfs", "events_markov",
-        "pipeline_kfold", "stats_ks_test",
+        "pipeline_kfold", "stats_ks_test", "stats_mannwhitney",
+        "pipeline_temperature",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
