@@ -1532,6 +1532,62 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival-time distribution per event type: the gap from a
+    user's previous event (any type) to the current one, summarized as
+    exact count/min/max plus interpolated p50/p90/p99 — the latency
+    profile behind session-gap threshold tuning (events_sessionize's
+    1800 s cutoff) and bot detection (sub-second p50 gaps).
+
+    One shuffle keyed on user_id computes the lag; gaps stay in exact
+    epoch MICROsecond integers (second truncation would alias sub-second
+    pairs), so both engines interpolate the same integer grid — Spark
+    `percentile(array(...))` ↔ DuckDB quantile_cont, the agg_quantiles
+    convention, rounded 4dp. The groupBy is map-side combined and the
+    percentile buffers are per-type, bounded by gap cardinality."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_s"),
+            F.expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))").alias("_q"),
+            F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_s"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "min_s",
+            F.round(F.element_at("_q", 1) / F.lit(1e6), 4).alias("p50_s"),
+            F.round(F.element_at("_q", 2) / F.lit(1e6), 4).alias("p90_s"),
+            F.round(F.element_at("_q", 3) / F.lit(1e6), 4).alias("p99_s"),
+            "max_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+f AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+SELECT event_type, count(*) AS n_gaps,
+       round(min(gap_us) / 1e6, 6) AS min_s,
+       round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+       round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s,
+       round(quantile_cont(gap_us, 0.99) / 1e6, 4) AS p99_s,
+       round(max(gap_us) / 1e6, 6) AS max_s
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
@@ -1563,6 +1619,7 @@ QUERIES = {
     "streaming_cdc_upsert": streaming_cdc_upsert,
     "graph_bfs": graph_bfs,
     "events_markov": events_markov,
+    "events_interarrival": events_interarrival,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1604,6 +1661,7 @@ ORACLES = {
     "streaming_cdc_upsert": STREAMING_CDC_UPSERT_ORACLE,
     "graph_bfs": GRAPH_BFS_ORACLE,
     "events_markov": EVENTS_MARKOV_ORACLE,
+    "events_interarrival": EVENTS_INTERARRIVAL_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

@@ -1132,6 +1132,82 @@ FROM a
 """
 
 
+def text_entropy(spark, sf_dir):
+    """Corpus character-class entropy per language: the Shannon entropy
+    of the (letter, digit, whitespace, other) character distribution —
+    near-zero entropy flags boilerplate/log-dump corpora (one class
+    dominating), anomalously high entropy flags symbol soup; the
+    corpus-level composition gate that complements text_script_profile's
+    per-document routing signal.
+
+    Scan-speed per-document regexp counts (three regexes, zero shuffle)
+    collapse into a |langs|×4 contingency table via one map-side-combined
+    groupBy; the entropy is a fixed-order four-term closed form over
+    exact integer counts (zero-count classes contribute 0 by CASE, the
+    stats_mutual_info determinism pattern), so both engines compute
+    identical doubles (6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        F.length(t).alias("nc"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]")).alias("nl"),
+        F.regexp_count(t, F.lit(r"[0-9]")).alias("nd"),
+        F.regexp_count(t, F.lit(r"\s")).alias("ns"),
+    )
+    agg = (
+        per.groupBy("lang")
+        .agg(
+            F.sum("nc").alias("n"),
+            F.sum("nl").alias("n_letter"),
+            F.sum("nd").alias("n_digit"),
+            F.sum("ns").alias("n_space"),
+        )
+        .withColumn(
+            "n_other",
+            F.col("n") - F.col("n_letter") - F.col("n_digit") - F.col("n_space"),
+        )
+    )
+
+    def _term(c):
+        p = F.col(c) / F.col("n")
+        return F.when(F.col(c) > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = _term("n_letter") + _term("n_digit") + _term("n_space") + _term("n_other")
+    return agg.select(
+        "lang",
+        "n_letter",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.round(ent, 6).alias("entropy"),
+    ).orderBy("lang")
+
+
+TEXT_ENTROPY_ORACLE = r"""
+WITH per AS (
+  SELECT lang, length(text) AS nc,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS nl,
+         len(regexp_extract_all(text, '[0-9]')) AS nd,
+         len(regexp_extract_all(text, '\s')) AS ns
+  FROM documents),
+a AS (
+  SELECT lang, sum(nc) AS n, sum(nl) AS n_letter, sum(nd) AS n_digit,
+         sum(ns) AS n_space,
+         sum(nc) - sum(nl) - sum(nd) - sum(ns) AS n_other
+  FROM per GROUP BY lang)
+SELECT lang,
+       CAST(n_letter AS BIGINT) AS n_letter, CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_space AS BIGINT) AS n_space, CAST(n_other AS BIGINT) AS n_other,
+       round(
+         (CASE WHEN n_letter > 0 THEN -(n_letter * 1.0 / n) * ln(n_letter * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN n_digit > 0 THEN -(n_digit * 1.0 / n) * ln(n_digit * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN n_space > 0 THEN -(n_space * 1.0 / n) * ln(n_space * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN n_other > 0 THEN -(n_other * 1.0 / n) * ln(n_other * 1.0 / n) ELSE 0 END), 6) AS entropy
+FROM a ORDER BY lang
+"""
+
+
 def stats_mutual_info(spark, sf_dir):
     """Mutual information and entropies between two categorical corpus
     dimensions (lang × source) — the dependence statistic a curation
@@ -2509,6 +2585,7 @@ QUERIES = {
     "stats_chi2": stats_chi2,
     "stats_ks_test": stats_ks_test,
     "stats_mannwhitney": stats_mannwhitney,
+    "text_entropy": text_entropy,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
     "text_code_detect": text_code_detect,
@@ -2562,6 +2639,7 @@ ORACLES = {
     "stats_chi2": STATS_CHI2_ORACLE,
     "stats_ks_test": STATS_KS_TEST_ORACLE,
     "stats_mannwhitney": STATS_MANNWHITNEY_ORACLE,
+    "text_entropy": TEXT_ENTROPY_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,
     "text_code_detect": TEXT_CODE_DETECT_ORACLE,

@@ -566,6 +566,41 @@ FROM t ORDER BY lang
 """
 
 
+def pipeline_dedup_rate(spark, sf_dir):
+    """Per-source duplication report: exact document count, distinct
+    full-text fingerprints, duplicate count and rate — the dashboard
+    metric a curation pipeline tracks per ingest source to decide which
+    feeds deserve aggressive near-dup passes (a source at 30% exact-dup
+    rate almost certainly hides more near-dups).
+
+    One map-side-combined groupBy on source; the distinct runs on 16-byte
+    md5 fingerprints, never the full text (the dedup_exact shuffle-width
+    rule), so the shuffle carries hashes at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.encode(F.col("text"), "utf-8"))).alias(
+                "n_unique"
+            ),
+        )
+        .withColumn("n_dups", F.col("n_docs") - F.col("n_unique"))
+        .withColumn("dup_rate", F.round(F.col("n_dups") / F.col("n_docs"), 6))
+        .orderBy("source")
+    )
+
+
+PIPELINE_DEDUP_RATE_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+       round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def pipeline_importance(spark, sf_dir):
     """Deterministic importance sampling: keep probability proportional
     to document length (p = min(1, n_chars/2000)), survivors carry the
@@ -1851,6 +1886,7 @@ QUERIES = {
     "text_gopher": text_gopher,
     "pipeline_mixture": pipeline_mixture,
     "pipeline_temperature": pipeline_temperature,
+    "pipeline_dedup_rate": pipeline_dedup_rate,
     "pipeline_quota": pipeline_quota,
     "pipeline_reservoir": pipeline_reservoir,
     "pipeline_importance": pipeline_importance,
@@ -1893,6 +1929,7 @@ ORACLES = {
     "text_gopher": TEXT_GOPHER_ORACLE,
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_temperature": PIPELINE_TEMPERATURE_ORACLE,
+    "pipeline_dedup_rate": PIPELINE_DEDUP_RATE_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
     "pipeline_reservoir": PIPELINE_RESERVOIR_ORACLE,
     "pipeline_importance": PIPELINE_IMPORTANCE_ORACLE,

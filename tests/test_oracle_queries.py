@@ -225,6 +225,7 @@ def test_round7_window_prestage():
         "text_phrase_search", "text_ngram_novelty", "pipeline_curriculum",
         "dedup_bloom_gate", "graph_bfs", "events_markov",
         "pipeline_kfold", "stats_ks_test", "stats_mannwhitney",
-        "pipeline_temperature",
+        "pipeline_temperature", "events_interarrival", "text_entropy",
+        "pipeline_dedup_rate",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
