@@ -485,6 +485,67 @@ GROUP BY 1 ORDER BY k
 """
 
 
+def events_cohort_matrix(spark, sf_dir):
+    """Weekly cohort retention MATRIX — events_retention's aggregate
+    curve expanded into the (cohort_week × week-offset) grid a growth
+    dashboard renders: users bucketed by first-active ISO week, each
+    later week's active count expressed as a fraction of the cohort's
+    size. Both engines truncate to Monday weeks, so the grid is
+    byte-identical.
+
+    Row count collapses to distinct (user, week) before anything heavy;
+    two user_id-keyed shuffles (anchor + join) and one
+    (cohort, k)-keyed count — the events_retention shape with one extra
+    broadcast-sized join against the k=0 diagonal for the denominator."""
+    e = _t(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    act = weeks.join(first, "user_id").select(
+        "user_id",
+        F.to_date("w0").alias("cohort_week"),
+        (F.datediff("wk", "w0") / 7).cast("int").alias("k"),
+    )
+    cohort = act.groupBy("cohort_week", "k").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    base = cohort.filter(F.col("k") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        cohort.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "k",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "k")
+    )
+
+
+EVENTS_COHORT_MATRIX_ORACLE = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (SELECT user_id, min(wk) AS w0 FROM weeks GROUP BY user_id),
+act AS (
+  SELECT weeks.user_id, CAST(w0 AS DATE) AS cohort_week,
+         CAST(date_diff('day', w0, wk) / 7 AS INT) AS k
+  FROM weeks JOIN first ON weeks.user_id = first.user_id),
+cohort AS (
+  SELECT cohort_week, k, count(DISTINCT user_id) AS n_active
+  FROM act GROUP BY 1, 2),
+base AS (SELECT cohort_week, n_active AS n_cohort FROM cohort WHERE k = 0)
+SELECT c.cohort_week, c.k, c.n_active,
+       round(c.n_active * 1.0 / b.n_cohort, 6) AS retention_pct
+FROM cohort c JOIN base b ON c.cohort_week = b.cohort_week
+ORDER BY c.cohort_week, c.k
+"""
+
+
 def streaming_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator: per-user sessionization via
     applyInPandasWithState (GroupState across micro-batches;
@@ -1620,6 +1681,7 @@ QUERIES = {
     "graph_bfs": graph_bfs,
     "events_markov": events_markov,
     "events_interarrival": events_interarrival,
+    "events_cohort_matrix": events_cohort_matrix,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1662,6 +1724,7 @@ ORACLES = {
     "graph_bfs": GRAPH_BFS_ORACLE,
     "events_markov": EVENTS_MARKOV_ORACLE,
     "events_interarrival": EVENTS_INTERARRIVAL_ORACLE,
+    "events_cohort_matrix": EVENTS_COHORT_MATRIX_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

@@ -183,6 +183,153 @@ def dedup_minhash(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def dedup_minhash_det(spark, sf_dir):
+    """Deterministic MinHash-LSH, the oracle-certified twin of
+    dedup_minhash: 8 salted-md5 min-wise hashes over distinct word
+    trigrams, banded 4×2, candidate pairs verified with their EXACT
+    trigram Jaccard — so the full LSH pipeline (shingle → signature →
+    band → bucket-join → verify) is value-checked end-to-end against
+    DuckDB instead of rows-only. min(md5(salt:gram)) is a valid
+    min-wise hash for any uniform hash under a shared total order
+    (lexicographic hex is identical in both engines), which is what
+    makes the sketch replayable cross-engine; the production
+    dedup_minhash keeps xxhash64 (8-byte shuffle keys) for throughput.
+
+    Shape: one gram-keyed distinct, one doc-keyed signature aggregate
+    (8 map-side-combined mins), one (band, band_hash)-keyed equi-join
+    for candidates, then a candidate-bounded verify join that touches
+    only the grams of paired docs — never all-pairs. At 100 TB the
+    verify join stays proportional to candidate count (LSH's whole
+    point) and the md5 strings become xxhash64 ints."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(-1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+
+    def _mh(k):
+        return F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{k}:"), F.col("gram")), "utf-8"))
+        ).alias(f"h{k}")
+
+    sig = grams.groupBy("doc_id").agg(*[_mh(k) for k in range(1, 9)])
+
+    def _band(i, a, b):
+        return F.struct(
+            F.lit(i).alias("b"),
+            F.md5(F.encode(F.concat(F.col(a), F.col(b)), "utf-8")).alias("bh"),
+        )
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                _band(1, "h1", "h2"),
+                _band(2, "h3", "h4"),
+                _band(3, "h5", "h6"),
+                _band(4, "h7", "h8"),
+            )
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+    lb, rb = bands.alias("l"), bands.alias("r")
+    pairs = (
+        lb.join(
+            rb,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "n_bands")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_DET_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+sig AS (
+  SELECT doc_id,
+         min(md5('1:'||gram)) AS h1, min(md5('2:'||gram)) AS h2,
+         min(md5('3:'||gram)) AS h3, min(md5('4:'||gram)) AS h4,
+         min(md5('5:'||gram)) AS h5, min(md5('6:'||gram)) AS h6,
+         min(md5('7:'||gram)) AS h7, min(md5('8:'||gram)) AS h8
+  FROM grams GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 1 AS b, md5(h1||h2) AS bh FROM sig UNION ALL
+  SELECT doc_id, 2, md5(h3||h4) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(h5||h6) FROM sig UNION ALL
+  SELECT doc_id, 4, md5(h7||h8) FROM sig),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, p.n_bands, count(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2, 3)
+SELECT i.doc_a, i.doc_b, CAST(i.n_bands AS BIGINT) AS n_bands,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 12 on 63-bit token-set hash);
     rows-only for the same sketch-hash reason."""
@@ -1129,6 +1276,66 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
              / sqrt((na * nb / 12.0)
                     * ((na + nb + 1) - tie3 * 1.0 / ((na + nb) * (na + nb - 1)))), 6) AS z_mw
 FROM a
+"""
+
+
+def stats_autocorr(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of the hourly event-count series per
+    event type — the time-series diagnostic behind traffic seasonality
+    checks and anomaly-detector window sizing (a high lag-1 ACF says
+    smoothing helps; all-flat ACF says the series is white noise).
+
+    One groupBy builds the hourly series (map-side combined), one
+    event_type-keyed window pass emits the three lags (hours are unique
+    per type, so lag order is total), a codegen'd stack unpivots to
+    (lag_k, x, xl), and Pearson corr runs per (type, lag) — both engines
+    use the same co-moment corr over identical doubles, rounded 6dp.
+    State is per-type-hour counts: bounded by the time span, never by
+    event volume."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        F.col("c").cast("double").alias("x"),
+        F.lag("c", 1).over(w).cast("double").alias("l1"),
+        F.lag("c", 2).over(w).cast("double").alias("l2"),
+        F.lag("c", 3).over(w).cast("double").alias("l3"),
+    )
+    un = lagged.select(
+        "event_type",
+        F.expr("stack(3, 1, x, l1, 2, x, l2, 3, x, l3) AS (lag_k, x, xl)"),
+    ).filter(F.col("xl").isNotNull())
+    return (
+        un.groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x", "xl"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag_k")
+    )
+
+
+STATS_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, CAST(c AS DOUBLE) AS x,
+         CAST(lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS l1,
+         CAST(lag(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS l2,
+         CAST(lag(c, 3) OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS l3
+  FROM hourly),
+un AS (
+  SELECT event_type, 1 AS lag_k, x, l1 AS xl FROM lagged UNION ALL
+  SELECT event_type, 2, x, l2 FROM lagged UNION ALL
+  SELECT event_type, 3, x, l3 FROM lagged)
+SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(x, xl), 6) AS acf
+FROM un WHERE xl IS NOT NULL
+GROUP BY event_type, lag_k ORDER BY event_type, lag_k
 """
 
 
@@ -2585,6 +2792,8 @@ QUERIES = {
     "stats_chi2": stats_chi2,
     "stats_ks_test": stats_ks_test,
     "stats_mannwhitney": stats_mannwhitney,
+    "stats_autocorr": stats_autocorr,
+    "dedup_minhash_det": dedup_minhash_det,
     "text_entropy": text_entropy,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
@@ -2639,6 +2848,8 @@ ORACLES = {
     "stats_chi2": STATS_CHI2_ORACLE,
     "stats_ks_test": STATS_KS_TEST_ORACLE,
     "stats_mannwhitney": STATS_MANNWHITNEY_ORACLE,
+    "stats_autocorr": STATS_AUTOCORR_ORACLE,
+    "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "text_entropy": TEXT_ENTROPY_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,

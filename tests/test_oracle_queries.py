@@ -226,6 +226,7 @@ def test_round7_window_prestage():
         "dedup_bloom_gate", "graph_bfs", "events_markov",
         "pipeline_kfold", "stats_ks_test", "stats_mannwhitney",
         "pipeline_temperature", "events_interarrival", "text_entropy",
-        "pipeline_dedup_rate",
+        "pipeline_dedup_rate", "dedup_minhash_det", "stats_autocorr",
+        "events_cohort_matrix",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
