@@ -337,6 +337,109 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).orderBy("a", "b")
 
 
+# 60-bit SimHash bit-majority fingerprint, shared verbatim by the Spark
+# and DuckDB legs of dedup_simhash_det: per bit i, sum +1/-1 over the
+# doc's distinct token hashes and set the bit when the majority is
+# non-negative. Integer arithmetic end to end, so cross-engine exact.
+_SIMHASH_DET_FP = " + ".join(
+    "(CASE WHEN sum(CASE WHEN (h >> %d) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+    " THEN CAST(%d AS BIGINT) ELSE CAST(0 AS BIGINT) END)" % (i, 1 << i)
+    for i in range(60)
+)
+
+
+def dedup_simhash_det(spark, sf_dir):
+    """Deterministic SimHash, the oracle-certified twin of
+    dedup_simhash: a 60-bit bit-majority fingerprint over each doc's
+    distinct-token md5 hashes, 4 pigeonhole bands of 15 bits (any pair
+    within Hamming ≤ 3 must agree on ≥1 band — exact, not
+    probabilistic), exact Hamming verify via bit_count(xor), reported
+    as the near-dup Hamming HISTOGRAM. The corpus is template-heavy
+    (178k qualifying pairs at sf0.1), so the certified artifact is the
+    4-row distance histogram — the banded join, fingerprints, and
+    verify still run in full on BOTH engines; the production pair
+    emitter stays dedup_simhash (63-bit xxhash64, rows-only).
+
+    The portable hash is cast(conv(substr(md5(tok),1,15),16,10) as
+    bigint) ≡ DuckDB CAST('0x'||substr(md5(tok),1,15) AS BIGINT) — the
+    same 60-bit integer, bit-for-bit (parity-probed). Everything after
+    tokenization is integer: bit-majority sums, band extraction by
+    shift/mask, xor popcount — no float drift anywhere. One token
+    shuffle (distinct), one doc-keyed 60-sum aggregate (map-side
+    combined), one (band, value)-keyed equi-join; at 100 TB the band
+    join carries 4 rows × 8-byte ints per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)").alias(
+                "h"
+            ),
+        )
+    )
+    sig = toks.groupBy("doc_id").agg(F.expr(_SIMHASH_DET_FP).alias("fp"))
+    bands = sig.select(
+        "doc_id",
+        "fp",
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("j"),
+    ).select(
+        "doc_id", "fp", "j", F.expr("(fp >> (15 * j)) & 32767").alias("bv")
+    )
+    lb, rb = bands.alias("l"), bands.alias("r")
+    pairs = (
+        lb.join(
+            rb,
+            (F.col("l.j") == F.col("r.j"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(l.fp ^ r.fp) as int)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+DEDUP_SIMHASH_DET_ORACLE = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+toks AS (SELECT DISTINCT doc_id, tok FROM toks0),
+hs AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM toks),
+sig AS (SELECT doc_id, %s AS fp FROM hs GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, fp, j, (fp >> (15 * j)) & 32767 AS bv
+  FROM sig, range(0, 4) t(j)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+  FROM bands l JOIN bands r
+    ON l.j = r.j AND l.bv = r.bv AND l.doc_id < r.doc_id)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE hamming <= 3
+GROUP BY hamming ORDER BY hamming
+""" % _SIMHASH_DET_FP
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) blocked by
     hyperplane-LSH bucket (operators/similarity.lsh_cosine_dup_pairs) —
@@ -362,6 +465,151 @@ def dedup_embedding_exact(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy("a", "b")
+
+
+def _rademacher_terms(seed: str, elem_fmt: str) -> str:
+    """±element term chain for one md5-seeded Rademacher hyperplane:
+    sign(seed, i) = parity of the same 60-bit md5 integer both engines
+    can compute, materialized here as inline +/- literals so the Spark
+    and DuckDB expressions are textually derived from ONE generator and
+    the dot product evaluates left-to-right identically in both."""
+    import hashlib
+
+    parts = []
+    for i in range(64):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        parts.append(("+ " if h & 1 else "- ") + elem_fmt.format(k=i + 1))
+    return " ".join(parts)
+
+
+_EMB_DET_TABLES, _EMB_DET_PLANES = 8, 3
+
+
+def _emb_det_code(t: int) -> str:
+    return " + ".join(
+        "(CASE WHEN d%d_%d >= 0 THEN %d ELSE 0 END)" % (t, p, 1 << p)
+        for p in range(_EMB_DET_PLANES)
+    )
+
+
+def dedup_embedding_det(spark, sf_dir):
+    """Deterministic hyperplane-LSH cosine dedup, the oracle-certified
+    twin of dedup_embedding with the SAME amplification shape (8 tables
+    × 3 planes, OR across tables): md5-seeded Rademacher hyperplanes
+    give every vector a 3-bit sign code per table, same-(table, code)
+    pairs are the candidates (one equi-join), and every candidate is
+    verified with the exact cosine (≥ 0.4 on the 6dp-rounded value,
+    both engines). The production dedup_embedding keeps impl-defined
+    random planes (rows-only, recall ≥ 0.8 pytest); this twin pins the
+    planes to md5 parity so DuckDB replays bucket membership
+    bit-for-bit and the whole sketch→band→verify pipeline is
+    value-checked — the third rows-only dedup family upgraded
+    (minhash, simhash, embedding).
+
+    The 24 plane dots are fixed 64-term ±emb[i] chains inlined from one
+    Python generator into both engines — left-to-right IEEE addition,
+    identical doubles (rounded 9dp before the sign regardless). Zero
+    shuffles until the (table, code) equi-join; ids-only travel through
+    the join and vectors re-attach by broadcast for the verify, so at
+    100 TB the shuffle carries 8 × (int, int) per vector and the verify
+    stays candidate-bounded."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dots = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                "round(0 %s, 9)"
+                % _rademacher_terms(f"{t}:{p}", "element_at(embedding, {k})")
+            ).alias(f"d{t}_{p}")
+            for t in range(_EMB_DET_TABLES)
+            for p in range(_EMB_DET_PLANES)
+        ],
+    )
+    codes = dots.select(
+        "vec_id",
+        *[F.expr(_emb_det_code(t)).alias(f"c{t}") for t in range(_EMB_DET_TABLES)],
+    )
+    lng = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"c{t}").alias("code")
+                    )
+                    for t in range(_EMB_DET_TABLES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.t").alias("t"), F.col("x.code").alias("code"))
+    l, r = lng.alias("l"), lng.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.code") == F.col("r.code"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .groupBy(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .select(
+            "a",
+            "b",
+            "n_tables",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("a", "b")
+    )
+
+
+DEDUP_EMBEDDING_DET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT vec_id,
+%s
+  FROM e),
+codes AS (
+  SELECT vec_id,
+%s
+  FROM dots),
+lng AS (
+%s),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, count(*) AS n_tables
+  FROM lng l JOIN lng r
+    ON l.t = r.t AND l.code = r.code AND l.vec_id < r.vec_id
+  GROUP BY 1, 2)
+SELECT p.a, p.b, CAST(p.n_tables AS BIGINT) AS n_tables,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
+FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.4
+ORDER BY a, b
+""" % (
+    ",\n".join(
+        "         round(0 %s, 9) AS d%d_%d"
+        % (_rademacher_terms(f"{t}:{p}", "emb[{k}]"), t, p)
+        for t in range(_EMB_DET_TABLES)
+        for p in range(_EMB_DET_PLANES)
+    ),
+    ",\n".join(
+        "         %s AS c%d" % (_emb_det_code(t), t)
+        for t in range(_EMB_DET_TABLES)
+    ),
+    " UNION ALL\n".join(
+        "  SELECT vec_id, %d AS t, c%d AS code FROM codes" % (t, t)
+        for t in range(_EMB_DET_TABLES)
+    ),
+)
 
 
 def dedup_semantic(spark, sf_dir):
@@ -2794,6 +3042,8 @@ QUERIES = {
     "stats_mannwhitney": stats_mannwhitney,
     "stats_autocorr": stats_autocorr,
     "dedup_minhash_det": dedup_minhash_det,
+    "dedup_simhash_det": dedup_simhash_det,
+    "dedup_embedding_det": dedup_embedding_det,
     "text_entropy": text_entropy,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
@@ -2850,6 +3100,8 @@ ORACLES = {
     "stats_mannwhitney": STATS_MANNWHITNEY_ORACLE,
     "stats_autocorr": STATS_AUTOCORR_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
+    "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
+    "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,
     "text_entropy": TEXT_ENTROPY_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,

@@ -227,6 +227,6 @@ def test_round7_window_prestage():
         "pipeline_kfold", "stats_ks_test", "stats_mannwhitney",
         "pipeline_temperature", "events_interarrival", "text_entropy",
         "pipeline_dedup_rate", "dedup_minhash_det", "stats_autocorr",
-        "events_cohort_matrix",
+        "events_cohort_matrix", "dedup_simhash_det", "dedup_embedding_det",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
