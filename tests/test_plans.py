@@ -409,3 +409,40 @@ def test_sql_qualify_compiles_to_group_limit(spark):
 
     plan = _plan(sql_qualify(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
+
+
+def test_minhash_det_banded_equijoin_no_cartesian(spark):
+    """dedup_minhash_det's candidates must come from the (band, hash)
+    equi-join and its verify stage must stay candidate-bounded — any
+    cartesian/nested-loop would mean the LSH blocking collapsed."""
+    from ballista_mvp_spark.queries.extensions import dedup_minhash_det
+
+    plan = _plan(dedup_minhash_det(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan  # signature mins map-side combined
+
+
+def test_simhash_det_integer_band_join_no_python(spark):
+    """dedup_simhash_det: banded equi-join on integer (j, bv) keys, no
+    Python evaluation anywhere, fingerprint sums map-side combined."""
+    from ballista_mvp_spark.queries.extensions import dedup_simhash_det
+
+    plan = _plan(dedup_simhash_det(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+
+
+def test_embedding_det_code_equijoin_vectors_rejoin_broadcast(spark):
+    """dedup_embedding_det: candidates from the (table, code) equi-join
+    with ids only; the 64-double vectors must re-attach via broadcast
+    for the verify, never travel through the LSH shuffle."""
+    from ballista_mvp_spark.queries.extensions import dedup_embedding_det
+
+    plan = _plan(dedup_embedding_det(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
