@@ -164,7 +164,7 @@ _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
 # ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
-# AFTER CORRECTNESS_r06.json lands): the 27 round-5 additions (all
+# AFTER CORRECTNESS_r06.json lands): the 29 round-5 additions (all
 # strict-oracle-green at both scales + vanilla session, never
 # driver-certified — rows-only entries excluded per the COVERAGE.md
 # lesson), padded to 50 with re-certifications of oracle-backed
@@ -181,11 +181,12 @@ _CERT_FIRST_ROUND7 = [
     "pipeline_temperature", "events_interarrival", "text_entropy",
     "pipeline_dedup_rate", "dedup_minhash_det", "stats_autocorr",
     "events_cohort_matrix", "dedup_simhash_det", "dedup_embedding_det",
+    "sketch_cms_det", "sketch_hll_det",
     # aggregate-family re-certs (r1/r2 rows; cube/rollup/distinct_filter
     # + join_inner/right_semi + window_first_last_nth yielded their
     # slots to the late round-5 additions — every family keeps >=2
     # representatives below or in an earlier window)
-    "agg_basic", "agg_regression", "agg_weighted_percentile",
+    "agg_basic", "agg_regression",
     # join leftovers
     "join_left", "join_right_anti",
     # sql surface
@@ -198,7 +199,7 @@ _CERT_FIRST_ROUND7 = [
     "events_topk_users", "streaming_tumbling", "streaming_sessionize",
     # text / pipeline / tpch / multimodal reps
     "text_gopher", "text_decontaminate",
-    "pipeline_pack", "pipeline_mixture", "pipeline_leakage",
+    "pipeline_pack", "pipeline_leakage",
     "multimodal_meta",
 ]
 assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)

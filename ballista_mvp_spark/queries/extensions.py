@@ -2799,6 +2799,176 @@ def sketch_cms(spark, sf_dir):
     )
 
 
+def sketch_cms_det(spark, sf_dir):
+    """Deterministic count-min sketch, the oracle-certified twin of
+    sketch_cms: a 4×16 counter matrix whose row hashes are the
+    portable 60-bit md5 integers (conv(substr(md5),16,10) ≡ DuckDB
+    '0x' cast), deliberately narrow (the corpus vocabulary is a
+    31-token template set) so real collisions occur and the
+    certified artifact exercises the estimator's min-over-rows bound —
+    output is the exact-vs-estimate comparison for the exact top-20
+    tokens, with the per-token OVERCOUNT (always ≥ 0, the CMS
+    guarantee) value-checked cross-engine. The production sketch_cms
+    keeps xxhash64 and 4×8192 cells (rows-only + property tests).
+
+    Integer arithmetic end to end: token counts feed the cells (one
+    map-side-combined groupBy), counters are 64 rows regardless of
+    corpus size (the sketch point), the top-20 probe is a
+    TakeOrdered + broadcast-sized counter join."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cell = (
+        "cast(conv(substr(md5(concat(j, ':', term)),1,15),16,10) as bigint)"
+        " % 16"
+    )
+    cells = counts.select(
+        "term", "n", F.explode(F.expr("array(0, 1, 2, 3)")).alias("j")
+    ).select("n", "j", F.expr(cell).alias("cell"))
+    counters = cells.groupBy("j", "cell").agg(F.sum("n").alias("c"))
+    top = (
+        counts.orderBy(F.col("n").desc(), "term")
+        .limit(20)
+        .withColumnRenamed("n", "exact_n")
+    )
+    probes = top.select(
+        "term", "exact_n", F.explode(F.expr("array(0, 1, 2, 3)")).alias("j")
+    ).select("term", "exact_n", "j", F.expr(cell).alias("cell"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "cell"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "term")
+    )
+
+
+SKETCH_CMS_DET_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+cells AS (
+  SELECT n, j, CAST('0x'||substr(md5(j||':'||term),1,15) AS BIGINT) % 16 AS cell
+  FROM counts, range(0, 4) t(j)),
+counters AS (SELECT j, cell, sum(n) AS c FROM cells GROUP BY 1, 2),
+top AS (SELECT term, n AS exact_n FROM counts ORDER BY n DESC, term LIMIT 20),
+probes AS (
+  SELECT term, exact_n, j,
+         CAST('0x'||substr(md5(j||':'||term),1,15) AS BIGINT) % 16 AS cell
+  FROM top, range(0, 4) t(j)),
+est AS (
+  SELECT term, exact_n, min(c) AS cms_est
+  FROM probes JOIN counters USING (j, cell) GROUP BY 1, 2)
+SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount
+FROM est ORDER BY exact_n DESC, term
+"""
+
+
+# rho(w) for a 54-bit suffix: 1-indexed position of the leftmost set
+# bit, 55 when w = 0 — a pure integer CASE chain shared by both engines
+# (no float log2, whose boundary rounding could disagree).
+_HLL_RHO = (
+    "CASE "
+    + " ".join(
+        "WHEN w >= %d THEN %d" % (1 << k, 54 - k) for k in range(53, -1, -1)
+    )
+    + " ELSE 55 END"
+)
+
+
+def sketch_hll_det(spark, sf_dir):
+    """Deterministic HyperLogLog, the oracle-certified twin of
+    sketch_hll: m = 64 buckets from the low 6 bits of the portable
+    60-bit md5 integer, registers = max leading-1 position of the
+    54-bit suffix (integer CASE chain, no float log), and the Flajolet
+    estimator computed from the integer registers as
+    α₆₄·m²·2⁵⁵ / Σ 2^(55-reg) — the harmonic sum rescaled to an exact
+    integer so both engines divide the same two numbers (plus the
+    standard linear-counting branch for the small range). The
+    production sketch_hll keeps xxhash64 + per-window merge
+    (rows-only + merge==direct pytest).
+
+    64 registers of state regardless of corpus size (±13% standard
+    error; sf0.01's 150 users land in the linear-counting branch, the
+    raw branch takes over at sf0.1); one distinct, one 64-group max, one single-row aggregate. Output: exact distinct
+    users vs HLL estimate and the relative error (4dp)."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select(F.col("user_id").cast("string").alias("u")).distinct()
+    hs = users.select(
+        F.expr("cast(conv(substr(md5(u),1,15),16,10) as bigint)").alias("h")
+    ).select(F.expr("h & 63").alias("bucket"), F.expr("h >> 6").alias("w"))
+    rhos = hs.select("bucket", F.expr(_HLL_RHO).alias("rho"))
+    regs0 = rhos.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    allb = spark.range(64).select(F.col("id").alias("bucket"))
+    regs = allb.join(regs0, "bucket", "left").select(
+        F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    summary = regs.agg(
+        F.max("reg").cast("int").alias("max_reg"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - reg)")).alias("sp"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("zero_regs"),
+    )
+    ex = users.agg(F.count(F.lit(1)).alias("n_exact"))
+    raw = F.lit(0.709) * F.lit(4096.0) * F.pow(F.lit(2.0), F.lit(55.0)) / F.col(
+        "sp"
+    ).cast("double")
+    est = F.when(
+        (raw <= 160.0) & (F.col("zero_regs") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("zero_regs")),
+    ).otherwise(raw)
+    return ex.crossJoin(summary).select(
+        "n_exact",
+        "max_reg",
+        F.col("zero_regs").cast("bigint").alias("zero_regs"),
+        F.round(est, 4).alias("hll_est"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact") * 100.0, 4).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+SKETCH_HLL_DET_ORACLE = """
+WITH users AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events),
+hs AS (SELECT CAST('0x'||substr(md5(u),1,15) AS BIGINT) AS h FROM users),
+bw AS (SELECT h & 63 AS bucket, h >> 6 AS w FROM hs),
+rhos AS (SELECT bucket, %s AS rho FROM bw),
+regs0 AS (SELECT bucket, max(rho) AS reg FROM rhos GROUP BY bucket),
+regs AS (
+  SELECT coalesce(reg, 0) AS reg
+  FROM range(0, 64) t(b) LEFT JOIN regs0 ON regs0.bucket = t.b),
+s AS (
+  SELECT CAST(max(reg) AS INT) AS max_reg,
+         sum(CAST(1 AS BIGINT) << (55 - reg)) AS sp,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zero_regs
+  FROM regs),
+ex AS (SELECT count(*) AS n_exact FROM users),
+c AS (
+  SELECT n_exact, max_reg, zero_regs,
+         0.709 * 4096.0 * pow(2.0, 55.0) / CAST(sp AS DOUBLE) AS raw
+  FROM ex, s),
+f AS (
+  SELECT *, CASE WHEN raw <= 160.0 AND zero_regs > 0
+                 THEN 64.0 * ln(64.0 / zero_regs) ELSE raw END AS est
+  FROM c)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, max_reg,
+       CAST(zero_regs AS BIGINT) AS zero_regs,
+       round(est, 4) AS hll_est,
+       round((est - n_exact) / n_exact * 100.0, 4) AS rel_err_pct
+FROM f
+""" % _HLL_RHO
+
+
 def text_perplexity(spark, sf_dir):
     """Per-document cross-entropy / perplexity under the corpus's own
     bigram LM (operators/text.bigram_cross_entropy) — the CCNet-style
@@ -3044,6 +3214,8 @@ QUERIES = {
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
+    "sketch_cms_det": sketch_cms_det,
+    "sketch_hll_det": sketch_hll_det,
     "text_entropy": text_entropy,
     "text_script_profile": text_script_profile,
     "text_readability": text_readability,
@@ -3102,6 +3274,8 @@ ORACLES = {
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,
+    "sketch_cms_det": SKETCH_CMS_DET_ORACLE,
+    "sketch_hll_det": SKETCH_HLL_DET_ORACLE,
     "text_entropy": TEXT_ENTROPY_ORACLE,
     "text_script_profile": TEXT_SCRIPT_PROFILE_ORACLE,
     "text_readability": TEXT_READABILITY_ORACLE,
