@@ -485,6 +485,64 @@ GROUP BY 1 ORDER BY k
 """
 
 
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the interaction graph: the Pearson
+    correlation between the total degrees of the two endpoints of each
+    edge — positive means hubs talk to hubs (social-network shape),
+    negative means hub-and-spoke (broadcast shape). THE one-number
+    graph-health check run before an iterative algorithm is launched:
+    strongly negative assortativity predicts the skewed-bucket behavior
+    graph_degree profiles node by node.
+
+    Edges come from the shared _interaction_edges chain; total degree
+    is one groupBy over the (src ∪ dst) endpoint stream; the edge table
+    then joins the slim (node, degree) table twice — both
+    broadcast-sized relative to edges — and a single corr aggregate
+    (map-side co-moments) produces the statistic, rounded 6dp on both
+    engines."""
+    e = _t(spark, sf_dir, "events")
+    edges = _interaction_edges(e)
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    dx = deg.select(F.col("node").alias("src"), F.col("degree").alias("dx"))
+    dy = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dy"))
+    return (
+        edges.join(F.broadcast(dx), "src")
+        .join(F.broadcast(dy), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("dx"), 6).alias("avg_src_degree"),
+            F.round(F.avg("dy"), 6).alias("avg_dst_degree"),
+            F.round(
+                F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+GRAPH_ASSORTATIVITY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+ends AS (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY node)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       round(avg(dx.degree), 6) AS avg_src_degree,
+       round(avg(dy.degree), 6) AS avg_dst_degree,
+       round(corr(CAST(dx.degree AS DOUBLE), CAST(dy.degree AS DOUBLE)), 6)
+         AS assortativity
+FROM edges
+JOIN deg dx ON dx.node = edges.src
+JOIN deg dy ON dy.node = edges.dst
+"""
+
+
 def events_cohort_matrix(spark, sf_dir):
     """Weekly cohort retention MATRIX — events_retention's aggregate
     curve expanded into the (cohort_week × week-offset) grid a growth
@@ -1682,6 +1740,7 @@ QUERIES = {
     "events_markov": events_markov,
     "events_interarrival": events_interarrival,
     "events_cohort_matrix": events_cohort_matrix,
+    "graph_assortativity": graph_assortativity,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1725,6 +1784,7 @@ ORACLES = {
     "events_markov": EVENTS_MARKOV_ORACLE,
     "events_interarrival": EVENTS_INTERARRIVAL_ORACLE,
     "events_cohort_matrix": EVENTS_COHORT_MATRIX_ORACLE,
+    "graph_assortativity": GRAPH_ASSORTATIVITY_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

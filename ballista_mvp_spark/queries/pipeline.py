@@ -11,7 +11,7 @@ can replay them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -598,6 +598,65 @@ SELECT source,
        CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
        round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6) AS dup_rate
 FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def pipeline_source_gini(spark, sf_dir):
+    """Corpus concentration audit: the Gini coefficient of token mass
+    across ingest sources, plus the largest source's share — the
+    one-number answer to "is this corpus dominated by a few feeds?"
+    that decides whether pipeline_mixture/pipeline_temperature
+    re-weighting is needed before training.
+
+    One map-side-combined groupBy collapses the corpus to |sources|
+    rows; the Gini uses the exact rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    totals (ties broken by source name, so both engines rank
+    identically) — a window over ≤ dozens of rows, then one closed-form
+    aggregate. Token counts are whitespace-split sizes, integer end to
+    end until the final division (6dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    " ",
+                )
+            )
+        ).alias("toks")
+    )
+    w = W.orderBy("toks", "source")
+    ranked = per.select("source", "toks", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("toks"))
+                - (F.count(F.lit(1)) + 1) * F.sum("toks")
+            )
+            / (F.count(F.lit(1)) * F.sum("toks")),
+            6,
+        ).alias("gini"),
+        F.round(F.max("toks") / F.sum("toks"), 6).alias("top_share"),
+    )
+
+
+PIPELINE_SOURCE_GINI_ORACLE = r"""
+WITH per AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS toks
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, toks, row_number() OVER (ORDER BY toks, source) AS i
+  FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round((2.0 * sum(i * toks) - (count(*) + 1) * sum(toks))
+             * 1.0 / (count(*) * sum(toks)), 6) AS gini,
+       round(max(toks) * 1.0 / sum(toks), 6) AS top_share
+FROM ranked
 """
 
 
@@ -1887,6 +1946,7 @@ QUERIES = {
     "pipeline_mixture": pipeline_mixture,
     "pipeline_temperature": pipeline_temperature,
     "pipeline_dedup_rate": pipeline_dedup_rate,
+    "pipeline_source_gini": pipeline_source_gini,
     "pipeline_quota": pipeline_quota,
     "pipeline_reservoir": pipeline_reservoir,
     "pipeline_importance": pipeline_importance,
@@ -1930,6 +1990,7 @@ ORACLES = {
     "pipeline_mixture": PIPELINE_MIXTURE_ORACLE,
     "pipeline_temperature": PIPELINE_TEMPERATURE_ORACLE,
     "pipeline_dedup_rate": PIPELINE_DEDUP_RATE_ORACLE,
+    "pipeline_source_gini": PIPELINE_SOURCE_GINI_ORACLE,
     "pipeline_quota": PIPELINE_QUOTA_ORACLE,
     "pipeline_reservoir": PIPELINE_RESERVOIR_ORACLE,
     "pipeline_importance": PIPELINE_IMPORTANCE_ORACLE,
