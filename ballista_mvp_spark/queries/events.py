@@ -485,6 +485,47 @@ GROUP BY 1 ORDER BY k
 """
 
 
+def events_heatmap(spark, sf_dir):
+    """Hour-of-week activity heatmap: event share per (ISO weekday ×
+    hour-of-day) cell — the seasonality profile that sizes streaming
+    capacity and spots crawl/bot cadence (a flat heatmap is machine
+    traffic; humans have nights and weekends). Weekday alignment is
+    pinned to ISO (Monday=1) explicitly on BOTH engines — Spark's
+    weekday() is 0-based-Monday and DuckDB's dayofweek is
+    0-based-Sunday, a classic cross-engine off-by-one.
+
+    One map-side-combined groupBy to ≤168 cells, one broadcast total;
+    scan-bound at any scale."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.weekday("ts") + 1).alias("isodow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "isodow",
+            "hour",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("isodow", "hour")
+    )
+
+
+EVENTS_HEATMAP_ORACLE = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS total FROM cells)
+SELECT isodow, hour, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS share
+FROM cells, tot ORDER BY isodow, hour
+"""
+
+
 def graph_assortativity(spark, sf_dir):
     """Degree assortativity of the interaction graph: the Pearson
     correlation between the total degrees of the two endpoints of each
@@ -1741,6 +1782,7 @@ QUERIES = {
     "events_interarrival": events_interarrival,
     "events_cohort_matrix": events_cohort_matrix,
     "graph_assortativity": graph_assortativity,
+    "events_heatmap": events_heatmap,
     "graph_pagerank": graph_pagerank,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
@@ -1785,6 +1827,7 @@ ORACLES = {
     "events_interarrival": EVENTS_INTERARRIVAL_ORACLE,
     "events_cohort_matrix": EVENTS_COHORT_MATRIX_ORACLE,
     "graph_assortativity": GRAPH_ASSORTATIVITY_ORACLE,
+    "events_heatmap": EVENTS_HEATMAP_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree": GRAPH_DEGREE_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,

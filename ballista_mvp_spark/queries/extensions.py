@@ -1587,6 +1587,121 @@ GROUP BY event_type, lag_k ORDER BY event_type, lag_k
 """
 
 
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation (tie-corrected, average ranks) between
+    document length and lexical diversity (distinct-token ratio) — the
+    monotone-dependence complement to Pearson for curation scatter
+    audits, robust to the heavy length tails where Pearson is dragged
+    by outliers. Longer docs repeat vocabulary, so ρ is expected
+    negative; both coefficients are reported so the contrast is itself
+    the artifact.
+
+    Average ranks come from the standard identity
+    avg_rank = rank + (tie_count − 1)/2 using two window passes (a
+    rank() and a count() over the value partition) — integer-exact and
+    identical cross-engine — then one Pearson corr over the rank pairs
+    (map-side co-moments), 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    per = docs.select(
+        F.col("doc_id"),
+        F.size(toks).alias("x"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 9
+        ).alias("y"),
+    )
+    rx = (
+        F.rank().over(W.orderBy("x"))
+        + (F.count(F.lit(1)).over(W.partitionBy("x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(W.orderBy("y"))
+        + (F.count(F.lit(1)).over(W.partitionBy("y")) - 1) / 2.0
+    )
+    ranked = per.select("x", "y", rx.alias("rx"), ry.alias("ry"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.round(
+            F.corr(F.col("x").cast("double"), F.col("y")), 6
+        ).alias("pearson_r"),
+    )
+
+
+STATS_SPEARMAN_ORACLE = r"""
+WITH per AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS x,
+         round(len(list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+               * 1.0 / len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 9) AS y
+  FROM documents),
+ranked AS (
+  SELECT x, y,
+         rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(corr(rx, ry), 6) AS spearman_rho,
+       round(corr(CAST(x AS DOUBLE), y), 6) AS pearson_r
+FROM ranked
+"""
+
+
+def stats_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data / truncation-artifact detector a data-quality gate
+    runs over monetary columns. Output: observed vs expected
+    (log10(1 + 1/d)) share per leading digit plus the per-digit χ²
+    contribution; sums to the familiar Benford χ² statistic.
+
+    The leading digit comes from the INTEGER part rendered as a string
+    (floor → bigint → substr), never from float formatting — bigint
+    rendering is byte-identical cross-engine where printf('%g') is not.
+    One map-side-combined 9-group aggregate over a scan; the expected
+    shares are closed-form constants."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_pct"),
+            F.round(exp, 6).alias("benford_pct"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * exp, 2)
+                / (F.col("total") * exp),
+                6,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+STATS_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS observed_pct,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_pct,
+       round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+             / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_part
+FROM counts, tot ORDER BY digit
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Corpus character-class entropy per language: the Shannon entropy
     of the (letter, digit, whitespace, other) character distribution —
@@ -3211,6 +3326,8 @@ QUERIES = {
     "stats_ks_test": stats_ks_test,
     "stats_mannwhitney": stats_mannwhitney,
     "stats_autocorr": stats_autocorr,
+    "stats_spearman": stats_spearman,
+    "stats_benford": stats_benford,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3271,6 +3388,8 @@ ORACLES = {
     "stats_ks_test": STATS_KS_TEST_ORACLE,
     "stats_mannwhitney": STATS_MANNWHITNEY_ORACLE,
     "stats_autocorr": STATS_AUTOCORR_ORACLE,
+    "stats_spearman": STATS_SPEARMAN_ORACLE,
+    "stats_benford": STATS_BENFORD_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

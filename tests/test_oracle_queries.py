@@ -229,6 +229,7 @@ def test_round7_window_prestage():
         "pipeline_dedup_rate", "dedup_minhash_det", "stats_autocorr",
         "events_cohort_matrix", "dedup_simhash_det", "dedup_embedding_det",
         "sketch_cms_det", "sketch_hll_det", "graph_assortativity",
-        "pipeline_source_gini",
+        "pipeline_source_gini", "stats_spearman", "stats_benford",
+        "events_heatmap",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
