@@ -126,6 +126,160 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return per_node
 
 
+def _sym_adj(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric simple adjacency (u, v): direction and multi-edges
+    collapsed, self-loops dropped, both orientations materialized — the
+    canonical input of the undirected algorithms below. One distinct
+    shuffle over 16-byte pairs."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded-round k-core peeling over the undirected simple graph:
+    ``rounds`` synchronized peel supersteps (drop every node whose degree
+    among currently-alive nodes is < k), then one final degree pass over
+    the survivors. Returns (node, core_degree) for nodes alive after the
+    last round.
+
+    A FIXED round count (not run-to-fixed-point) keeps the operator
+    deterministic and SQL-replayable — an oracle unrolls the same K
+    supersteps; converged rounds are no-ops, so once the peel stabilizes
+    within the budget the output IS the exact k-core. Production swap-in
+    for unbounded peel depth: loop the same body until the alive count
+    stops changing (one extra count action per round), the
+    connected_components convergence discipline.
+
+    Per round: two semi-joins restricting the adjacency to alive
+    endpoints + one map-side-combined degree agg — all keyed on node
+    ids, O(alive-adjacent edges) shuffled rows, monotonically shrinking.
+    localCheckpoint cuts the per-round lineage."""
+    adj = _sym_adj(edges, src, dst).localCheckpoint(eager=True)
+    alive = adj.select(F.col("u").alias("node")).distinct()
+    for _ in range(rounds):
+        deg = (
+            adj.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
+        )
+    return (
+        adj.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with
+    deterministic tie-breaks: every node starts labeled with its own id;
+    each iteration relabels every node with the most frequent label among
+    its neighbors, ties broken by the SMALLEST label (Raghavan et al.,
+    Phys. Rev. E 76, 2007 — the async/random variant is the common one;
+    the synchronous + deterministic-tiebreak form is chosen here exactly
+    so a SQL oracle can unroll the same K supersteps and value-match).
+
+    Per iteration: one join (neighbor label lookup, keyed on node id),
+    one (node, label) count agg, one row_number window per node — all
+    map-side-combinable or node-keyed; label state is O(nodes). Fixed
+    iteration count, the pagerank convention. Returns (node, community)
+    after the last superstep."""
+    adj = _sym_adj(edges, src, dst).localCheckpoint(eager=True)
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(iterations):
+        counts = (
+            adj.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def jaccard_links(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the undirected simple
+    graph: for every NON-adjacent pair sharing >= 1 neighbor, score =
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (Liben-Nowell & Kleinberg, CIKM 2003).
+    The classic "suggest an edge" / related-entity primitive.
+
+    Plan: wedge join on the shared neighbor (the triangle_counts shape —
+    canonical a < b output pairs so each pair counts once per shared
+    neighbor), one degree pass, an anti-join against the existing edge
+    set, pure column arithmetic for the score. Two id-keyed shuffles +
+    the wedge fan-out; at 100 TB apply the same degree-ordered
+    orientation note as triangle_counts (cap wedge fan-out by arboricity)
+    and pre-filter hubs (a node with degree d contributes C(d,2) wedges).
+    Returns (a, b, n_common, deg_a, deg_b, jaccard[6dp])."""
+    adj = _sym_adj(edges, src, dst)
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = adj.select(F.col("v").alias("n"), F.col("u").alias("a"))
+    e2 = adj.select(F.col("v").alias("n"), F.col("u").alias("b"))
+    common = (
+        e1.join(e2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    und = adj.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return (
+        common.join(und, ["a", "b"], "left_anti")
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

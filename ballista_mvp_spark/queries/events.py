@@ -1748,6 +1748,167 @@ FROM f GROUP BY event_type ORDER BY event_type
 """
 
 
+def _sparse_und(e: DataFrame) -> DataFrame:
+    """Deterministically sparsified undirected interaction graph: the
+    canonical (a < b) distinct pairs of _interaction_edges, keeping only
+    pairs whose md5("a:b") starts with hex digit '0' (a 1/16 edge
+    sample). Salted-md5 decisions are the pipeline_split convention —
+    scale-independent, replayable in any engine — and the sparsification
+    gives the core/community/link-prediction structure the dense
+    next-actor graph lacks (median degree ~86 at sf0.01 collapses every
+    peel to all-or-nothing)."""
+    und = (
+        _interaction_edges(e)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    keep = (
+        F.md5(
+            F.concat(
+                F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+            )
+        ).substr(1, 1)
+        < "1"
+    )
+    return und.filter(keep)
+
+
+_GRAPH_SPARSE_PRELUDE = """
+ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+dir_edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+und0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir_edges),
+und AS (
+  SELECT a, b FROM und0
+  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1) < '1'),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und)"""
+
+
+def graph_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling (k=4, 4 supersteps) over the
+    sparsified interaction graph — the standard dense-subgraph /
+    spam-farm detector (Seidman 1983; distributed peel à la Montresor et
+    al.). Fixed round count makes the superstep sequence SQL-replayable:
+    the oracle unrolls the SAME 4 peels, so every intermediate alive-set
+    is value-checked, not just a converged fixed point
+    (operators/graph.kcore_peel — production swap-in loops the same body
+    to convergence). Output: surviving nodes + degree within the
+    survivor-induced subgraph."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    und = _sparse_und(e)
+    return G.kcore_peel(und, "a", "b", k=4, rounds=4).orderBy("node")
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 4) -> str:
+    """Unrolled bounded-round peel (DuckDB forbids aggregates in a
+    recursive CTE member — the pagerank-oracle convention)."""
+    prev, steps = "a0", []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS (
+  SELECT adj.u AS node, count(*) AS deg FROM adj
+  JOIN {prev} x ON adj.u = x.node JOIN {prev} y ON adj.v = y.node
+  GROUP BY adj.u),
+a{i} AS (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+        prev = f"a{i}"
+    return f"""
+WITH {_GRAPH_SPARSE_PRELUDE},
+a0 AS (SELECT DISTINCT u AS node FROM adj),
+{",".join(steps)},
+df AS (
+  SELECT adj.u AS node, count(*) AS core_degree FROM adj
+  JOIN {prev} x ON adj.u = x.node JOIN {prev} y ON adj.v = y.node
+  GROUP BY adj.u)
+SELECT node, core_degree FROM df ORDER BY node
+"""
+
+
+GRAPH_KCORE_ORACLE = _kcore_oracle()
+
+
+def graph_labelprop(spark, sf_dir):
+    """Synchronous label-propagation communities (3 supersteps,
+    deterministic most-frequent-then-smallest-label rule) over the
+    sparsified interaction graph — the near-linear community detector
+    (Raghavan et al. 2007) in its oracle-replayable synchronous form
+    (operators/graph.label_propagation). The unrolled oracle value-checks
+    every node's label after the final superstep, i.e. the full
+    propagation history had to match."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    und = _sparse_und(e)
+    return G.label_propagation(und, "a", "b", iterations=3).orderBy("node")
+
+
+def _labelprop_oracle(iterations: int = 3) -> str:
+    prev, steps = "l0", []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT adj.u, l.label, count(*) AS _c
+  FROM adj JOIN {prev} l ON adj.v = l.node GROUP BY adj.u, l.label),
+l{i} AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY _c DESC, label) AS _rn
+    FROM c{i}) WHERE _rn = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {_GRAPH_SPARSE_PRELUDE},
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+{",".join(steps)}
+SELECT node, label AS community FROM {prev} ORDER BY node
+"""
+
+
+GRAPH_LABELPROP_ORACLE = _labelprop_oracle()
+
+
+def graph_jaccard_links(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
+    CIKM 2003): top-50 NON-adjacent pairs of the sparsified interaction
+    graph by |N(a)∩N(b)| / |N(a)∪N(b)| — the related-entity /
+    suggested-connection primitive (operators/graph.jaccard_links: wedge
+    join + degree pass + anti-join against the edge set)."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    und = _sparse_und(e)
+    return (
+        G.jaccard_links(und, "a", "b")
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+GRAPH_JACCARD_LINKS_ORACLE = f"""
+WITH {_GRAPH_SPARSE_PRELUDE},
+deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+common AS (
+  SELECT e1.u AS a, e2.u AS b, count(*) AS n_common
+  FROM adj e1 JOIN adj e2 ON e1.v = e2.v AND e1.u < e2.u
+  GROUP BY e1.u, e2.u),
+nonadj AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM und w WHERE w.a = c.a AND w.b = c.b))
+SELECT n.a, n.b, n.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       round(n.n_common * 1.0 / (da.deg + db.deg - n.n_common), 6) AS jaccard
+FROM nonadj n
+JOIN deg da ON n.a = da.node JOIN deg db ON n.b = db.node
+ORDER BY jaccard DESC, n.a, n.b LIMIT 50
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
@@ -1788,6 +1949,9 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_components": graph_components,
     "graph_components_twophase": graph_components_twophase,
+    "graph_kcore": graph_kcore,
+    "graph_labelprop": graph_labelprop,
+    "graph_jaccard_links": graph_jaccard_links,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -1833,6 +1997,9 @@ ORACLES = {
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "graph_components": GRAPH_COMPONENTS_ORACLE,
     "graph_components_twophase": GRAPH_COMPONENTS_ORACLE,
+    "graph_kcore": GRAPH_KCORE_ORACLE,
+    "graph_labelprop": GRAPH_LABELPROP_ORACLE,
+    "graph_jaccard_links": GRAPH_JACCARD_LINKS_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

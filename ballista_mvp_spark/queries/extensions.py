@@ -1702,6 +1702,213 @@ FROM counts, tot ORDER BY digit
 """
 
 
+def stats_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test (the default two-group
+    comparison when variances differ — Welch 1947; BMJ's recommended
+    replacement for Student's t) on order totals: urgent-priority orders
+    (1-URGENT / 2-HIGH) vs the rest. Complements events_ab_test's
+    two-proportion z with the continuous-outcome decision gate every
+    curation ablation needs.
+
+    One conditional single-pass aggregate (count/avg/var_samp per arm via
+    CASE — map-side combined, one 1-row result), then pure column
+    arithmetic for the t statistic and the Welch–Satterthwaite dof.
+    Accumulation-order float aggregates → 6dp/4dp rounding on both
+    engines, the registry convention."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    x = F.col("o_totalprice")
+    agg = o.agg(
+        F.count(F.when(urgent, 1)).alias("n_a"),
+        F.avg(F.when(urgent, x)).alias("m_a"),
+        F.var_samp(F.when(urgent, x)).alias("v_a"),
+        F.count(F.when(~urgent, 1)).alias("n_b"),
+        F.avg(F.when(~urgent, x)).alias("m_b"),
+        F.var_samp(F.when(~urgent, x)).alias("v_b"),
+    )
+    sa = F.col("v_a") / F.col("n_a")
+    sb = F.col("v_b") / F.col("n_b")
+    se2 = sa + sb
+    dof = (se2 * se2) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias("t_welch"),
+        F.round(dof, 2).alias("dof_welch"),
+    )
+
+
+STATS_TTEST_ORACLE = """
+WITH agg AS (
+  SELECT count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_a,
+         avg(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN o_totalprice END) AS m_a,
+         var_samp(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN o_totalprice END) AS v_a,
+         count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_b,
+         avg(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN o_totalprice END) AS m_b,
+         var_samp(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN o_totalprice END) AS v_b
+  FROM orders)
+SELECT n_a, n_b, round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_welch,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+             2) AS dof_welch
+FROM agg
+"""
+
+
+def stats_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival estimate (Kaplan & Meier, JASA 1958) of
+    time-to-first-big-purchase: per user, the duration in HOURS from
+    their first event to their first purchase with value >= 90 (the
+    "death"); users who never convert are right-censored at their last
+    event. The product-limit estimator S(t) = Π_{t_i <= t}
+    (1 - d_i / n_i) over event times — churn/conversion analysis with
+    correct censoring handling, the survival complement to
+    events_retention's fixed-window rates.
+
+    Shape: one user-keyed conditional agg (first event / first
+    conversion / last event in a single pass), a duration histogram
+    (map-side combined), ONE descending cumulative-sum window for the
+    at-risk counts (n_i = users with duration >= t_i, integer-exact),
+    and the product as exp of an ascending cumulative ln-sum over the
+    death-time rows only — sequential deterministic frame order, 6dp.
+    A d_i = n_i terminal row (survival exactly 0) is handled by a
+    min-factor window flag, not ln(0) (Spark ln(0) is NULL, DuckDB
+    -inf). State is O(distinct durations) — bounded by the horizon, not
+    the corpus."""
+    e = _t(spark, sf_dir, "events")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") >= 90)
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("fs"),
+        F.min(F.when(conv, F.col("ts"))).alias("fp"),
+        F.max("ts").alias("ls"),
+    )
+    per = users.select(
+        F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("died"),
+        (
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("fp", "ls")) - F.unix_micros("fs")
+                )
+                / F.lit(3600000000)
+            )
+        ).alias("dur"),
+    )
+    hist = per.groupBy("dur").agg(
+        F.count("*").alias("n_all"), F.sum("died").alias("d")
+    )
+    w_desc = (
+        W.orderBy(F.col("dur").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = hist.withColumn("n_risk", F.sum("n_all").over(w_desc))
+    deaths = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "n_risk",
+        "d",
+        ((F.col("n_risk") - F.col("d")) / F.col("n_risk")).alias("factor"),
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        deaths.select(
+            "dur",
+            "n_risk",
+            "d",
+            F.min("factor").over(w_asc).alias("_minf"),
+            F.sum(
+                F.when(F.col("factor") > 0, F.log("factor"))
+            ).over(w_asc).alias("_lnsum"),
+        )
+        .select(
+            F.col("dur").alias("dur_hours"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.when(F.col("_minf") <= 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("_lnsum"), 6))
+            .alias("survival"),
+        )
+        .orderBy("dur_hours")
+    )
+
+
+STATS_KAPLAN_MEIER_ORACLE = """
+WITH users AS (
+  SELECT user_id, min(ts) AS fs,
+         min(CASE WHEN event_type = 'purchase' AND value >= 90 THEN ts END) AS fp,
+         max(ts) AS ls
+  FROM events GROUP BY user_id),
+per AS (
+  SELECT CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS died,
+         CAST(floor((epoch_us(coalesce(fp, ls)) - epoch_us(fs)) / 3600000000) AS BIGINT) AS dur
+  FROM users),
+hist AS (SELECT dur, count(*) AS n_all, sum(died) AS d FROM per GROUP BY dur),
+risk AS (
+  SELECT dur, d,
+         sum(n_all) OVER (ORDER BY dur DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM hist),
+deaths AS (
+  SELECT dur, n_risk, d, (n_risk - d) * 1.0 / n_risk AS factor
+  FROM risk WHERE d > 0),
+km AS (
+  SELECT dur, n_risk, d,
+         min(factor) OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _minf,
+         sum(CASE WHEN factor > 0 THEN ln(factor) END)
+           OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _lnsum
+  FROM deaths)
+SELECT dur AS dur_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN _minf <= 0 THEN 0.0 ELSE round(exp(_lnsum), 6) END AS survival
+FROM km ORDER BY dur_hours
+"""
+
+
+def stats_mad(spark, sf_dir):
+    """Median absolute deviation of order totals per priority — the
+    robust dispersion companion to var/stddev (unmoved by the heavy
+    right tail that inflates stddev), the outlier-gate statistic
+    (|x - med| > k·MAD) of numeric-column profiling.
+
+    Two exact-median passes: per-group median, broadcast back (5 rows),
+    then the median of absolute deviations — both interpolated medians
+    on identical doubles (agg_median convention), 6dp. Two group
+    shuffles on the same key; percentile state is per-group bounded."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("_med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("_med"), 6).alias("median_total"),
+            F.round(
+                F.median(F.abs(F.col("o_totalprice") - F.col("_med"))), 6
+            ).alias("mad"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+STATS_MAD_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS _med
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority, count(*) AS n,
+       round(min(m._med), 6) AS median_total,
+       round(median(abs(o.o_totalprice - m._med)), 6) AS mad
+FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Corpus character-class entropy per language: the Shannon entropy
     of the (letter, digit, whitespace, other) character distribution —
@@ -3328,6 +3535,9 @@ QUERIES = {
     "stats_autocorr": stats_autocorr,
     "stats_spearman": stats_spearman,
     "stats_benford": stats_benford,
+    "stats_ttest": stats_ttest,
+    "stats_kaplan_meier": stats_kaplan_meier,
+    "stats_mad": stats_mad,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3390,6 +3600,9 @@ ORACLES = {
     "stats_autocorr": STATS_AUTOCORR_ORACLE,
     "stats_spearman": STATS_SPEARMAN_ORACLE,
     "stats_benford": STATS_BENFORD_ORACLE,
+    "stats_ttest": STATS_TTEST_ORACLE,
+    "stats_kaplan_meier": STATS_KAPLAN_MEIER_ORACLE,
+    "stats_mad": STATS_MAD_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,
