@@ -231,5 +231,7 @@ def test_round7_window_prestage():
         "sketch_cms_det", "sketch_hll_det", "graph_assortativity",
         "pipeline_source_gini", "stats_spearman", "stats_benford",
         "events_heatmap",
+        "graph_kcore", "graph_labelprop", "graph_jaccard_links",
+        "stats_ttest", "stats_kaplan_meier", "stats_mad",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
