@@ -133,3 +133,85 @@ def test_twophase_long_chain_beyond_propagation_budget(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(nodes, edges, max_iter=10)
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # K4 on {1,2,3,4} plus a pendant path 4-5-6: the 3-core is exactly
+    # the clique (every clique node has degree 3 within it); the path
+    # nodes peel off in the first two rounds (6 first, then 5)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    got = {r.node: r.core_degree for r in G.kcore_peel(edges, k=3, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_extra_rounds_are_noops_after_convergence(spark):
+    # once the peel stabilizes, more rounds change nothing
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    a = sorted(G.kcore_peel(edges, k=3, rounds=3).collect())
+    b = sorted(G.kcore_peel(edges, k=3, rounds=6).collect())
+    assert a == b
+
+
+def test_kcore_empty_when_k_exceeds_max_degree(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert G.kcore_peel(edges, k=3, rounds=2).count() == 0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # two K4s {1..4} and {11..14} joined by one bridge edge 4-11: each
+    # clique converges to its own minimum label (ties inside a clique
+    # break to the smallest), the bridge does not merge them
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 11)], ["src", "dst"])
+    got = {r.node: r.community for r in G.label_propagation(edges, iterations=4).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (12, 13, 14)} == {11}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    # independent dense reference of the synchronous smallest-label rule
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        labels = nxt
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.community for r in G.label_propagation(df, iterations=3).collect()}
+    assert got == labels
+
+
+def test_jaccard_links_hand_computed_square(spark):
+    # 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    # non-adjacent pairs; each shares BOTH neighbors -> jaccard = 2/2 = 1
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"])
+    rows = {(r.a, r.b): r for r in G.jaccard_links(edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert (r.n_common, r.deg_a, r.deg_b) == (2, 2, 2)
+        assert abs(r.jaccard - 1.0) < 1e-9
+
+
+def test_jaccard_links_excludes_existing_edges(spark):
+    # triangle + pendant: every co-neighbor pair is already an edge
+    # except (3, 4) via shared neighbor 1
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"])
+    rows = {(r.a, r.b): r.jaccard for r in G.jaccard_links(edges).collect()}
+    assert set(rows) == {(2, 4), (3, 4)}
+    # N(3)={1,2}, N(4)={1}: intersection 1, union 2
+    assert abs(rows[(3, 4)] - 0.5) < 1e-9
