@@ -446,3 +446,42 @@ def test_embedding_det_code_equijoin_vectors_rejoin_broadcast(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_alive_joins_are_keyed(spark):
+    """graph_kcore supersteps: every adjacency-restriction join is a
+    node-id equi-join (hash or sort-merge), never a cartesian or
+    nested-loop, and the per-round degree agg is two-phase (partial
+    count below the exchange)."""
+    from ballista_mvp_spark.queries.events import graph_kcore
+
+    df = graph_kcore(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in _formatted(df).lower() or "HashAggregate" in plan
+
+
+def test_labelprop_neighbor_lookup_keyed(spark):
+    """graph_labelprop supersteps: the neighbor-label lookup join is a
+    keyed equi-join on the node id; the per-node winner is a window
+    (rank over counts), never a cartesian anywhere."""
+    from ballista_mvp_spark.queries.events import graph_labelprop
+
+    plan = _plan(graph_labelprop(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_wedge_join_no_cartesian(spark):
+    """graph_jaccard_links: the wedge join (co-neighbor pairing) is an
+    equi-join on the shared-neighbor id, the existing-edge exclusion is
+    an anti-join on (a, b), and the top-50 compiles to
+    TakeOrderedAndProject — never a global sort or cartesian."""
+    from ballista_mvp_spark.queries.events import graph_jaccard_links
+
+    df = graph_jaccard_links(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
