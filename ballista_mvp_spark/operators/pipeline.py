@@ -354,6 +354,47 @@ def stratified_sample(
     return df.withColumn("bucket", b).filter(F.col("bucket") < thr_col)
 
 
+def equal_allocation_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Equal-allocation stratified downsampling: derive each stratum's
+    keep-rate FROM THE DATA as min_stratum_count / n_g, so every stratum
+    is sampled down to (in expectation) the size of the smallest one —
+    the corpus-rebalancing primitive (language/source-balancing a skewed
+    crawl) that stratified_sample's static rate table can't express.
+
+    Membership is a pure function of (salt, id) via a 16-bit md5 bucket
+    (resolution 1/65536; thresholds are EXACT integer arithmetic
+    ``min_n*65536 div n_g``, so any engine replays them bit-for-bit).
+    The stratum sizes are one map-side-combined count agg broadcast back
+    (k rows); the decision itself is a scan-speed filter — adding rows
+    to one stratum never flips survivors of another unchanged stratum
+    (min unchanged), the long-lived-corpus property.
+
+    Returns survivors with (bucket16, threshold) kept for auditing."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_g"))
+    min_n = counts.agg(F.min("_n_g").alias("_min_n"))
+    thr = counts.crossJoin(F.broadcast(min_n)).select(
+        strata_col,
+        "_n_g",
+        F.least(
+            F.lit(65536),
+            F.expr("(_min_n * CAST(65536 AS BIGINT)) div _n_g"),
+        ).alias("threshold"),
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    b16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .withColumn("bucket16", b16)
+        .filter(F.col("bucket16") < F.col("threshold"))
+        .drop("_n_g")
+    )
+
+
 def importance_sample(
     df: DataFrame,
     id_col: str,

@@ -1909,6 +1909,55 @@ ORDER BY jaccard DESC, n.a, n.b LIMIT 50
 """
 
 
+def graph_clustering(spark, sf_dir):
+    """Local clustering coefficient (Watts & Strogatz, Nature 1998) per
+    node of the interaction graph: the fraction of a node's neighbor
+    pairs that are themselves adjacent — graph_triangles' normalized
+    per-node companion and the standard small-world / dense-community
+    profile. Top-100 by coefficient (degree, then node id tiebreaks);
+    operators/graph.clustering_coefficients (wedge+probe triangle joins
+    + one simple-degree pass, triangle-free nodes report 0)."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        G.clustering_coefficients(_interaction_edges(e), "src", "dst")
+        .orderBy(F.col("local_cc").desc(), F.col("degree").desc(), "node")
+        .limit(100)
+    )
+
+
+GRAPH_CLUSTERING_ORACLE = """
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+dir_edges AS (SELECT src, dst FROM ordered WHERE dst IS NOT NULL AND dst <> src),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges WHERE src <> dst),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS (
+  SELECT u AS node, count(*) AS degree FROM adj GROUP BY u HAVING count(*) >= 2),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT d.node, d.degree, coalesce(t.n_triangles, 0) AS n_triangles,
+       round(coalesce(t.n_triangles, 0) * 2.0 / (d.degree * (d.degree - 1)), 6)
+         AS local_cc
+FROM deg d LEFT JOIN per_node t ON d.node = t.node
+ORDER BY local_cc DESC, d.degree DESC, d.node LIMIT 100
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
@@ -1952,6 +2001,7 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "graph_labelprop": graph_labelprop,
     "graph_jaccard_links": graph_jaccard_links,
+    "graph_clustering": graph_clustering,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -2000,6 +2050,7 @@ ORACLES = {
     "graph_kcore": GRAPH_KCORE_ORACLE,
     "graph_labelprop": GRAPH_LABELPROP_ORACLE,
     "graph_jaccard_links": GRAPH_JACCARD_LINKS_ORACLE,
+    "graph_clustering": GRAPH_CLUSTERING_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

@@ -1909,6 +1909,61 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+def stats_anova(spark, sf_dir):
+    """One-way ANOVA (Fisher 1925) of order totals across the five order
+    priorities: F = (SS_between/(k-1)) / (SS_within/(n-k)) — the k-group
+    generalization of stats_ttest, the 'does the grouping matter at all'
+    omnibus gate run before any pairwise comparison.
+
+    One per-group aggregate (count/sum/sum-of-squares — map-side
+    combined, k=5 rows), then a single global reduce: grand mean, SS_b =
+    Σ n_g·(mean_g − grand)², SS_w = Σ (Σx² − n_g·mean_g²). Pure column
+    arithmetic, no second data pass. Accumulation-order float sums →
+    4dp/6dp rounding on both engines, the registry convention."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"),
+        F.sum("o_totalprice").alias("s_g"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss_g"),
+    )
+    tot = per.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(
+            F.col("ss_g") - F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).alias("ss_w"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("ss_gm"),
+    )
+    ssb = F.col("ss_gm") - F.col("s") * F.col("s") / F.col("n")
+    fstat = (ssb / (F.col("k") - 1)) / (F.col("ss_w") / (F.col("n") - F.col("k")))
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb / 1e6, 4).alias("ss_between_m"),
+        F.round(F.col("ss_w") / 1e6, 4).alias("ss_within_m"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+STATS_ANOVA_ORACLE = """
+WITH per AS (
+  SELECT o_orderpriority, count(*) AS n_g, sum(o_totalprice) AS s_g,
+         sum(o_totalprice * o_totalprice) AS ss_g
+  FROM orders GROUP BY o_orderpriority),
+tot AS (
+  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+         sum(ss_g - s_g * s_g / n_g) AS ss_w,
+         sum(s_g * s_g / n_g) AS ss_gm
+  FROM per)
+SELECT CAST(k AS BIGINT) AS k, n,
+       round((ss_gm - s * s / n) / 1e6, 4) AS ss_between_m,
+       round(ss_w / 1e6, 4) AS ss_within_m,
+       round(((ss_gm - s * s / n) / (k - 1)) / (ss_w / (n - k)), 6) AS f_stat
+FROM tot
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Corpus character-class entropy per language: the Shannon entropy
     of the (letter, digit, whitespace, other) character distribution —
@@ -3538,6 +3593,7 @@ QUERIES = {
     "stats_ttest": stats_ttest,
     "stats_kaplan_meier": stats_kaplan_meier,
     "stats_mad": stats_mad,
+    "stats_anova": stats_anova,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3603,6 +3659,7 @@ ORACLES = {
     "stats_ttest": STATS_TTEST_ORACLE,
     "stats_kaplan_meier": STATS_KAPLAN_MEIER_ORACLE,
     "stats_mad": STATS_MAD_ORACLE,
+    "stats_anova": STATS_ANOVA_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

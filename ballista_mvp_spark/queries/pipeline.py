@@ -1923,6 +1923,68 @@ ORDER BY version
 """
 
 
+def pipeline_rebalance(spark, sf_dir):
+    """Equal-allocation corpus rebalancing: every language stratum is
+    deterministically downsampled toward the size of the SMALLEST
+    stratum — the data-derived-rate counterpart of pipeline_mixture's
+    static rate table, i.e. 'balance the crawl' instead of 'apply this
+    mixture'. Output is the per-stratum audit (total, exact integer
+    16-bit threshold, survivors, achieved rate): the threshold row
+    proves the rate derivation and the n_kept row proves membership —
+    both engines replay the md5 decisions bit-for-bit
+    (operators/pipeline.equal_allocation_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    min_n = totals.agg(F.min("n_total").alias("_min_n"))
+    thr = totals.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_total",
+        F.least(
+            F.lit(65536),
+            F.expr("(_min_n * CAST(65536 AS BIGINT)) div n_total"),
+        ).alias("threshold"),
+    )
+    kept = (
+        P.equal_allocation_sample(docs, "doc_id", "lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4
+            ).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_REBALANCE_ORACLE = """
+WITH totals AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+m AS (SELECT min(n_total) AS min_n FROM totals),
+thr AS (
+  SELECT lang, n_total,
+         least(65536, (m.min_n * 65536) // n_total) AS threshold
+  FROM totals, m),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN thr t ON d.lang = t.lang
+  WHERE CAST(('0x' || substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+             AS INTEGER) < t.threshold
+  GROUP BY d.lang)
+SELECT t.lang, t.n_total, CAST(t.threshold AS BIGINT) AS threshold,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       round(coalesce(k.n_kept, 0) * 1.0 / t.n_total, 4) AS rate
+FROM thr t LEFT JOIN kept k ON t.lang = k.lang
+ORDER BY t.lang
+"""
+
+
 QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_snapshot_diff": pipeline_snapshot_diff,
@@ -1963,6 +2025,7 @@ QUERIES = {
     "versioned_time_travel": versioned_time_travel,
     "pipeline_curriculum": pipeline_curriculum,
     "pipeline_kfold": pipeline_kfold,
+    "pipeline_rebalance": pipeline_rebalance,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
 }
@@ -2006,6 +2069,7 @@ ORACLES = {
     "versioned_time_travel": VERSIONED_TIME_TRAVEL_ORACLE,
     "pipeline_curriculum": PIPELINE_CURRICULUM_ORACLE,
     "pipeline_kfold": PIPELINE_KFOLD_ORACLE,
+    "pipeline_rebalance": PIPELINE_REBALANCE_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,
 }

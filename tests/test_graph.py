@@ -215,3 +215,22 @@ def test_jaccard_links_excludes_existing_edges(spark):
     assert set(rows) == {(2, 4), (3, 4)}
     # N(3)={1,2}, N(4)={1}: intersection 1, union 2
     assert abs(rows[(3, 4)] - 0.5) < 1e-9
+
+
+def test_clustering_coefficients_triangle_with_pendant(spark):
+    # triangle 1-2-3 + pendant edge 1-4: node 1 has deg 3 and 1 triangle
+    # -> cc = 2/(3*2) = 1/3; nodes 2,3 have deg 2 -> cc = 1; node 4 has
+    # deg 1 and is excluded (cc undefined)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"])
+    got = {r.node: r for r in G.clustering_coefficients(edges).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].degree, got[1].n_triangles) == (3, 1)
+    assert abs(got[1].local_cc - 1 / 3) < 1e-6
+    assert got[2].local_cc == 1.0 and got[3].local_cc == 1.0
+
+
+def test_clustering_coefficients_triangle_free_is_zero(spark):
+    # star graph: center has degree 3 but no neighbor pair is adjacent
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    got = {r.node: r.local_cc for r in G.clustering_coefficients(edges).collect()}
+    assert got == {0: 0.0}

@@ -233,5 +233,6 @@ def test_round7_window_prestage():
         "events_heatmap",
         "graph_kcore", "graph_labelprop", "graph_jaccard_links",
         "stats_ttest", "stats_kaplan_meier", "stats_mad",
+        "graph_clustering", "stats_anova", "pipeline_rebalance",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)

@@ -260,3 +260,26 @@ def test_group_split_keeps_planted_duplicates_together(spark):
     assert len(per_group) == 40  # normalization really collapses the edits
     assert all(r.n == 3 for r in per_group)
     assert all(r.ns == 1 for r in per_group)  # no group straddles splits
+
+
+def test_equal_allocation_keeps_min_stratum_whole(spark):
+    # strata sized 40/10: the min stratum (de) gets threshold 65536 ->
+    # every row survives; en's threshold is exactly (10*65536)//40
+    rows = [(i, "en") for i in range(40)] + [(100 + i, "de") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    kept = P.equal_allocation_sample(df, "id", "lang").collect()
+    de = [r for r in kept if r.lang == "de"]
+    en = [r for r in kept if r.lang == "en"]
+    assert len(de) == 10 and all(r.threshold == 65536 for r in de)
+    assert all(r.threshold == (10 * 65536) // 40 for r in en)
+    assert all(r.bucket16 < r.threshold for r in kept)
+
+
+def test_equal_allocation_membership_stable_when_other_stratum_grows(spark):
+    # growing en must never flip de survivors (min stratum unchanged)
+    rows = [(i, "en") for i in range(40)] + [(100 + i, "de") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    before = {r.id for r in P.equal_allocation_sample(df, "id", "lang").collect() if r.lang == "de"}
+    grown = df.union(spark.createDataFrame([(1000 + i, "en") for i in range(20)], ["id", "lang"]))
+    after = {r.id for r in P.equal_allocation_sample(grown, "id", "lang").collect() if r.lang == "de"}
+    assert before == after == {100 + i for i in range(10)}
