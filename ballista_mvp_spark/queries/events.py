@@ -1909,6 +1909,91 @@ ORDER BY jaccard DESC, n.a, n.b LIMIT 50
 """
 
 
+def graph_modularity(spark, sf_dir):
+    """Newman modularity (Newman & Girvan, Phys. Rev. E 69, 2004) of the
+    label-propagation communities on the sparsified interaction graph:
+    Q = Σ_c [ m_c/m − (d_c/2m)² ] — the standard 'was this community
+    structure real' score for graph_labelprop's output (Q near 0 ⇒ no
+    better than random). Reuses the deterministic 3-superstep labels, so
+    the oracle replays the SAME propagation then the same reduce: two
+    label lookups keyed on the edge endpoints (intra-community edge
+    count) + one degree-weighted label agg — all slim, node/label-keyed
+    shuffles. Output: edge count, community count, intra-edge share, Q."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    und = _sparse_und(e)
+    labels = G.label_propagation(und, "a", "b", iterations=3)
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    m = tagged.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias("m_in"),
+    )
+    deg = (
+        G._sym_adj(und, "a", "b")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("deg"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    q = dc.crossJoin(F.broadcast(m)).agg(
+        F.min("m").alias("n_edges"),
+        F.count("*").alias("n_communities"),
+        F.round(F.min("m_in") / F.min("m"), 6).alias("intra_share"),
+        F.round(
+            F.min("m_in") / F.min("m")
+            - F.sum(
+                (F.col("d_c") / (2.0 * F.col("m")))
+                * (F.col("d_c") / (2.0 * F.col("m")))
+            ),
+            6,
+        ).alias("modularity"),
+    )
+    return q
+
+
+def _modularity_oracle(iterations: int = 3) -> str:
+    prev, steps = "l0", []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT adj.u, l.label, count(*) AS _c
+  FROM adj JOIN {prev} l ON adj.v = l.node GROUP BY adj.u, l.label),
+l{i} AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY _c DESC, label) AS _rn
+    FROM c{i}) WHERE _rn = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {_GRAPH_SPARSE_PRELUDE},
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+{",".join(steps)},
+edges_m AS (
+  SELECT count(*) AS m,
+         sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS m_in
+  FROM und JOIN {prev} la ON und.a = la.node JOIN {prev} lb ON und.b = lb.node),
+deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+dc AS (
+  SELECT l.label, sum(d.deg) AS d_c
+  FROM deg d JOIN {prev} l ON d.node = l.node GROUP BY l.label)
+SELECT CAST(min(m) AS BIGINT) AS n_edges, count(*) AS n_communities,
+       round(min(m_in) * 1.0 / min(m), 6) AS intra_share,
+       round(min(m_in) * 1.0 / min(m)
+             - sum((d_c / (2.0 * m)) * (d_c / (2.0 * m))), 6) AS modularity
+FROM dc, edges_m
+"""
+
+
+GRAPH_MODULARITY_ORACLE = _modularity_oracle()
+
+
 def graph_clustering(spark, sf_dir):
     """Local clustering coefficient (Watts & Strogatz, Nature 1998) per
     node of the interaction graph: the fraction of a node's neighbor
@@ -1958,6 +2043,56 @@ ORDER BY local_cc DESC, d.degree DESC, d.node LIMIT 100
 """
 
 
+def events_forecast_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's event count with the count from SEVEN DAYS EARLIER (the
+    classic weekly-seasonality baseline every real forecaster must
+    beat — Hyndman & Athanasopoulos, 'Forecasting: Principles and
+    Practice', the naive-seasonal benchmark) and score MAE / MAPE /
+    bias over all scoreable days. A self-join on (event_type, day-7)
+    rather than a lag window so calendar GAPS never misalign the
+    seasonal reference. One daily-rollup shuffle + one slim keyed
+    equi-join of two day-level tables."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    past = daily.select(
+        F.date_add("day", 7).alias("day"),
+        "event_type",
+        F.col("n").alias("pred"),
+    )
+    scored = daily.join(past, ["day", "event_type"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 4).alias("mae"),
+            F.round(
+                F.avg(F.abs(F.col("n") - F.col("pred")) / F.col("n")), 6
+            ).alias("mape"),
+            F.round(F.avg(F.col("pred") - F.col("n")), 4).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_FORECAST_NAIVE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT a.event_type, a.n, p.n AS pred
+  FROM daily a JOIN daily p
+    ON a.event_type = p.event_type AND p.day = a.day - INTERVAL 7 DAY)
+SELECT event_type, count(*) AS n_days,
+       round(avg(abs(n - pred)), 4) AS mae,
+       round(avg(abs(n - pred) * 1.0 / n), 6) AS mape,
+       round(avg(pred - n), 4) AS bias
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_ewma": events_ewma,
@@ -2002,6 +2137,8 @@ QUERIES = {
     "graph_labelprop": graph_labelprop,
     "graph_jaccard_links": graph_jaccard_links,
     "graph_clustering": graph_clustering,
+    "events_forecast_naive": events_forecast_naive,
+    "graph_modularity": graph_modularity,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -2051,6 +2188,8 @@ ORACLES = {
     "graph_labelprop": GRAPH_LABELPROP_ORACLE,
     "graph_jaccard_links": GRAPH_JACCARD_LINKS_ORACLE,
     "graph_clustering": GRAPH_CLUSTERING_ORACLE,
+    "events_forecast_naive": EVENTS_FORECAST_NAIVE_ORACLE,
+    "graph_modularity": GRAPH_MODULARITY_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

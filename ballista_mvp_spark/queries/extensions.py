@@ -1964,6 +1964,165 @@ FROM tot
 """
 
 
+_POISSON1_CDF = [
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238462),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+]
+
+
+def _boot_weight(u):
+    """Poisson(1) draw from a uniform u in [0,1) via the inverse CDF —
+    the deterministic replacement for a multinomial resample."""
+    w = None
+    for k, p in _POISSON1_CDF:
+        w = F.when(u < p, k) if w is None else w.when(u < p, k)
+    return w.otherwise(6)
+
+
+def stats_bootstrap(spark, sf_dir):
+    """Distributed Poisson bootstrap (Chamandy et al., Google 2012 —
+    'Estimating uncertainty for massive data streams') of the mean order
+    total: B=32 pseudo-replicates where each row's multiplicity in
+    replicate b is a Poisson(1) draw — the construction that makes the
+    bootstrap single-pass and shard-local at any scale (a classic
+    multinomial resample needs the global n). Every draw is DETERMINISTIC
+    here: u = first-8-hex-digits of md5(b:orderkey) / 2^32 pushed through
+    the Poisson(1) inverse CDF, so a SQL oracle replays all 32 replicates
+    bit-for-bit — the engine-portable twist on an inherently randomized
+    method (the sketch-twin convention).
+
+    One explode (×32) + one 32-group map-side-combined agg; the replicate
+    table is 32 rows, driver-free. Output: point mean, bootstrap SE
+    (stddev of replicate means), and the 2.5%/97.5% percentile CI."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        F.col("o_orderkey"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    reps = (
+        b.withColumn("w", _boot_weight(u))
+        .groupBy("rep")
+        .agg(
+            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m")
+        )
+    )
+    point = o.agg(F.avg("o_totalprice").alias("mean_total"))
+    return reps.crossJoin(F.broadcast(point)).agg(
+        F.count("*").alias("n_reps"),
+        F.round(F.min("mean_total"), 4).alias("mean_total"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+
+
+STATS_BOOTSTRAP_ORACLE = """
+WITH b AS (
+  SELECT o_totalprice, o_orderkey, rep
+  FROM orders, generate_series(0, 31) AS t(rep)),
+w AS (
+  SELECT o_totalprice, rep,
+         CASE
+           WHEN u < 0.36787944117144233 THEN 0
+           WHEN u < 0.7357588823428847 THEN 1
+           WHEN u < 0.9196986029286058 THEN 2
+           WHEN u < 0.9810118431238462 THEN 3
+           WHEN u < 0.9963401531726563 THEN 4
+           WHEN u < 0.9994058151824183 THEN 5
+           ELSE 6
+         END AS w
+  FROM (SELECT o_totalprice, rep,
+               CAST(CAST(('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+               / 4294967296.0 AS u
+        FROM b)),
+reps AS (
+  SELECT rep, sum(w * o_totalprice) / sum(w) AS m FROM w GROUP BY rep),
+point AS (SELECT avg(o_totalprice) AS mean_total FROM orders)
+SELECT count(*) AS n_reps,
+       round(min(point.mean_total), 4) AS mean_total,
+       round(stddev_samp(m), 4) AS boot_se,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM reps, point
+"""
+
+
+def text_hapax(spark, sf_dir):
+    """Vocabulary-growth profile per language: token count, type count
+    (distinct tokens), hapax legomena (types seen exactly once), the
+    hapax ratio, and the type–token ratio. The Heaps'-law-side health
+    check of a crawl: a collapsing hapax ratio flags boilerplate /
+    duplication, an exploding one flags OCR noise or tokenizer breakage —
+    the vocabulary-level companion of text_zipf's frequency-slope fit.
+
+    One token explode into a (lang, term) count (map-side combined, the
+    only corpus-scale shuffle), then a vocabulary-sized per-lang reduce.
+    Pure integer counts except the two ratios (exact division of exact
+    counts, 6dp on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_ratio"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_HAPAX_ORACLE = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+per AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hapax_ratio,
+       round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Corpus character-class entropy per language: the Shannon entropy
     of the (letter, digit, whitespace, other) character distribution —
@@ -3594,6 +3753,8 @@ QUERIES = {
     "stats_kaplan_meier": stats_kaplan_meier,
     "stats_mad": stats_mad,
     "stats_anova": stats_anova,
+    "text_hapax": text_hapax,
+    "stats_bootstrap": stats_bootstrap,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3660,6 +3821,8 @@ ORACLES = {
     "stats_kaplan_meier": STATS_KAPLAN_MEIER_ORACLE,
     "stats_mad": STATS_MAD_ORACLE,
     "stats_anova": STATS_ANOVA_ORACLE,
+    "text_hapax": TEXT_HAPAX_ORACLE,
+    "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

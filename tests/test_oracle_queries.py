@@ -234,5 +234,7 @@ def test_round7_window_prestage():
         "graph_kcore", "graph_labelprop", "graph_jaccard_links",
         "stats_ttest", "stats_kaplan_meier", "stats_mad",
         "graph_clustering", "stats_anova", "pipeline_rebalance",
+        "text_hapax", "events_forecast_naive", "stats_bootstrap",
+        "graph_modularity",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
