@@ -164,7 +164,7 @@ _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
 # ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
-# AFTER CORRECTNESS_r06.json lands): the 47 round-5 additions (all
+# AFTER CORRECTNESS_r06.json lands): the 50 round-5 additions (all
 # strict-oracle-green at both scales + vanilla session, never
 # driver-certified — rows-only entries excluded per the COVERAGE.md
 # lesson), padded to 50 with re-certifications of oracle-backed
@@ -189,20 +189,15 @@ _CERT_FIRST_ROUND7 = [
     "graph_clustering", "stats_anova", "pipeline_rebalance",
     "text_hapax", "events_forecast_naive", "stats_bootstrap",
     "graph_modularity",
-    # re-certs (r1/r2/r3 rows; cube/rollup/distinct_filter +
-    # join_inner/right_semi + window_first_last_nth yielded their slots
-    # to the late round-5 additions; agg_basic / join_left /
-    # sql_subquery_exists_in / fn_url / window_ntile /
-    # streaming_sessionize / sql_lateral / events_topk_users /
-    # pipeline_pack / join_right_anti / window_running_total /
-    # text_gopher / pipeline_leakage yielded theirs to the final
-    # thirteen round-5 queries — every family keeps >=2 representatives
-    # below or in an earlier window)
-    # streaming
-    "streaming_tumbling",
-    # text / pipeline / tpch / multimodal reps
-    "text_decontaminate",
-    "multimodal_meta",
+    "pipeline_kanon", "text_oov", "sim_centroid_matrix",
+    # (no re-cert padding left: the window is exactly the 50 round-5
+    # additions. The re-certs originally staged here — agg_basic,
+    # join_left/right_anti, sql_lateral/subquery_exists_in, fn_url,
+    # window_ntile/running_total, streaming_tumbling/sessionize,
+    # events_topk_users, text_gopher/decontaminate,
+    # pipeline_pack/leakage, multimodal_meta — all hold r1-r3 driver
+    # rows already and every family keeps >=2 certified representatives
+    # in earlier windows; they rotate into the round-8 window.)
 ]
 assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
 _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]

@@ -2436,6 +2436,62 @@ ORDER BY query_id, rank
 """
 
 
+def sim_centroid_matrix(spark, sf_dir):
+    """Cross-cluster similarity matrix: the cosine between every pair of
+    per-label embedding centroids — the 'how separable are my data
+    sources/classes' diagnostic run before mixing corpora (centroid
+    cosine ≈ 1 means two labels are redundant; ≪ 1 means they add
+    diversity). Upper triangle incl. the diagonal (=1) as (la, lb,
+    cosine).
+
+    One posexplode into (label, dim) partial-avg cells (map-side
+    combined — the ONLY corpus-scale shuffle), then the k×k matrix is a
+    dim-keyed self-join of k·d centroid cells: at a billion vectors the
+    matrix step costs the same as here because it never touches the
+    corpus again. Floats cast to double on both engines before
+    averaging; 6dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = pe.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    return (
+        a.join(b, "pos")
+        .filter(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("cosine")
+        )
+        .orderBy("la", "lb")
+    )
+
+
+SIM_CENTROID_MATRIX_ORACLE = """
+WITH gs AS (
+  SELECT unnest(range(1, 1 + (SELECT min(len(embedding)) FROM embeddings))) AS i),
+pe AS (
+  SELECT label, gs.i - 1 AS pos, CAST(embedding[gs.i] AS DOUBLE) AS v
+  FROM embeddings, gs),
+cent AS (SELECT label, pos, avg(v) AS c FROM pe GROUP BY label, pos)
+SELECT a.label AS la, b.label AS lb,
+       round(sum(a.c * b.c)
+             / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6) AS cosine
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <= b.label
+GROUP BY a.label, b.label
+ORDER BY la, lb
+"""
+
+
 def sim_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical leg (operators/text.bm25_topk,
     query terms spark/vector/hash over documents) fused with an exact
@@ -3755,6 +3811,7 @@ QUERIES = {
     "stats_anova": stats_anova,
     "text_hapax": text_hapax,
     "stats_bootstrap": stats_bootstrap,
+    "sim_centroid_matrix": sim_centroid_matrix,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3823,6 +3880,7 @@ ORACLES = {
     "stats_anova": STATS_ANOVA_ORACLE,
     "text_hapax": TEXT_HAPAX_ORACLE,
     "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
+    "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

@@ -1923,6 +1923,111 @@ ORDER BY version
 """
 
 
+def pipeline_kanon(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) of the document corpus under the
+    quasi-identifier (lang, source, length-bucket): how many equivalence
+    classes fall below k=5, and what share of rows sits in them — the
+    re-identification-risk gate run before releasing or retaining a
+    curated corpus, complementing pipeline_dp_release's noisy-release
+    path and text_pii's direct-identifier scrubber. One QI groupBy
+    (map-side combined) + one class-level reduce; the QI table is tiny
+    at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", "source", (F.floor(F.col("n_chars") / 200)).alias("len_bucket")
+    ).agg(F.count("*").alias("sz"))
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("min_class"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).alias(
+            "rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            / F.sum("sz"),
+            6,
+        ).alias("risk_share"),
+    )
+
+
+PIPELINE_KANON_ORACLE = """
+WITH classes AS (
+  SELECT lang, source, CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+         count(*) AS sz
+  FROM documents GROUP BY 1, 2, 3)
+SELECT count(*) AS n_classes, CAST(min(sz) AS BIGINT) AS min_class,
+       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+       round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1.0 / sum(sz), 6)
+         AS risk_share
+FROM classes
+"""
+
+
+def text_oov(spark, sf_dir):
+    """Out-of-vocabulary audit across the train/test wall: build the
+    per-language vocabulary from the TRAIN split (the same salted-md5
+    assignment as pipeline_split) and measure what fraction of TEST-side
+    tokens fall outside it — the distribution-shift / tokenizer-coverage
+    check run before training (a high OOV rate means the split is not
+    exchangeable or the vocab is undertrained). One vocabulary distinct
+    + one (lang, term)-keyed left join of the test token stream; the
+    vocabulary never leaves the JVM and the split decision is a
+    scan-speed filter (hash_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    split = P.hash_split(docs, "doc_id")
+    toks = split.select(
+        "lang", "split", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.filter(F.col("split") == "train").select("lang", "term").distinct()
+    )
+    test = toks.filter(F.col("split") == "test")
+    flagged = test.join(
+        vocab.withColumn("_in", F.lit(1)), ["lang", "term"], "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_OOV_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id, lang, text, md5('split:' || doc_id) AS m FROM documents),
+d AS (SELECT doc_id, lang, text,
+        CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN ascii(substr(m, 1, 1)) - 87
+             ELSE ascii(substr(m, 1, 1)) - 48 END * 16 +
+        CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN ascii(substr(m, 2, 1)) - 87
+             ELSE ascii(substr(m, 2, 1)) - 48 END AS bucket
+      FROM h),
+toks AS (
+  SELECT lang,
+         CASE WHEN bucket < 205 THEN 'train'
+              WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM d),
+vocab AS (SELECT DISTINCT lang, term FROM toks WHERE split = 'train'),
+test AS (SELECT lang, term FROM toks WHERE split = 'test')
+SELECT t.lang, count(*) AS n_test_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate
+FROM test t LEFT JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+GROUP BY t.lang ORDER BY t.lang
+"""
+
+
 def pipeline_rebalance(spark, sf_dir):
     """Equal-allocation corpus rebalancing: every language stratum is
     deterministically downsampled toward the size of the SMALLEST
@@ -2026,6 +2131,8 @@ QUERIES = {
     "pipeline_curriculum": pipeline_curriculum,
     "pipeline_kfold": pipeline_kfold,
     "pipeline_rebalance": pipeline_rebalance,
+    "pipeline_kanon": pipeline_kanon,
+    "text_oov": text_oov,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
 }
@@ -2070,6 +2177,8 @@ ORACLES = {
     "pipeline_curriculum": PIPELINE_CURRICULUM_ORACLE,
     "pipeline_kfold": PIPELINE_KFOLD_ORACLE,
     "pipeline_rebalance": PIPELINE_REBALANCE_ORACLE,
+    "pipeline_kanon": PIPELINE_KANON_ORACLE,
+    "text_oov": TEXT_OOV_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,
 }

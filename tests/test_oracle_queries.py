@@ -236,5 +236,6 @@ def test_round7_window_prestage():
         "graph_clustering", "stats_anova", "pipeline_rebalance",
         "text_hapax", "events_forecast_naive", "stats_bootstrap",
         "graph_modularity",
+        "pipeline_kanon", "text_oov", "sim_centroid_matrix",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
