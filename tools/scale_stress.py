@@ -242,6 +242,54 @@ def _components_stress(spark, mults) -> None:
         )
 
 
+def _graph_stress(spark, mults) -> None:
+    """Scaling of the round-5 graph operators (k-core peel, label
+    propagation, Jaccard link prediction) on a synthetic
+    community-ring-lattice graph: 1000-node blocks, each a ring lattice
+    of degree 4 (every node linked to the 2 nearest ring neighbors on
+    each side — triangles exist, the 3-core is the whole graph), one
+    cross edge per adjacent block pair. Degree is CONSTANT, so wedge
+    fan-out (jaccard) and per-round join volume (kcore/labelprop) must
+    grow linearly in nodes; super-linear growth flags a plan
+    regression. Fixed supersteps (4 peel rounds / 3 propagation
+    iterations) exactly like the certified queries."""
+    from pyspark.sql import functions as FF
+
+    from ballista_mvp_spark.operators import graph as G
+
+    s = 1000
+    for m in mults:
+        n = 100_000 * m
+        groups = n // s
+        ids = spark.range(n).select(FF.col("id"))
+        b = FF.col("id") - (FF.col("id") % s)  # block base
+        o = FF.col("id") % s
+        ring1 = ids.select(FF.col("id").alias("src"), (b + (o + 1) % s).alias("dst"))
+        ring2 = ids.select(FF.col("id").alias("src"), (b + (o + 2) % s).alias("dst"))
+        cross = ids.filter(o == 0).select(
+            FF.col("id").alias("src"),
+            (((b / s + 1) % groups) * s).cast("long").alias("dst"),
+        )
+        edges = ring1.union(ring2).union(cross).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        survivors = G.kcore_peel(edges, k=3, rounds=4).count()
+        dt = time.perf_counter() - t0
+        assert survivors == n, (survivors, n)  # degree>=4: nothing peels
+        print(f"x{m:<3} nodes={n:<9} graph_kcore    survivors={survivors:<9} {dt:6.2f}s", flush=True)
+
+        t0 = time.perf_counter()
+        labeled = G.label_propagation(edges, iterations=3).count()
+        dt = time.perf_counter() - t0
+        assert labeled == n, (labeled, n)
+        print(f"x{m:<3} nodes={n:<9} graph_labelprop labeled={labeled:<9} {dt:6.2f}s", flush=True)
+
+        t0 = time.perf_counter()
+        links = G.jaccard_links(edges).count()
+        dt = time.perf_counter() - t0
+        print(f"x{m:<3} nodes={n:<9} graph_jaccard  pairs={links:<10} {dt:6.2f}s", flush=True)
+
+
 def _mutate_stress(spark, sf_dir, mults) -> None:
     """Fixed-size MERGE/DELETE cost vs table size: with key-clustered
     files + manifest min/max stats, a constant-size mutation must
@@ -303,6 +351,7 @@ def main() -> None:
     do_ann = "--ann" in args
     do_index = "--index" in args
     do_components = "--components" in args
+    do_graph = "--graph" in args
     do_mutate = "--mutate" in args
     only = None
     if "--only" in args:
@@ -312,7 +361,7 @@ def main() -> None:
     mults = [
         int(a)
         for a in args
-        if a not in ("--ann", "--index", "--components", "--mutate")
+        if a not in ("--ann", "--index", "--components", "--mutate", "--graph")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
     if do_mutate:
@@ -320,6 +369,9 @@ def main() -> None:
         return
     if do_components:
         _components_stress(spark, mults)
+        return
+    if do_graph:
+        _graph_stress(spark, mults)
         return
     if do_index:
         _index_stress(spark, sf_dir, mults)
