@@ -2072,6 +2072,66 @@ FROM reps, point
 """
 
 
+def stats_levene(spark, sf_dir):
+    """Brown–Forsythe test (Brown & Forsythe, JASA 1974 — Levene's test
+    with the MEDIAN center, the robust default) for homogeneity of
+    variances of order totals across the five priorities: the
+    assumption gate for stats_anova (a large W says the classic pooled-
+    variance F is untrustworthy; fall back to Welch). Computed as a
+    one-way ANOVA on z = |x − median_g|: one exact per-group median
+    broadcast back (5 rows), then the stats_anova single-pass
+    count/sum/sum-of-squares reduce on z. Same rounding conventions."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(F.median("o_totalprice").alias("_med"))
+    z = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("_med")).alias("z"),
+    )
+    per = z.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    tot = per.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(F.col("ss_g") - F.col("s_g") * F.col("s_g") / F.col("n_g")).alias(
+            "ss_w"
+        ),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("ss_gm"),
+    )
+    ssb = F.col("ss_gm") - F.col("s") * F.col("s") / F.col("n")
+    w = (ssb / (F.col("k") - 1)) / (F.col("ss_w") / (F.col("n") - F.col("k")))
+    return tot.select(
+        "k",
+        "n",
+        F.round(w, 6).alias("w_stat"),
+    )
+
+
+STATS_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS _med
+  FROM orders GROUP BY o_orderpriority),
+z AS (
+  SELECT o.o_orderpriority, abs(o.o_totalprice - m._med) AS z
+  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+per AS (
+  SELECT o_orderpriority, count(*) AS n_g, sum(z) AS s_g,
+         sum(z * z) AS ss_g
+  FROM z GROUP BY o_orderpriority),
+tot AS (
+  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+         sum(ss_g - s_g * s_g / n_g) AS ss_w,
+         sum(s_g * s_g / n_g) AS ss_gm
+  FROM per)
+SELECT CAST(k AS BIGINT) AS k, n,
+       round(((ss_gm - s * s / n) / (k - 1)) / (ss_w / (n - k)), 6) AS w_stat
+FROM tot
+"""
+
+
 def text_hapax(spark, sf_dir):
     """Vocabulary-growth profile per language: token count, type count
     (distinct tokens), hapax legomena (types seen exactly once), the
@@ -3812,6 +3872,7 @@ QUERIES = {
     "text_hapax": text_hapax,
     "stats_bootstrap": stats_bootstrap,
     "sim_centroid_matrix": sim_centroid_matrix,
+    "stats_levene": stats_levene,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3881,6 +3942,7 @@ ORACLES = {
     "text_hapax": TEXT_HAPAX_ORACLE,
     "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
     "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
+    "stats_levene": STATS_LEVENE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

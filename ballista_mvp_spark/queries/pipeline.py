@@ -2028,6 +2028,77 @@ GROUP BY t.lang ORDER BY t.lang
 """
 
 
+def pipeline_dataset_card(spark, sf_dir):
+    """One-row dataset card — the summary block a corpus release ships
+    with (datasheet/data-card practice, Gebru et al., CACM 2021):
+    document and token volume, language/source breadth, the exact-dup
+    rate (1 − distinct fingerprints / docs), length center (mean +
+    interpolated median chars), and the dominant language with its
+    share. One scan feeds a single multi-aggregate (countDistinct on
+    the 128-bit fingerprint is the only wide state); the dominant
+    language is a 5-row groupBy joined back broadcast. The oracle
+    replays every number exactly — fingerprints, medians, shares."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.size(TX.tokens(F.col("text"))).alias("ntok"),
+    )
+    core = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("ntok").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.median("n_chars"), 4).alias("p50_chars"),
+        F.round(1 - F.countDistinct("fp") / F.count("*"), 6).alias("dup_rate"),
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("_n").alias("_top_n"))
+    )
+    return core.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "mean_chars",
+        "p50_chars",
+        "dup_rate",
+        "top_lang",
+        F.round(F.col("_top_n") / F.col("n_docs"), 4).alias("top_lang_share"),
+    )
+
+
+PIPELINE_DATASET_CARD_ORACLE = r"""
+WITH base AS (
+  SELECT lang, source, CAST(n_chars AS DOUBLE) AS n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ntok
+  FROM documents),
+core AS (
+  SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         round(avg(n_chars), 4) AS mean_chars,
+         round(median(n_chars), 4) AS p50_chars,
+         round(1 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+  FROM base),
+top AS (
+  SELECT lang AS top_lang, count(*) AS _top_n
+  FROM documents GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1)
+SELECT n_docs, n_langs, n_sources, n_tokens, mean_chars, p50_chars,
+       dup_rate, top_lang,
+       round(_top_n * 1.0 / n_docs, 4) AS top_lang_share
+FROM core, top
+"""
+
+
 def pipeline_rebalance(spark, sf_dir):
     """Equal-allocation corpus rebalancing: every language stratum is
     deterministically downsampled toward the size of the SMALLEST
@@ -2132,6 +2203,7 @@ QUERIES = {
     "pipeline_kfold": pipeline_kfold,
     "pipeline_rebalance": pipeline_rebalance,
     "pipeline_kanon": pipeline_kanon,
+    "pipeline_dataset_card": pipeline_dataset_card,
     "text_oov": text_oov,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
@@ -2178,6 +2250,7 @@ ORACLES = {
     "pipeline_kfold": PIPELINE_KFOLD_ORACLE,
     "pipeline_rebalance": PIPELINE_REBALANCE_ORACLE,
     "pipeline_kanon": PIPELINE_KANON_ORACLE,
+    "pipeline_dataset_card": PIPELINE_DATASET_CARD_ORACLE,
     "text_oov": TEXT_OOV_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,
