@@ -202,3 +202,40 @@ _CERT_FIRST_ROUND7 = [
 assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
 _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
 assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
+
+# ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
+# AFTER CORRECTNESS_r07.json lands): the 5 round-5 additions that landed
+# after the round-7 window filled (never driver-certified), then the 16
+# re-certs displaced from the round-7 window, then re-certifications of
+# r1-r3 rows no later window re-proved — families spread so every
+# aggregate/join/sql/window/events/streaming/text family is re-proven
+# under the final driver. Validated by
+# tests/test_oracle_queries.py::test_round8_window_prestage.
+_CERT_FIRST_ROUND8 = [
+    # round-5 additions past the round-7 freeze, never driver-certified
+    "stats_levene", "stats_wilson", "sim_silhouette",
+    "graph_reciprocity", "pipeline_dataset_card",
+    # the 16 re-certs displaced from the round-7 window
+    "agg_basic", "join_left", "join_right_anti", "sql_lateral",
+    "sql_subquery_exists_in", "fn_url", "window_ntile",
+    "window_running_total", "streaming_tumbling", "streaming_sessionize",
+    "events_topk_users", "text_gopher", "text_decontaminate",
+    "pipeline_pack", "pipeline_leakage", "multimodal_meta",
+    # r1-r3 rows not re-proven by any later window
+    "join_inner", "join_right_semi",
+    "agg_cube", "agg_rollup", "agg_distinct_filter", "agg_array_agg",
+    "agg_regression", "agg_boolean", "agg_string",
+    "agg_weighted_percentile",
+    "sql_subquery_scalar",
+    "window_first_last_nth", "window_agg_rows_frame",
+    "window_agg_groups_frame",
+    "events_anomaly", "events_cum_users", "events_session_window",
+    "events_ohlc", "events_gapfill", "events_trailing_window",
+    "events_json", "events_type_share",
+    "streaming_enrich", "streaming_join", "streaming_dedup",
+    "streaming_session_close",
+    "text_bigram_lm", "text_tokens", "text_tfidf",
+]
+assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
+_missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]
+assert not _missing8, f"_CERT_FIRST_ROUND8 names not in registry: {_missing8}"

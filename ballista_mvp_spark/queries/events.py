@@ -1994,6 +1994,45 @@ FROM dc, edges_m
 GRAPH_MODULARITY_ORACLE = _modularity_oracle()
 
 
+def graph_reciprocity(spark, sf_dir):
+    """Reciprocity of the DIRECTED interaction graph: the share of
+    distinct directed edges whose reverse edge also exists (Newman,
+    'Networks', §7.10) — the mutual-interaction signal that separates
+    conversational structure from broadcast structure; the directed
+    complement of the undirected operators (which collapse direction
+    away). One distinct over 16-byte pairs + one self-semi-join on the
+    reversed key — no fan-out anywhere."""
+    e = _t(spark, sf_dir, "events")
+    d = _interaction_edges(e).distinct()
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = d.join(rev, ["src", "dst"], "left_semi")
+    return d.agg(F.count("*").alias("n_edges")).crossJoin(
+        F.broadcast(recip.agg(F.count("*").alias("n_recip")))
+    ).select(
+        "n_edges",
+        "n_recip",
+        F.round(F.col("n_recip") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+
+GRAPH_RECIPROCITY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+d AS (SELECT DISTINCT src, dst FROM ordered
+      WHERE dst IS NOT NULL AND dst <> src),
+recip AS (
+  SELECT count(*) AS n_recip FROM d
+  WHERE EXISTS (SELECT 1 FROM d r WHERE r.src = d.dst AND r.dst = d.src)),
+tot AS (SELECT count(*) AS n_edges FROM d)
+SELECT n_edges, n_recip,
+       round(n_recip * 1.0 / n_edges, 6) AS reciprocity
+FROM tot, recip
+"""
+
+
 def graph_clustering(spark, sf_dir):
     """Local clustering coefficient (Watts & Strogatz, Nature 1998) per
     node of the interaction graph: the fraction of a node's neighbor
@@ -2139,6 +2178,7 @@ QUERIES = {
     "graph_clustering": graph_clustering,
     "events_forecast_naive": events_forecast_naive,
     "graph_modularity": graph_modularity,
+    "graph_reciprocity": graph_reciprocity,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -2190,6 +2230,7 @@ ORACLES = {
     "graph_clustering": GRAPH_CLUSTERING_ORACLE,
     "events_forecast_naive": EVENTS_FORECAST_NAIVE_ORACLE,
     "graph_modularity": GRAPH_MODULARITY_ORACLE,
+    "graph_reciprocity": GRAPH_RECIPROCITY_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

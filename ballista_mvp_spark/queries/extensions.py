@@ -2072,6 +2072,65 @@ FROM reps, point
 """
 
 
+def stats_wilson(spark, sf_dir):
+    """Wilson score interval (Wilson, JASA 1927) for a per-event-type
+    success proportion (value ≥ 100 — a high-value interaction): the
+    binomial CI that stays inside [0,1] and behaves at small n/extreme
+    p̂, which is why it's the recommended default over the naive Wald
+    interval (Brown, Cai & DasGupta, Statistical Science 2001). The
+    per-variant CI companion to events_ab_test's two-proportion z.
+
+    One conditional count aggregate per event type (map-side combined),
+    then pure column arithmetic with z = 1.959963984540054 (95%). All
+    inputs to the float math are exact integer counts, so both engines
+    compute identical doubles; 6dp."""
+    e = _t(spark, sf_dir, "events")
+    z = 1.959963984540054
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    z2n = F.lit(z * z) / F.col("n")
+    center = (p + z2n / 2) / (1 + z2n)
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / F.col("n") + z2n / (4 * F.col("n")))
+        / (1 + z2n)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+STATS_WILSON_ORACLE = """
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY event_type)
+SELECT event_type, n, CAST(k AS BIGINT) AS k,
+       round(k * 1.0 / n, 6) AS p_hat,
+       round(((k * 1.0 / n) + (1.959963984540054 * 1.959963984540054 / n) / 2)
+               / (1 + 1.959963984540054 * 1.959963984540054 / n)
+             - 1.959963984540054
+               * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                      + (1.959963984540054 * 1.959963984540054 / n) / (4 * n))
+               / (1 + 1.959963984540054 * 1.959963984540054 / n), 6) AS wilson_lo,
+       round(((k * 1.0 / n) + (1.959963984540054 * 1.959963984540054 / n) / 2)
+               / (1 + 1.959963984540054 * 1.959963984540054 / n)
+             + 1.959963984540054
+               * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                      + (1.959963984540054 * 1.959963984540054 / n) / (4 * n))
+               / (1 + 1.959963984540054 * 1.959963984540054 / n), 6) AS wilson_hi
+FROM agg ORDER BY event_type
+"""
+
+
 def stats_levene(spark, sf_dir):
     """Brown–Forsythe test (Brown & Forsythe, JASA 1974 — Levene's test
     with the MEDIAN center, the robust default) for homogeneity of
@@ -2549,6 +2608,86 @@ SELECT a.label AS la, b.label AS lb,
 FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <= b.label
 GROUP BY a.label, b.label
 ORDER BY la, lb
+"""
+
+
+def sim_silhouette(spark, sf_dir):
+    """Centroid-based (simplified) silhouette per label cluster
+    (Hruschka et al.'s simplified silhouette; Rousseeuw 1987 original):
+    for every vector, a = distance to its OWN label centroid, b = the
+    minimum distance to any OTHER label's centroid, s = (b−a)/max(a,b);
+    report per-label mean s and the a/b means. The clustering-quality
+    audit of a labeled embedding corpus (s near 0 ⇒ labels are not
+    separable in embedding space) — and the reason the simplified form
+    exists at all: the classic silhouette is all-pairs O(n²), the
+    centroid form is one centroid fit + a points×k join, which is the
+    only version that survives a billion-vector corpus.
+
+    Plan: one posexplode centroid fit (map-side combined), then the
+    point-dim stream joins the k·d centroid cells on dim — points×k
+    distance partials, grouped twice (per point-candidate, per point) —
+    all equi-joins keyed on dim/vec_id, no cartesian of points."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pe.groupBy(F.col("own").alias("cand"), "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    dists = (
+        pe.join(cent, "pos")
+        .groupBy("vec_id", "own", "cand")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+        .select("vec_id", "own", "cand", F.sqrt("d2").alias("d"))
+    )
+    per_vec = dists.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("cand") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    return (
+        per_vec.select(
+            F.col("own").alias("label"),
+            ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s"),
+            "a",
+            "b",
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.avg("a"), 6).alias("mean_intra"),
+            F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_SILHOUETTE_ORACLE = """
+WITH gs AS (
+  SELECT unnest(range(1, 1 + (SELECT min(len(embedding)) FROM embeddings))) AS i),
+pe AS (
+  SELECT vec_id, label AS own, gs.i - 1 AS pos,
+         CAST(embedding[gs.i] AS DOUBLE) AS v
+  FROM embeddings, gs),
+cent AS (SELECT own AS cand, pos, avg(v) AS c FROM pe GROUP BY own, pos),
+dists AS (
+  SELECT pe.vec_id, pe.own, cent.cand,
+         sqrt(sum((pe.v - cent.c) * (pe.v - cent.c))) AS d
+  FROM pe JOIN cent ON pe.pos = cent.pos
+  GROUP BY pe.vec_id, pe.own, cent.cand),
+per_vec AS (
+  SELECT vec_id, own,
+         min(CASE WHEN cand = own THEN d END) AS a,
+         min(CASE WHEN cand <> own THEN d END) AS b
+  FROM dists GROUP BY vec_id, own)
+SELECT own AS label, count(*) AS n,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette,
+       round(avg(a), 6) AS mean_intra,
+       round(avg(b), 6) AS mean_nearest_other
+FROM per_vec GROUP BY own ORDER BY label
 """
 
 
@@ -3873,6 +4012,8 @@ QUERIES = {
     "stats_bootstrap": stats_bootstrap,
     "sim_centroid_matrix": sim_centroid_matrix,
     "stats_levene": stats_levene,
+    "stats_wilson": stats_wilson,
+    "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
     "dedup_embedding_det": dedup_embedding_det,
@@ -3943,6 +4084,8 @@ ORACLES = {
     "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
     "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
     "stats_levene": STATS_LEVENE_ORACLE,
+    "stats_wilson": STATS_WILSON_ORACLE,
+    "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,

@@ -239,3 +239,30 @@ def test_round7_window_prestage():
         "pipeline_kanon", "text_oov", "sim_centroid_matrix",
     }
     assert round5_additions <= set(_CERT_FIRST_ROUND7)
+
+
+def test_round8_window_prestage():
+    """The pre-staged round-8 certification window: 50 unique
+    oracle-backed registry names, includes every round-5 addition that
+    landed after the round-7 window filled, and overlaps no other
+    pre-staged window (round-4 overlap is allowed: round-8 is the first
+    re-certification pass over r4-era rows)."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND7,
+        _CERT_FIRST_ROUND8,
+    )
+
+    assert len(_CERT_FIRST_ROUND8) == 50
+    assert len(set(_CERT_FIRST_ROUND8)) == 50
+    assert set(_CERT_FIRST_ROUND8) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND8) <= set(ALL_ORACLES)  # no rows-only entries
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND5)
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND6)
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND7)
+    late_round5 = {
+        "stats_levene", "stats_wilson", "sim_silhouette",
+        "graph_reciprocity", "pipeline_dataset_card",
+    }
+    assert late_round5 <= set(_CERT_FIRST_ROUND8)
