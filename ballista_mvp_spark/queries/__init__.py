@@ -215,6 +215,7 @@ _CERT_FIRST_ROUND8 = [
     # round-5 additions past the round-7 freeze, never driver-certified
     "stats_levene", "stats_wilson", "sim_silhouette",
     "graph_reciprocity", "pipeline_dataset_card",
+    "events_changepoint", "events_seasonality", "stats_qq",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -233,8 +234,7 @@ _CERT_FIRST_ROUND8 = [
     "events_ohlc", "events_gapfill", "events_trailing_window",
     "events_json", "events_type_share",
     "streaming_enrich", "streaming_join", "streaming_dedup",
-    "streaming_session_close",
-    "text_bigram_lm", "text_tokens", "text_tfidf",
+    "text_tokens",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]

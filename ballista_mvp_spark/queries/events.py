@@ -1994,6 +1994,118 @@ FROM dc, edges_m
 GRAPH_MODULARITY_ORACLE = _modularity_oracle()
 
 
+def events_changepoint(spark, sf_dir):
+    """CUSUM change-point detection (Page, Biometrika 1954) on the daily
+    event-count series per type: S_t = Σ_{i≤t}(x_i − x̄); the day where
+    |S_t| peaks is the maximum-likelihood single mean-shift location —
+    the 'when did traffic change' primitive behind monitoring and drift
+    attribution, complementing events_anomaly's pointwise z-scores with
+    a LOCATION estimate. One daily rollup shuffle, a per-type mean
+    broadcast back (5 rows), one cumulative window per type over the
+    day-level series (≤ O(days) rows per task — safe at any event
+    volume), then an argmax via row_number. Rounded 4dp."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    mu = daily.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w_cum = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cusum = (
+        daily.join(F.broadcast(mu), "event_type")
+        .withColumn("s", F.sum(F.col("n") - F.col("mu")).over(w_cum))
+    )
+    w_rank = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), "day"
+    )
+    return (
+        cusum.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("n").alias("n_on_day"),
+            F.round(F.col("mu"), 4).alias("daily_mean"),
+            F.round(F.col("s"), 4).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+mu AS (SELECT event_type, avg(n) AS mu FROM daily GROUP BY event_type),
+cusum AS (
+  SELECT d.event_type, d.day, d.n, m.mu,
+         sum(d.n - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily d JOIN mu m ON d.event_type = m.event_type),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(s) DESC, day) AS _rn
+  FROM cusum)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       n AS n_on_day, round(mu, 4) AS daily_mean, round(s, 4) AS cusum_peak
+FROM ranked WHERE _rn = 1 ORDER BY event_type
+"""
+
+
+def events_seasonality(spark, sf_dir):
+    """Day-of-week seasonality decomposition per event type: how much of
+    the daily-count variance does the weekly profile explain? R² = 1 −
+    var(residual)/var(daily) where the fit is the per-(type, dow) mean —
+    the one-number 'is this series weekly-periodic' gate run before
+    choosing a forecast baseline (cf. events_forecast_naive). Daily
+    rollup → 35-row (type, dow) mean broadcast back → one variance
+    aggregate per type. All group-keyed, no windows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    dow = F.dayofweek("day").alias("dow")
+    prof = daily.select("event_type", dow, "n").groupBy(
+        "event_type", "dow"
+    ).agg(F.avg("n").alias("dow_mean"))
+    joined = daily.select("event_type", dow, "day", "n").join(
+        F.broadcast(prof), ["event_type", "dow"]
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.var_samp("n"), 4).alias("var_daily"),
+            F.round(F.var_samp(F.col("n") - F.col("dow_mean")), 4).alias(
+                "var_residual"
+            ),
+            F.round(
+                1 - F.var_samp(F.col("n") - F.col("dow_mean")) / F.var_samp("n"),
+                6,
+            ).alias("dow_r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+d2 AS (SELECT event_type, dayofweek(day) + 1 AS dow, day, n FROM daily),
+prof AS (
+  SELECT event_type, dow, avg(n) AS dow_mean
+  FROM d2 GROUP BY event_type, dow)
+SELECT a.event_type, count(*) AS n_days,
+       round(var_samp(a.n), 4) AS var_daily,
+       round(var_samp(a.n - p.dow_mean), 4) AS var_residual,
+       round(1 - var_samp(a.n - p.dow_mean) / var_samp(a.n), 6) AS dow_r2
+FROM d2 a JOIN prof p ON a.event_type = p.event_type AND a.dow = p.dow
+GROUP BY a.event_type ORDER BY a.event_type
+"""
+
+
 def graph_reciprocity(spark, sf_dir):
     """Reciprocity of the DIRECTED interaction graph: the share of
     distinct directed edges whose reverse edge also exists (Newman,
@@ -2179,6 +2291,8 @@ QUERIES = {
     "events_forecast_naive": events_forecast_naive,
     "graph_modularity": graph_modularity,
     "graph_reciprocity": graph_reciprocity,
+    "events_changepoint": events_changepoint,
+    "events_seasonality": events_seasonality,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
     "events_wau_mau": events_wau_mau,
@@ -2231,6 +2345,8 @@ ORACLES = {
     "events_forecast_naive": EVENTS_FORECAST_NAIVE_ORACLE,
     "graph_modularity": GRAPH_MODULARITY_ORACLE,
     "graph_reciprocity": GRAPH_RECIPROCITY_ORACLE,
+    "events_changepoint": EVENTS_CHANGEPOINT_ORACLE,
+    "events_seasonality": EVENTS_SEASONALITY_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,
     "events_wau_mau": EVENTS_WAU_MAU_ORACLE,

@@ -2131,6 +2131,57 @@ FROM agg ORDER BY event_type
 """
 
 
+def stats_qq(spark, sf_dir):
+    """Quantile–quantile table (the Q-Q plot's data, Wilk & Gnanadesikan,
+    Biometrika 1968) comparing urgent-priority order totals against the
+    rest at 19 evenly spaced probabilities: WHERE a distribution shift
+    lives (tails vs center), which the one-number stats_ks_test /
+    stats_mannwhitney verdicts can't show. One conditional two-arm
+    multi-quantile aggregate (single pass, one 1-row result carrying two
+    19-slot quantile vectors), exploded JVM-side into rows — the arrays
+    never reach the output (driver-safe encoding, the agg_quantiles
+    lesson)."""
+    o = _t(spark, sf_dir, "orders")
+    ps = [round(0.05 * i, 2) for i in range(1, 20)]
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    x = F.col("o_totalprice")
+    agg = o.agg(
+        F.percentile(F.when(urgent, x), F.lit(ps)).alias("qu"),
+        F.percentile(F.when(~urgent, x), F.lit(ps)).alias("qr"),
+    )
+    z = agg.select(
+        F.posexplode(F.arrays_zip(F.col("qu"), F.col("qr"))).alias("i", "q")
+    )
+    return z.select(
+        F.round((F.col("i") + 1) * 0.05, 2).alias("p"),
+        F.round(F.col("q.qu"), 4).alias("q_urgent"),
+        F.round(F.col("q.qr"), 4).alias("q_rest"),
+        F.round(F.col("q.qu") - F.col("q.qr"), 4).alias("gap"),
+    ).orderBy("p")
+
+
+STATS_QQ_ORACLE = """
+WITH lists AS (
+  SELECT quantile_cont(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN o_totalprice END,
+                       [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+                        0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9,
+                        0.95]) AS qu,
+         quantile_cont(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN o_totalprice END,
+                       [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+                        0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9,
+                        0.95]) AS qr
+  FROM orders),
+gs AS (SELECT unnest(range(1, 20)) AS i)
+SELECT round(i * 0.05, 2) AS p,
+       round(qu[i], 4) AS q_urgent,
+       round(qr[i], 4) AS q_rest,
+       round(qu[i] - qr[i], 4) AS gap
+FROM lists, gs ORDER BY p
+"""
+
+
 def stats_levene(spark, sf_dir):
     """Brown–Forsythe test (Brown & Forsythe, JASA 1974 — Levene's test
     with the MEDIAN center, the robust default) for homogeneity of
@@ -4013,6 +4064,7 @@ QUERIES = {
     "sim_centroid_matrix": sim_centroid_matrix,
     "stats_levene": stats_levene,
     "stats_wilson": stats_wilson,
+    "stats_qq": stats_qq,
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
@@ -4085,6 +4137,7 @@ ORACLES = {
     "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
     "stats_levene": STATS_LEVENE_ORACLE,
     "stats_wilson": STATS_WILSON_ORACLE,
+    "stats_qq": STATS_QQ_ORACLE,
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,

@@ -264,5 +264,6 @@ def test_round8_window_prestage():
     late_round5 = {
         "stats_levene", "stats_wilson", "sim_silhouette",
         "graph_reciprocity", "pipeline_dataset_card",
+        "events_changepoint", "events_seasonality", "stats_qq",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
