@@ -216,6 +216,7 @@ _CERT_FIRST_ROUND8 = [
     "stats_levene", "stats_wilson", "sim_silhouette",
     "graph_reciprocity", "pipeline_dataset_card",
     "events_changepoint", "events_seasonality", "stats_qq",
+    "events_time_to_convert", "events_value_deciles", "stats_cat_entropy",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -231,8 +232,7 @@ _CERT_FIRST_ROUND8 = [
     "window_first_last_nth", "window_agg_rows_frame",
     "window_agg_groups_frame",
     "events_anomaly", "events_cum_users", "events_session_window",
-    "events_ohlc", "events_gapfill", "events_trailing_window",
-    "events_json", "events_type_share",
+    "events_ohlc", "events_gapfill",
     "streaming_enrich", "streaming_join", "streaming_dedup",
     "text_tokens",
 ]

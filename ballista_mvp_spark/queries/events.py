@@ -1994,6 +1994,95 @@ FROM dc, edges_m
 GRAPH_MODULARITY_ORACLE = _modularity_oracle()
 
 
+def events_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: for every user whose first
+    'purchase' FOLLOWS their first 'view', the view→purchase latency in
+    hours, summarized as count / mean / interpolated median / p90 — the
+    conversion-latency companion to events_funnel's stage counts (the
+    funnel says HOW MANY convert, this says HOW FAST). One per-user
+    min-aggregate (map-side combined) + a single global quantile
+    reduce; no windows, no joins."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    # micros difference first (exact integer), THEN /1e6/3600 — the
+    # identical float path to the oracle's epoch_us arithmetic
+    dt = (F.unix_micros("fp") - F.unix_micros("fv")) / F.lit(1e6) / 3600.0
+    conv = per.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (dt > 0)
+    ).select(dt.alias("hours"))
+    return conv.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.avg("hours"), 4).alias("mean_hours"),
+        F.round(F.median("hours"), 4).alias("median_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
+    )
+
+
+EVENTS_TIME_TO_CONVERT_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT (epoch_us(fp) - epoch_us(fv)) / 1e6 / 3600.0 AS hours
+  FROM per
+  WHERE fv IS NOT NULL AND fp IS NOT NULL
+    AND (epoch_us(fp) - epoch_us(fv)) / 1e6 / 3600.0 > 0)
+SELECT count(*) AS n_converters,
+       round(avg(hours), 4) AS mean_hours,
+       round(median(hours), 4) AS median_hours,
+       round(quantile_cont(hours, 0.9), 4) AS p90_hours
+FROM conv
+"""
+
+
+def events_value_deciles(spark, sf_dir):
+    """User lifetime-value deciles: rank every user by their total event
+    value into 10 NTILE buckets (value desc, user_id tiebreak) and
+    profile each decile (users, total value, share of global value,
+    mean) — the concentration table behind 'top 10% of users drive X%'
+    product analytics. One per-user aggregate, one ntile window over the
+    user-level table (users ≪ events), one 10-row reduce with the
+    global total broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.sum("value").alias("v"))
+    w = W.orderBy(F.col("v").desc(), "user_id")
+    dec = per.withColumn("decile", F.ntile(10).over(w))
+    tot = per.agg(F.sum("v").alias("tot"))
+    return (
+        dec.groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("v").alias("_sv"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("_sv"), 4).alias("sum_value"),
+            F.round(F.col("_sv") / F.col("tot"), 6).alias("value_share"),
+            F.round(F.col("_sv") / F.col("n_users"), 4).alias("mean_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+EVENTS_VALUE_DECILES_ORACLE = """
+WITH per AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id),
+dec AS (
+  SELECT v, ntile(10) OVER (ORDER BY v DESC, user_id) AS decile FROM per),
+tot AS (SELECT sum(v) AS tot FROM per)
+SELECT decile, count(*) AS n_users,
+       round(sum(v), 4) AS sum_value,
+       round(sum(v) / min(tot.tot), 6) AS value_share,
+       round(sum(v) / count(*), 4) AS mean_value
+FROM dec, tot GROUP BY decile ORDER BY decile
+"""
+
+
 def events_changepoint(spark, sf_dir):
     """CUSUM change-point detection (Page, Biometrika 1954) on the daily
     event-count series per type: S_t = Σ_{i≤t}(x_i − x̄); the day where
@@ -2292,6 +2381,8 @@ QUERIES = {
     "graph_modularity": graph_modularity,
     "graph_reciprocity": graph_reciprocity,
     "events_changepoint": events_changepoint,
+    "events_time_to_convert": events_time_to_convert,
+    "events_value_deciles": events_value_deciles,
     "events_seasonality": events_seasonality,
     "events_ab_test": events_ab_test,
     "events_streaks": events_streaks,
@@ -2346,6 +2437,8 @@ ORACLES = {
     "graph_modularity": GRAPH_MODULARITY_ORACLE,
     "graph_reciprocity": GRAPH_RECIPROCITY_ORACLE,
     "events_changepoint": EVENTS_CHANGEPOINT_ORACLE,
+    "events_time_to_convert": EVENTS_TIME_TO_CONVERT_ORACLE,
+    "events_value_deciles": EVENTS_VALUE_DECILES_ORACLE,
     "events_seasonality": EVENTS_SEASONALITY_ORACLE,
     "events_ab_test": EVENTS_AB_TEST_ORACLE,
     "events_streaks": EVENTS_STREAKS_ORACLE,

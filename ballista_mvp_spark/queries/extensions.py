@@ -2131,6 +2131,70 @@ FROM agg ORDER BY event_type
 """
 
 
+def stats_cat_entropy(spark, sf_dir):
+    """Categorical-balance profile of three key dimension columns
+    (orders.o_orderpriority, events.event_type, documents.lang): Shannon
+    entropy, normalized entropy H/ln(k) (1 = perfectly balanced), and
+    Gini impurity 1−Σp² — the class-balance health check run on every
+    stratification column before sampling or splitting on it
+    (text_entropy's categorical-column counterpart). Per column: one
+    map-side-combined value count (k ≤ 10 rows) + a one-row reduce;
+    three unioned probes."""
+
+    def _profile(df, col, label):
+        counts = df.groupBy(F.col(col).alias("val")).agg(
+            F.count("*").alias("c")
+        )
+        tot = counts.agg(F.sum("c").alias("t"))
+        p = F.col("c") / F.col("t")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(label).alias("column_name"),
+                F.count("*").alias("k"),
+                F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+                F.round(
+                    -F.sum(p * F.log(p)) / F.log(F.count("*").cast("double")),
+                    6,
+                ).alias("norm_entropy"),
+                F.round(1 - F.sum(p * p), 6).alias("gini_impurity"),
+            )
+        )
+
+    o = _profile(_t(spark, sf_dir, "orders"), "o_orderpriority", "orders.priority")
+    e = _profile(_t(spark, sf_dir, "events"), "event_type", "events.type")
+    d = _profile(_t(spark, sf_dir, "documents"), "lang", "documents.lang")
+    return o.unionByName(e).unionByName(d).orderBy("column_name")
+
+
+STATS_CAT_ENTROPY_ORACLE = """
+WITH
+o AS (SELECT o_orderpriority AS val, count(*) AS c FROM orders GROUP BY 1),
+e AS (SELECT event_type AS val, count(*) AS c FROM events GROUP BY 1),
+d AS (SELECT lang AS val, count(*) AS c FROM documents GROUP BY 1),
+po AS (SELECT 'orders.priority' AS column_name, count(*) AS k,
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6) AS entropy,
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t))
+                    / ln(CAST(count(*) AS DOUBLE)), 6) AS norm_entropy,
+              round(1 - sum((c * 1.0 / t) * (c * 1.0 / t)), 6) AS gini_impurity
+       FROM o, (SELECT sum(c) AS t FROM o)),
+pe AS (SELECT 'events.type', count(*),
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6),
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t))
+                    / ln(CAST(count(*) AS DOUBLE)), 6),
+              round(1 - sum((c * 1.0 / t) * (c * 1.0 / t)), 6)
+       FROM e, (SELECT sum(c) AS t FROM e)),
+pd AS (SELECT 'documents.lang', count(*),
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6),
+              round(-sum((c * 1.0 / t) * ln(c * 1.0 / t))
+                    / ln(CAST(count(*) AS DOUBLE)), 6),
+              round(1 - sum((c * 1.0 / t) * (c * 1.0 / t)), 6)
+       FROM d, (SELECT sum(c) AS t FROM d))
+SELECT * FROM po UNION ALL SELECT * FROM pe UNION ALL SELECT * FROM pd
+ORDER BY column_name
+"""
+
+
 def stats_qq(spark, sf_dir):
     """Quantile–quantile table (the Q-Q plot's data, Wilk & Gnanadesikan,
     Biometrika 1968) comparing urgent-priority order totals against the
@@ -4065,6 +4129,7 @@ QUERIES = {
     "stats_levene": stats_levene,
     "stats_wilson": stats_wilson,
     "stats_qq": stats_qq,
+    "stats_cat_entropy": stats_cat_entropy,
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
@@ -4138,6 +4203,7 @@ ORACLES = {
     "stats_levene": STATS_LEVENE_ORACLE,
     "stats_wilson": STATS_WILSON_ORACLE,
     "stats_qq": STATS_QQ_ORACLE,
+    "stats_cat_entropy": STATS_CAT_ENTROPY_ORACLE,
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,

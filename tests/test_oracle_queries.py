@@ -265,5 +265,7 @@ def test_round8_window_prestage():
         "stats_levene", "stats_wilson", "sim_silhouette",
         "graph_reciprocity", "pipeline_dataset_card",
         "events_changepoint", "events_seasonality", "stats_qq",
+        "events_time_to_convert", "events_value_deciles",
+        "stats_cat_entropy",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
