@@ -360,3 +360,71 @@ def clustering_coefficients(
             6,
         ).alias("local_cc"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala, WWW 2002): PageRank whose
+    teleport mass is restricted to a SEED set — relevance relative to a
+    starting cohort (seed users, trusted domains, a topic's pages)
+    rather than global importance. rank_0 = e_S (uniform on seeds);
+    rank_{i+1}(n) = (1−d)·e_S(n) + d·Σ_{m→n} p(m→n)·rank_i(m).
+
+    Same K-chained join+agg plan as pagerank (fixed iterations, one
+    persisted transition table, per-iteration map-side-combined sums);
+    the seed indicator is one left-semi-style join onto the O(nodes)
+    table and |S| is a 1-row broadcast, never a driver collect.
+    `seeds` must expose a `node` column. Returns (node, rank[6dp])."""
+    e = edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_d")).agg(
+        F.count("*").cast("double").alias("_w")
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    trans = (
+        e.join(outw, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d")))
+        .distinct()
+        .persist()
+    )
+    ns = seeds.select("node").distinct().agg(F.count("*").alias("_ns"))
+    base = (
+        nodes.join(
+            seeds.select("node").distinct().withColumn("_is_seed", F.lit(1)),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("_is_seed").isNotNull(), 1.0 / F.col("_ns"))
+            .otherwise(0.0)
+            .alias("tele"),
+        )
+        .persist()
+    )
+    ranks = base.select("node", F.col("tele").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            trans.join(ranks, trans["_s"] == ranks["node"])
+            .select(F.col("_d").alias("node"), (F.col("_p") * F.col("rank")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("tele")
+                + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -217,6 +217,7 @@ _CERT_FIRST_ROUND8 = [
     "graph_reciprocity", "pipeline_dataset_card",
     "events_changepoint", "events_seasonality", "stats_qq",
     "events_time_to_convert", "events_value_deciles", "stats_cat_entropy",
+    "graph_ppr", "text_langid_confusion",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -226,11 +227,10 @@ _CERT_FIRST_ROUND8 = [
     # r1-r3 rows not re-proven by any later window
     "join_inner", "join_right_semi",
     "agg_cube", "agg_rollup", "agg_distinct_filter", "agg_array_agg",
-    "agg_regression", "agg_boolean", "agg_string",
+    "agg_regression", "agg_boolean",
     "agg_weighted_percentile",
     "sql_subquery_scalar",
     "window_first_last_nth", "window_agg_rows_frame",
-    "window_agg_groups_frame",
     "events_anomaly", "events_cum_users", "events_session_window",
     "events_ohlc", "events_gapfill",
     "streaming_enrich", "streaming_join", "streaming_dedup",

@@ -1091,6 +1091,74 @@ FROM r5 ORDER BY rank DESC, user_id LIMIT 100
 GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (Haveliwala, WWW 2002) from a deterministic
+    seed cohort (user_id % 97 == 0, ~1% of nodes) over the interaction
+    graph — 'relevance to THESE users', the seeded-recommendation /
+    trust-propagation primitive that global graph_pagerank can't
+    express. Same 5 unrolled iterations, damping 0.85
+    (operators/graph.personalized_pagerank); top-100 nonzero scores by
+    rounded rank, node tiebreak."""
+    from ..operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    edges = _interaction_edges(e)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    ranks = G.personalized_pagerank(edges, seeds, "src", "dst", iterations=5)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("user_id"), F.col("rank").alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "user_id")
+        .limit(100)
+    )
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, 6):
+        steps.append(
+            f"""r{i} AS (
+  SELECT b.node, 0.15000000000000002 * b.tele + 0.85 * coalesce(c.s, 0) AS rank
+  FROM base b LEFT JOIN (
+    SELECT t.dst AS node, sum(t.p * r.rank) AS s
+    FROM trans t JOIN {prev} r ON t.src = r.node GROUP BY t.dst
+  ) c ON b.node = c.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH ordered AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM ordered WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY src) o ON e.src = o.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+ns AS (SELECT count(*) AS c FROM seeds),
+base AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.c ELSE 0.0 END AS tele
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node, ns),
+r0 AS (SELECT node, tele AS rank FROM base),
+{",".join(steps)}
+SELECT node AS user_id, round(rank, 6) AS ppr
+FROM {prev} WHERE round(rank, 6) > 0
+ORDER BY ppr DESC, user_id LIMIT 100
+"""
+
+
+GRAPH_PPR_ORACLE = _ppr_oracle()
+
+
 def graph_degree(spark, sf_dir):
     """In/out degree per node of the interaction graph (multi-edges
     counted) — the graph-profile primitive (hub detection, skew audit
@@ -2380,6 +2448,7 @@ QUERIES = {
     "events_forecast_naive": events_forecast_naive,
     "graph_modularity": graph_modularity,
     "graph_reciprocity": graph_reciprocity,
+    "graph_ppr": graph_ppr,
     "events_changepoint": events_changepoint,
     "events_time_to_convert": events_time_to_convert,
     "events_value_deciles": events_value_deciles,
@@ -2436,6 +2505,7 @@ ORACLES = {
     "events_forecast_naive": EVENTS_FORECAST_NAIVE_ORACLE,
     "graph_modularity": GRAPH_MODULARITY_ORACLE,
     "graph_reciprocity": GRAPH_RECIPROCITY_ORACLE,
+    "graph_ppr": GRAPH_PPR_ORACLE,
     "events_changepoint": EVENTS_CHANGEPOINT_ORACLE,
     "events_time_to_convert": EVENTS_TIME_TO_CONVERT_ORACLE,
     "events_value_deciles": EVENTS_VALUE_DECILES_ORACLE,

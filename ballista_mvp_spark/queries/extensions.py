@@ -3320,6 +3320,63 @@ FROM s ORDER BY doc_id
 """
 
 
+def text_langid_confusion(spark, sf_dir):
+    """Confusion matrix + per-language recall of the stopword-argmax
+    language identifier against the gold labels — the evaluation
+    artifact every classifier in the curation stack owes (text_langid
+    emits the per-doc predictions; this rolls them into the
+    quality-report form: true × predicted counts and per-true-language
+    recall). Same deterministic scorer (TX.predict_lang), one (true,
+    pred) groupBy + a per-true-language total broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select("lang", TX.predict_lang(F.col("text")).alias("pred_lang"))
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = pred.groupBy("lang").agg(F.count("*").alias("_t"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("share_of_true"),
+            (F.col("lang") == F.col("pred_lang")).cast("int").alias("is_correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+TEXT_LANGID_CONFUSION_ORACLE = r"""
+WITH base AS (
+  SELECT lang,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+s AS (
+  SELECT lang,
+    CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS INT) AS s_en,
+    CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS INT) AS s_de,
+    CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','de','que','pour'], x))) AS INT) AS s_fr,
+    CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','un','una','de','que','por'], x))) AS INT) AS s_es,
+    CAST(len(list_filter(t, x -> list_contains(['的','是','了','在','和','有','我','不','这','人'], x))) AS INT) AS s_zh
+  FROM base),
+pred AS (
+  SELECT lang,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+  FROM s),
+cm AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS _t FROM pred GROUP BY lang)
+SELECT cm.lang, cm.pred_lang, cm.n,
+       round(cm.n * 1.0 / tot._t, 6) AS share_of_true,
+       CAST(cm.lang = cm.pred_lang AS INT) AS is_correct
+FROM cm JOIN tot ON cm.lang = tot.lang
+ORDER BY cm.lang, cm.pred_lang
+"""
+
+
 def text_langid_ngram(spark, sf_dir):
     """Char-trigram rank-profile language ID (Cavnar-Trenkle): per-lang
     top-200 trigram profiles built distributed from the labeled corpus,
@@ -4145,6 +4202,7 @@ QUERIES = {
     "dedup_bloom_gate": dedup_bloom_gate,
     "stats_skew_profile": stats_skew_profile,
     "text_langid": text_langid,
+    "text_langid_confusion": text_langid_confusion,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
     "text_normalize": text_normalize,
@@ -4219,6 +4277,7 @@ ORACLES = {
     "dedup_bloom_gate": DEDUP_BLOOM_GATE_ORACLE,
     "stats_skew_profile": STATS_SKEW_PROFILE_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
+    "text_langid_confusion": TEXT_LANGID_CONFUSION_ORACLE,
     "text_langid_ngram": TEXT_LANGID_NGRAM_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_normalize": TEXT_NORMALIZE_ORACLE,

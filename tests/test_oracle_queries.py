@@ -266,6 +266,6 @@ def test_round8_window_prestage():
         "graph_reciprocity", "pipeline_dataset_card",
         "events_changepoint", "events_seasonality", "stats_qq",
         "events_time_to_convert", "events_value_deciles",
-        "stats_cat_entropy",
+        "stats_cat_entropy", "graph_ppr", "text_langid_confusion",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
