@@ -234,3 +234,29 @@ def test_clustering_coefficients_triangle_free_is_zero(spark):
     edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
     got = {r.node: r.local_cc for r in G.clustering_coefficients(edges).collect()}
     assert got == {0: 0.0}
+
+
+def test_personalized_pagerank_matches_numpy_reference(spark):
+    edges = [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (5, 1)]
+    seeds = [1, 5]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for u, v in edges:
+        w[idx[u], idx[v]] += 1.0
+    outw = w.sum(axis=1)
+    p = np.divide(w, outw[:, None], out=np.zeros_like(w), where=outw[:, None] > 0)
+    e_s = np.array([1.0 / len(seeds) if m in seeds else 0.0 for m in nodes])
+    r = e_s.copy()
+    d = 0.85
+    for _ in range(5):
+        r = (1 - d) * e_s + d * (p.T @ r)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {row.node: row.rank for row in G.personalized_pagerank(df, sdf).collect()}
+    for m in nodes:
+        assert abs(got[m] - r[idx[m]]) < 1e-6, (m, got[m], r[idx[m]])
+    # non-seed-reachable mass: node 5 has no in-edges and is not seeded
+    # by teleport beyond its own seed share
+    assert got[5] == round(0.15 * 0.5, 6)
