@@ -1316,9 +1316,144 @@ FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def market_supplier_scorecard(spark, sf_dir):
+    """Supplier scorecard, top-3 per nation by revenue: net revenue,
+    shipped-line count, return rate (share of 'R' returnflag lines),
+    and average discount per supplier, ranked within the supplier's
+    nation — the composite BI rollup (fact agg → dim join → windowed
+    top-k per group) that exercises the whole relational stack in one
+    realistic query. One lineitem aggregate (map-side combined, the
+    only fact-scale shuffle), broadcast dim joins, a rank window over
+    the supplier-grain table (WindowGroupLimit prunes to 3 per nation),
+    ordered by rounded revenue with suppkey tiebreak (the house
+    determinism trick)."""
+    from pyspark.sql import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("return_rate"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+    joined = per.join(
+        F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+        per["l_suppkey"] == s["s_suppkey"],
+    ).join(F.broadcast(n.select("n_nationkey", "n_name")),
+           F.col("s_nationkey") == F.col("n_nationkey"))
+    w = W.partitionBy("n_name").orderBy(F.col("revenue").desc(), "s_suppkey")
+    return (
+        joined.withColumn("nation_rank", F.rank().over(w))
+        .filter(F.col("nation_rank") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "nation_rank",
+            "s_name",
+            "revenue",
+            "n_lines",
+            "return_rate",
+            "avg_discount",
+        )
+        .orderBy("nation", "nation_rank", "s_name")
+    )
+
+
+MARKET_SUPPLIER_SCORECARD_ORACLE = """
+WITH per AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lines,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS return_rate,
+         round(avg(l_discount), 6) AS avg_discount
+  FROM lineitem GROUP BY l_suppkey),
+joined AS (
+  SELECT n.n_name AS nation, s.s_name, s.s_suppkey, per.revenue,
+         per.n_lines, per.return_rate, per.avg_discount,
+         rank() OVER (PARTITION BY n.n_name
+                      ORDER BY per.revenue DESC, s.s_suppkey) AS nation_rank
+  FROM per
+  JOIN supplier s ON per.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+SELECT nation, nation_rank, s_name, revenue, n_lines, return_rate,
+       avg_discount
+FROM joined WHERE nation_rank <= 3
+ORDER BY nation, nation_rank, s_name
+"""
+
+
+def customer_churn(spark, sf_dir):
+    """Churn rollup per market segment: a customer is CHURNED when
+    their last order predates the corpus's final order date by more
+    than a year — the retention KPI every subscription/commerce
+    analytics stack computes, expressed scale-correctly: one per-
+    customer max-date aggregate (fact-scale, map-side combined), the
+    1-row global max broadcast back, a broadcast customer-dim join,
+    one segment-level reduce. Churned customers' lifetime spend is
+    reported beside the rate to show what the churn is worth."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.sum("o_totalprice").alias("_spend"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("_mx"))
+    flagged = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "_spend",
+        (F.col("_last") < F.date_sub(F.col("_mx"), 365)).cast("int").alias(
+            "churned"
+        ),
+    )
+    return (
+        flagged.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            flagged["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("churned").alias("n_churned"),
+            F.round(F.sum("churned") / F.count("*"), 6).alias("churn_rate"),
+            F.round(
+                F.sum(F.when(F.col("churned") == 1, F.col("_spend"))), 2
+            ).alias("churned_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_CHURN_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey),
+mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+flagged AS (
+  SELECT o_custkey, spend,
+         CASE WHEN last_d < mxd - INTERVAL 365 DAY THEN 1 ELSE 0 END AS churned
+  FROM per, mx)
+SELECT c.c_mktsegment, count(*) AS n_customers,
+       CAST(sum(f.churned) AS BIGINT) AS n_churned,
+       round(sum(f.churned) * 1.0 / count(*), 6) AS churn_rate,
+       round(sum(CASE WHEN f.churned = 1 THEN f.spend END), 2) AS churned_spend
+FROM flagged f JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "market_basket": market_basket,
     "customer_rfm": customer_rfm,
+    "market_supplier_scorecard": market_supplier_scorecard,
+    "customer_churn": customer_churn,
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
@@ -1375,6 +1510,8 @@ QUERIES = {
 ORACLES = {
     "market_basket": MARKET_BASKET_ORACLE,
     "customer_rfm": CUSTOMER_RFM_ORACLE,
+    "market_supplier_scorecard": MARKET_SUPPLIER_SCORECARD_ORACLE,
+    "customer_churn": CUSTOMER_CHURN_ORACLE,
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,

@@ -267,5 +267,6 @@ def test_round8_window_prestage():
         "events_changepoint", "events_seasonality", "stats_qq",
         "events_time_to_convert", "events_value_deciles",
         "stats_cat_entropy", "graph_ppr", "text_langid_confusion",
+        "market_supplier_scorecard", "customer_churn",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
