@@ -485,3 +485,26 @@ def test_jaccard_wedge_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scorecard_window_group_limit_and_broadcast_dims(spark):
+    """market_supplier_scorecard: the top-3-per-nation rank filter must
+    compile to WindowGroupLimit (pruning before the full window sort),
+    the supplier/nation dims must broadcast, and no cartesian
+    anywhere."""
+    from ballista_mvp_spark.queries.relational import market_supplier_scorecard
+
+    plan = _plan(market_supplier_scorecard(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ppr_iterations_are_hash_joins(spark):
+    """graph_ppr: every propagation iteration joins on the node key (hash
+    or sort-merge), the seed indicator is a keyed left join, and the only
+    nested-loop is the 1-row |S| broadcast."""
+    from ballista_mvp_spark.queries.events import graph_ppr
+
+    plan = _plan(graph_ppr(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
