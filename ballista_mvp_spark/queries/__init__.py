@@ -219,6 +219,7 @@ _CERT_FIRST_ROUND8 = [
     "events_time_to_convert", "events_value_deciles", "stats_cat_entropy",
     "graph_ppr", "text_langid_confusion",
     "market_supplier_scorecard", "customer_churn",
+    "fn_string_distance", "sim_knn_eval",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -227,8 +228,7 @@ _CERT_FIRST_ROUND8 = [
     "pipeline_pack", "pipeline_leakage", "multimodal_meta",
     # r1-r3 rows not re-proven by any later window
     "join_inner", "join_right_semi",
-    "agg_cube", "agg_rollup", "agg_distinct_filter", "agg_array_agg",
-    "agg_regression",
+    "agg_cube", "agg_rollup", "agg_distinct_filter",
     "sql_subquery_scalar",
     "window_first_last_nth", "window_agg_rows_frame",
     "events_anomaly", "events_cum_users", "events_session_window",

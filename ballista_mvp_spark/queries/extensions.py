@@ -2670,6 +2670,86 @@ ORDER BY query_id, rank
 """
 
 
+def sim_knn_eval(spark, sf_dir):
+    """Leave-one-out k-NN classification audit (Cover & Hart, IEEE IT
+    1967) on a deterministic 200-vector sample: predict every vector's
+    label by the majority of its 5 nearest neighbors (exact cosine,
+    rounded-score + id tiebreaks, ties in the vote broken toward the
+    SMALLEST label) and report per-label accuracy — the 'do my
+    embeddings encode this label' eval that gates using them for
+    classification or semantic dedup. Reuses the certified
+    brute_force_topk kernel on the bounded sample; the vote and the
+    accuracy rollup are two slim groupBys. At corpus scale the sample
+    stays fixed — the audit cost never grows with the corpus."""
+    from ..operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    knn = S.brute_force_topk(sample, sample, "vec_id", "embedding", k=5)
+    lab = sample.select("vec_id", "label")
+    votes = (
+        knn.join(lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "true_label"), "query_id")
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "n_label"), "neighbor_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").alias("v"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("v").desc(), "n_label")
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("true_label") == F.col("pred_label")).cast("int")
+            ).alias("n_correct"),
+            F.round(
+                F.sum((F.col("true_label") == F.col("pred_label")).cast("int"))
+                / F.count("*"),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_KNN_EVAL_ORACLE = """
+WITH sample AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label
+  FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos_sim
+  FROM sample q JOIN sample c ON c.vec_id <> q.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 5),
+votes AS (
+  SELECT query_id, true_label, n_label, count(*) AS v
+  FROM knn GROUP BY 1, 2, 3),
+pred AS (
+  SELECT query_id, true_label, n_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY v DESC, n_label) AS _rn
+    FROM votes) WHERE _rn = 1)
+SELECT true_label AS label, count(*) AS n,
+       CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM pred GROUP BY true_label ORDER BY label
+"""
+
+
 def sim_centroid_matrix(spark, sf_dir):
     """Cross-cluster similarity matrix: the cosine between every pair of
     per-label embedding centroids — the 'how separable are my data
@@ -4183,6 +4263,7 @@ QUERIES = {
     "text_hapax": text_hapax,
     "stats_bootstrap": stats_bootstrap,
     "sim_centroid_matrix": sim_centroid_matrix,
+    "sim_knn_eval": sim_knn_eval,
     "stats_levene": stats_levene,
     "stats_wilson": stats_wilson,
     "stats_qq": stats_qq,
@@ -4258,6 +4339,7 @@ ORACLES = {
     "text_hapax": TEXT_HAPAX_ORACLE,
     "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
     "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
+    "sim_knn_eval": SIM_KNN_EVAL_ORACLE,
     "stats_levene": STATS_LEVENE_ORACLE,
     "stats_wilson": STATS_WILSON_ORACLE,
     "stats_qq": STATS_QQ_ORACLE,

@@ -174,6 +174,46 @@ ORDER BY p_partkey
 """
 
 
+def fn_string_distance(spark, sf_dir):
+    """Edit-distance functions over realistic name pairs (adjacent part
+    names): levenshtein distance, the normalized similarity
+    1 − lev/max(len), and an exact-prefix-match flag — the string-match
+    primitives under fuzzy joins and record linkage (dedup_fuzzy uses
+    levenshtein internally; this certifies the scalar itself against an
+    independent implementation). Both engines implement the same
+    classical DP, so the values must agree exactly."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    a = p.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("n1"))
+    b = p.select((F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("n2"))
+    pairs = a.join(b, "k")
+    lev = F.levenshtein("n1", "n2")
+    mx = F.greatest(F.length("n1"), F.length("n2"))
+    return pairs.select(
+        "k",
+        "n1",
+        "n2",
+        lev.alias("lev"),
+        F.round(1 - lev / mx, 6).alias("similarity"),
+        (F.substring("n1", 1, 5) == F.substring("n2", 1, 5)).cast("int").alias(
+            "same_prefix5"
+        ),
+    ).orderBy("k")
+
+
+FN_STRING_DISTANCE_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200),
+pairs AS (
+  SELECT a.p_partkey AS k, a.p_name AS n1, b.p_name AS n2
+  FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1)
+SELECT k, n1, n2,
+       CAST(levenshtein(n1, n2) AS INT) AS lev,
+       round(1 - levenshtein(n1, n2) * 1.0
+                 / greatest(length(n1), length(n2)), 6) AS similarity,
+       CAST(substr(n1, 1, 5) = substr(n2, 1, 5) AS INT) AS same_prefix5
+FROM pairs ORDER BY k
+"""
+
+
 def fn_string2(spark, sf_dir):
     """String rows of §2.8 (part 2): OctetLength Repeat Replace Reverse
     Right Rpad Rtrim SplitPart StartsWith Strpos Substr ToHex Translate
@@ -837,6 +877,7 @@ QUERIES = {
     "udaf_apply_in_pandas": udaf_apply_in_pandas,
     "fn_string": fn_string,
     "fn_string2": fn_string2,
+    "fn_string_distance": fn_string_distance,
     "fn_regex": fn_regex,
     "fn_hash": fn_hash,
     "fn_hash_full": fn_hash_full,
@@ -860,6 +901,7 @@ ORACLES = {
     "udaf_apply_in_pandas": UDAF_ORACLE,
     "fn_string": FN_STRING_ORACLE,
     "fn_string2": FN_STRING2_ORACLE,
+    "fn_string_distance": FN_STRING_DISTANCE_ORACLE,
     "fn_regex": FN_REGEX_ORACLE,
     "fn_hash": FN_HASH_ORACLE,
     "fn_datetime": FN_DATETIME_ORACLE,

@@ -268,5 +268,6 @@ def test_round8_window_prestage():
         "events_time_to_convert", "events_value_deciles",
         "stats_cat_entropy", "graph_ppr", "text_langid_confusion",
         "market_supplier_scorecard", "customer_churn",
+        "fn_string_distance", "sim_knn_eval",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
