@@ -220,6 +220,73 @@ def _rewrite_qualify(q: str) -> str:
     )
 
 
+def _rewrite_distinct_on(q: str) -> str:
+    """Rewrite a top-level ``SELECT DISTINCT ON (<keys>) ...`` statement
+    (PostgreSQL / DuckDB syntax — keep the FIRST row of each key group
+    under the statement's ORDER BY; Spark has no native DISTINCT ON)
+    into standard Spark SQL:
+
+        SELECT DISTINCT ON (k) sel FROM ... [ORDER BY ob] [LIMIT n]
+        → SELECT * EXCEPT (__don__) FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY k ORDER BY ob) AS __don__
+              FROM (SELECT sel FROM ...)
+          ) WHERE __don__ = 1 [ORDER BY ob] [LIMIT n]
+
+    The select list is materialized one level down so the window's
+    PARTITION BY / ORDER BY can reference select-list ALIASES (Spark
+    forbids lateral aliases inside window specs) — consequently the keys
+    and ORDER BY expressions must be resolvable against the select list,
+    which DISTINCT ON statements satisfy in practice (DuckDB resolves
+    aliases in ORDER BY the same way). With no ORDER BY the partition
+    keys order the window (any row per group is acceptable then; this
+    pins a deterministic one). Statements without a leading top-level
+    DISTINCT ON pass through byte-identical; DuckDB runs the original
+    text natively, so a single SQL string is a cross-engine contract
+    (the QUALIFY convention, engine.py _rewrite_qualify)."""
+    si, _ = _find_kw(q, ("SELECT",))
+    if si < 0:
+        return q
+    after = q[si + len("SELECT"):]
+    lead = after[: len(after) - len(after.lstrip())]
+    rest = after.lstrip()
+    if not rest.upper().startswith("DISTINCT ON"):
+        return q
+    p0 = rest.upper().find("(", len("DISTINCT ON"))
+    if p0 < 0:
+        return q
+    depth, p1 = 0, -1
+    for i in range(p0, len(rest)):
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+            if depth == 0:
+                p1 = i
+                break
+    if p1 < 0:
+        return q
+    keys = rest[p0 + 1:p1].strip()
+    sel_start = si + len("SELECT") + len(lead) + p1 + 1
+    fi, _ = _find_kw(q, ("FROM",), start=sel_start)
+    if fi < 0:
+        return q
+    sel = q[sel_start:fi].strip()
+    oi, _ = _find_kw(q, ("ORDER BY",), start=fi)
+    li, _ = _find_kw(q, ("LIMIT",), start=oi if oi >= 0 else fi)
+    body_end = oi if oi >= 0 else (li if li >= 0 else len(q))
+    body = q[fi:body_end].strip()
+    ob = (q[oi + len("ORDER BY"):li] if li >= 0 else q[oi + len("ORDER BY"):]).strip() if oi >= 0 else keys
+    tail = (" " + q[oi:].strip()) if oi >= 0 else ((" " + q[li:].strip()) if li >= 0 else "")
+    return (
+        f"SELECT * EXCEPT (__don__) FROM ("
+        f"SELECT *, row_number() OVER ("
+        f"PARTITION BY {keys} ORDER BY {ob}) AS __don__ "
+        f"FROM (SELECT {sel} {body})"
+        f") WHERE __don__ = 1{tail}"
+    )
+
+
 def _gen_job_id(rng: random.Random) -> str:
     """7-char alphanumeric job id, like the reference's
     ``TaskManager::generate_job_id`` (task_manager.rs:517-525)."""
@@ -516,7 +583,7 @@ class Engine:
         if (out := self._sql_versioned(query)) is not None:
             return out
         return self.spark.sql(
-            _rewrite_qualify(self._rewrite_time_travel(query))
+            _rewrite_qualify(_rewrite_distinct_on(self._rewrite_time_travel(query)))
         )
 
     def prepare(self, query: str) -> PreparedStatement:

@@ -220,6 +220,7 @@ _CERT_FIRST_ROUND8 = [
     "graph_ppr", "text_langid_confusion",
     "market_supplier_scorecard", "customer_churn",
     "fn_string_distance", "sim_knn_eval",
+    "sql_distinct_on", "stats_outlier_iqr", "text_stopword_density",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -228,13 +229,12 @@ _CERT_FIRST_ROUND8 = [
     "pipeline_pack", "pipeline_leakage", "multimodal_meta",
     # r1-r3 rows not re-proven by any later window
     "join_inner", "join_right_semi",
-    "agg_cube", "agg_rollup", "agg_distinct_filter",
+    "agg_cube", "agg_rollup",
     "sql_subquery_scalar",
     "window_first_last_nth", "window_agg_rows_frame",
     "events_anomaly", "events_cum_users", "events_session_window",
-    "events_ohlc", "events_gapfill",
+    "events_ohlc",
     "streaming_enrich", "streaming_join", "streaming_dedup",
-    "text_tokens",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]

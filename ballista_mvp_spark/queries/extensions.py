@@ -2306,6 +2306,118 @@ FROM tot
 """
 
 
+def text_stopword_density(spark, sf_dir):
+    """Own-language stopword density per document, rolled up per
+    language (count / mean / interpolated median / share of docs below
+    2%): the C4-style fluency gate (Raffel et al., JMLR 2020 kept only
+    text with enough function words) applied with each language's OWN
+    stopword list — distinct from text_langid, which scores ALL lists
+    to pick a winner. One token explode filtered against the ≤10-word
+    broadcast-literal list per language (a CASE over 5 lists — no join),
+    then a per-lang reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    hits = None
+    for lang, words in sorted(TX.STOPWORDS.items()):
+        cnt = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        hits = F.when(F.col("lang") == lang, cnt) if hits is None else hits.when(
+            F.col("lang") == lang, cnt
+        )
+    dens = (hits.otherwise(0) / F.greatest(F.size(toks), F.lit(1))).alias("d")
+    per = docs.select("lang", dens)
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("d"), 6).alias("mean_density"),
+            F.round(F.median("d"), 6).alias("p50_density"),
+            F.round(
+                F.sum((F.col("d") < 0.02).cast("int")) / F.count("*"), 6
+            ).alias("low_density_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_STOPWORD_DENSITY_ORACLE = r"""
+WITH base AS (
+  SELECT lang,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+per AS (
+  SELECT lang,
+    (CASE lang
+       WHEN 'de' THEN len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x)))
+       WHEN 'en' THEN len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+       WHEN 'es' THEN len(list_filter(t, x -> list_contains(['el','la','los','y','es','un','una','de','que','por'], x)))
+       WHEN 'fr' THEN len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','de','que','pour'], x)))
+       WHEN 'zh' THEN len(list_filter(t, x -> list_contains(['的','是','了','在','和','有','我','不','这','人'], x)))
+       ELSE 0 END) * 1.0 / greatest(len(t), 1) AS d
+  FROM base)
+SELECT lang, count(*) AS n_docs,
+       round(avg(d), 6) AS mean_density,
+       round(median(d), 6) AS p50_density,
+       round(sum(CASE WHEN d < 0.02 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS low_density_share
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def stats_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier audit (Tukey, 'Exploratory Data Analysis',
+    1977) of order totals per priority: interpolated Q1/Q3, the IQR,
+    the 1.5·IQR fences, and how many rows fall outside — the classic
+    box-plot rule, the fence-based sibling of stats_mad's robust-z
+    gate. One exact two-quantile aggregate per group broadcast back,
+    one counting pass."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    flagged = o.join(F.broadcast(q), "o_orderpriority").select(
+        "o_orderpriority",
+        "q1",
+        "q3",
+        ((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi))
+        .cast("int")
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("q1"), 4).alias("q1"),
+            F.round(F.min("q3"), 4).alias("q3"),
+            F.sum("is_out").alias("n_outliers"),
+            F.round(F.sum("is_out") / F.count("*"), 6).alias("outlier_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+STATS_OUTLIER_IQR_ORACLE = """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderpriority),
+flagged AS (
+  SELECT o.o_orderpriority, q.q1, q.q3,
+         CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+              THEN 1 ELSE 0 END AS is_out
+  FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority)
+SELECT o_orderpriority, count(*) AS n,
+       round(min(q1), 4) AS q1, round(min(q3), 4) AS q3,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       round(sum(is_out) * 1.0 / count(*), 6) AS outlier_rate
+FROM flagged GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def text_hapax(spark, sf_dir):
     """Vocabulary-growth profile per language: token count, type count
     (distinct tokens), hapax legomena (types seen exactly once), the
@@ -4268,6 +4380,8 @@ QUERIES = {
     "stats_wilson": stats_wilson,
     "stats_qq": stats_qq,
     "stats_cat_entropy": stats_cat_entropy,
+    "stats_outlier_iqr": stats_outlier_iqr,
+    "text_stopword_density": text_stopword_density,
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
@@ -4344,6 +4458,8 @@ ORACLES = {
     "stats_wilson": STATS_WILSON_ORACLE,
     "stats_qq": STATS_QQ_ORACLE,
     "stats_cat_entropy": STATS_CAT_ENTROPY_ORACLE,
+    "stats_outlier_iqr": STATS_OUTLIER_IQR_ORACLE,
+    "text_stopword_density": TEXT_STOPWORD_DENSITY_ORACLE,
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,

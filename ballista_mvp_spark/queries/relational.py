@@ -632,6 +632,29 @@ ORDER BY o_custkey, rk
 """
 
 
+def sql_distinct_on(spark, sf_dir):
+    """DISTINCT ON (PostgreSQL / DuckDB first-row-per-group syntax):
+    each customer's LATEST order. Spark lacks the clause, so Engine.sql
+    rewrites it into a row_number window + filter
+    (engine.py _rewrite_distinct_on); DuckDB executes the IDENTICAL
+    text natively — byte-identical raw-SQL parity, the sql_qualify
+    contract. Plan: one window over the o_custkey shuffle with
+    WindowGroupLimit pruning to 1 row per key."""
+    from ..engine import Engine
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return Engine(spark).sql(SQL_DISTINCT_ON_TEXT)
+
+
+SQL_DISTINCT_ON_TEXT = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR(10)) AS od, o_totalprice
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, od DESC, o_orderkey
+"""
+
+
 def values_inline(spark, sf_dir):
     """ValuesNode (datafusion.proto:212-217) + EmptyRelation `SELECT 1`
     (datafusion.proto:167-169) via a no-FROM select unioned in."""
@@ -1454,6 +1477,7 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "market_supplier_scorecard": market_supplier_scorecard,
     "customer_churn": customer_churn,
+    "sql_distinct_on": sql_distinct_on,
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
@@ -1512,6 +1536,7 @@ ORACLES = {
     "customer_rfm": CUSTOMER_RFM_ORACLE,
     "market_supplier_scorecard": MARKET_SUPPLIER_SCORECARD_ORACLE,
     "customer_churn": CUSTOMER_CHURN_ORACLE,
+    "sql_distinct_on": SQL_DISTINCT_ON_TEXT,
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,

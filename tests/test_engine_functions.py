@@ -330,3 +330,37 @@ def test_create_masked_view_governance(spark):
     assert rows[1].name == "a***" and rows[2].name == "b***"
     assert "alice@example.com" not in rows[1].notes and "<EMAIL>" in rows[1].notes
     assert "555-123-4567" not in rows[2].notes and "<PHONE>" in rows[2].notes
+
+
+def test_rewrite_distinct_on_passthrough_and_shape():
+    from ballista_mvp_spark.engine import _rewrite_distinct_on
+
+    # no DISTINCT ON -> byte-identical passthrough
+    q = "SELECT a, b FROM t ORDER BY a"
+    assert _rewrite_distinct_on(q) == q
+    # 'DISTINCT ON' inside a string literal is not top-level syntax; the
+    # statement does not START with it, so it passes through
+    q2 = "SELECT 'DISTINCT ON (x)' AS s FROM t"
+    assert _rewrite_distinct_on(q2) == q2
+    # rewrite shape: window subquery + __don__ = 1 filter + ORDER BY kept
+    out = _rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+    )
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC" in out
+    assert "__don__ = 1" in out
+    assert out.rstrip().endswith("ORDER BY k, v DESC")
+
+
+def test_distinct_on_semantics_match_window_form(spark):
+    from ballista_mvp_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 3, "c"), (2, 3, "d")],
+        ["k", "v", "tag"],
+    )
+    df.createOrReplaceTempView("don_t")
+    rows = Engine(spark).sql(
+        "SELECT DISTINCT ON (k) k, v, tag FROM don_t ORDER BY k, v DESC, tag"
+    ).collect()
+    # k=1 -> highest v (9, 'b'); k=2 -> tie on v, smallest tag ('c')
+    assert [(r.k, r.v, r.tag) for r in rows] == [(1, 9, "b"), (2, 3, "c")]

@@ -269,5 +269,6 @@ def test_round8_window_prestage():
         "stats_cat_entropy", "graph_ppr", "text_langid_confusion",
         "market_supplier_scorecard", "customer_churn",
         "fn_string_distance", "sim_knn_eval",
+        "sql_distinct_on", "stats_outlier_iqr", "text_stopword_density",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
