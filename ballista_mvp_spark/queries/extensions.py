@@ -695,6 +695,104 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def profile_fd_check(spark, sf_dir):
+    """Functional-dependency audit (the Deequ/'uniqueness-of' data-
+    quality primitive): does fingerprint(text) determine lang, and does
+    it determine source? A fingerprint group carrying >1 distinct label
+    is LABEL NOISE — exact duplicates annotated inconsistently, the
+    thing that silently poisons per-language sampling and eval splits.
+    One fingerprint groupBy with two countDistincts (map-side partial),
+    one 2-row summary: groups, violating groups, rows inside them."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("k_lang"),
+        F.countDistinct("source").alias("k_source"),
+    )
+
+    def _row(label, kcol):
+        return g.agg(
+            F.lit(label).alias("dependency"),
+            F.count("*").alias("n_groups"),
+            F.sum((F.col(kcol) > 1).cast("int")).alias("n_violating"),
+            F.sum(F.when(F.col(kcol) > 1, F.col("n")).otherwise(0)).alias(
+                "rows_in_violation"
+            ),
+            F.round(
+                F.sum((F.col(kcol) > 1).cast("int")) / F.count("*"), 6
+            ).alias("violation_rate"),
+        )
+
+    return _row("fp->lang", "k_lang").unionByName(
+        _row("fp->source", "k_source")
+    ).orderBy("dependency")
+
+
+PROFILE_FD_CHECK_ORACLE = r"""
+WITH g AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS n,
+         count(DISTINCT lang) AS k_lang,
+         count(DISTINCT source) AS k_source
+  FROM documents GROUP BY 1),
+a AS (
+  SELECT 'fp->lang' AS dependency, count(*) AS n_groups,
+         CAST(sum(CASE WHEN k_lang > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         CAST(sum(CASE WHEN k_lang > 1 THEN n ELSE 0 END) AS BIGINT) AS rows_in_violation,
+         round(sum(CASE WHEN k_lang > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS violation_rate
+  FROM g),
+b AS (
+  SELECT 'fp->source', count(*),
+         CAST(sum(CASE WHEN k_source > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN k_source > 1 THEN n ELSE 0 END) AS BIGINT),
+         round(sum(CASE WHEN k_source > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+  FROM g)
+SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY dependency
+"""
+
+
+def sim_dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold calibration: exact cosine dup-pair counts at a
+    ladder of thresholds (0.95 / 0.9 / 0.8 / 0.6 / 0.4) from ONE
+    all-pairs pass over the bounded embedding corpus — the table you
+    read before picking the semantic-dedup cutoff (too low ⇒ purge
+    distinct content, too high ⇒ keep near-dups). Pairs are computed
+    once and bucketed by greatest-threshold-passed, then a cumulative
+    window gives pairs-at-or-above each rung; the certified
+    cosine_dup_pairs kernel is the scale path (this calibration runs on
+    a sample at 100 TB, exactly as here)."""
+    from ..operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    rungs = F.array(*[F.lit(t) for t in (0.95, 0.9, 0.8, 0.6, 0.4)])
+    tagged = pairs.select(
+        F.explode(F.filter(rungs, lambda t: F.col("cos_sim") >= t)).alias(
+            "threshold"
+        )
+    )
+    return (
+        tagged.groupBy("threshold")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("threshold").desc())
+    )
+
+
+SIM_DEDUP_THRESHOLD_SWEEP_ORACLE = """
+WITH pairs AS (
+  SELECT round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+rungs AS (SELECT unnest([0.95, 0.9, 0.8, 0.6, 0.4]) AS threshold)
+SELECT r.threshold, count(*) AS n_pairs
+FROM pairs p JOIN rungs r ON p.cos_sim >= r.threshold
+GROUP BY r.threshold ORDER BY r.threshold DESC
+"""
+
+
 def profile_constraints(spark, sf_dir):
     """Declarative data-quality constraint audit (dbt-test / Deequ
     shape): key uniqueness, not-null, referential integrity, and an
@@ -4382,6 +4480,8 @@ QUERIES = {
     "stats_cat_entropy": stats_cat_entropy,
     "stats_outlier_iqr": stats_outlier_iqr,
     "text_stopword_density": text_stopword_density,
+    "profile_fd_check": profile_fd_check,
+    "sim_dedup_threshold_sweep": sim_dedup_threshold_sweep,
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
@@ -4460,6 +4560,8 @@ ORACLES = {
     "stats_cat_entropy": STATS_CAT_ENTROPY_ORACLE,
     "stats_outlier_iqr": STATS_OUTLIER_IQR_ORACLE,
     "text_stopword_density": TEXT_STOPWORD_DENSITY_ORACLE,
+    "profile_fd_check": PROFILE_FD_CHECK_ORACLE,
+    "sim_dedup_threshold_sweep": SIM_DEDUP_THRESHOLD_SWEEP_ORACLE,
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
