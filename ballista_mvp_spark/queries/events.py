@@ -2062,6 +2062,60 @@ FROM dc, edges_m
 GRAPH_MODULARITY_ORACLE = _modularity_oracle()
 
 
+def events_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch check (Fabijan et al., KDD 2019 — the #1
+    experimentation-quality gate): does the observed user split across
+    the two arms of events_ab_test's parity assignment match the
+    designed 50/50 allocation? One-sample chi-square against the
+    expected split — a large statistic means the assignment channel is
+    broken and the A/B readout must be discarded BEFORE anyone looks at
+    the treatment effect. One per-user collapse (the only fact-scale
+    shuffle, same key as events_ab_test) + a 1-row reduce of pure
+    arithmetic on exact counts."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("_n"))
+    arms = per_user.agg(
+        F.sum(
+            F.when(F.pmod("user_id", F.lit(2)) == 0, 1).otherwise(0)
+        ).alias("n_a"),
+        F.sum(
+            F.when(F.pmod("user_id", F.lit(2)) == 1, 1).otherwise(0)
+        ).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    exp = n / 2
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / n, 6).alias("share_a"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (F.round(chi2, 6) > 3.841459).cast("int").alias("srm_flag"),
+    )
+
+
+EVENTS_AB_SRM_ORACLE = """
+WITH per_user AS (SELECT user_id, count(*) AS _n FROM events GROUP BY user_id),
+arms AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM per_user)
+SELECT n_a, n_b,
+       round(n_a * 1.0 / (n_a + n_b), 6) AS share_a,
+       round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0), 6) AS srm_chi2,
+       CAST(round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0), 6) > 3.841459 AS INT) AS srm_flag
+FROM arms
+"""
+
+
 def events_time_to_convert(spark, sf_dir):
     """Time-to-convert distribution: for every user whose first
     'purchase' FOLLOWS their first 'view', the view→purchase latency in
@@ -2450,6 +2504,7 @@ QUERIES = {
     "graph_reciprocity": graph_reciprocity,
     "graph_ppr": graph_ppr,
     "events_changepoint": events_changepoint,
+    "events_ab_srm": events_ab_srm,
     "events_time_to_convert": events_time_to_convert,
     "events_value_deciles": events_value_deciles,
     "events_seasonality": events_seasonality,
@@ -2507,6 +2562,7 @@ ORACLES = {
     "graph_reciprocity": GRAPH_RECIPROCITY_ORACLE,
     "graph_ppr": GRAPH_PPR_ORACLE,
     "events_changepoint": EVENTS_CHANGEPOINT_ORACLE,
+    "events_ab_srm": EVENTS_AB_SRM_ORACLE,
     "events_time_to_convert": EVENTS_TIME_TO_CONVERT_ORACLE,
     "events_value_deciles": EVENTS_VALUE_DECILES_ORACLE,
     "events_seasonality": EVENTS_SEASONALITY_ORACLE,

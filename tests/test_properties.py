@@ -525,3 +525,36 @@ def test_bpe_merges_match_python_reference(spark, docs):
         for r in TX.bpe_merges(df, "doc_id", "text", num_merges=3).collect()
     ]
     assert got == _ref_bpe(texts, 3)
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    """stats_bootstrap's md5-inverse-CDF Poisson(1) draws: on a large
+    deterministic id set the empirical weight distribution must track
+    the Poisson(1) pmf (within 3-sigma binomial tolerance), the mean
+    weight must be ~1 (the unbiasedness condition of the Poisson
+    bootstrap), and the draws must be exactly reproducible."""
+    import math
+
+    from pyspark.sql import functions as F
+    from ballista_mvp_spark.queries.extensions import _boot_weight
+
+    n = 20_000
+    ids = spark.range(n)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("boot:0:"), F.col("id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") / 4294967296.0
+    )
+    w = ids.select(_boot_weight(u).alias("w"))
+    counts = {r.w: r.c for r in w.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    mean_w = sum(k * c for k, c in counts.items()) / n
+    assert abs(mean_w - 1.0) < 0.03
+    for k in range(4):
+        pmf = math.exp(-1) / math.factorial(k)
+        exp_c = n * pmf
+        sigma = (n * pmf * (1 - pmf)) ** 0.5
+        assert abs(counts.get(k, 0) - exp_c) < 3.5 * sigma, (k, counts.get(k, 0), exp_c)
+    # exact reproducibility (pure function of salt+id)
+    again = {r.w: r.c for r in ids.select(_boot_weight(u).alias("w")).groupBy("w").agg(F.count("*").alias("c")).collect()}
+    assert again == counts
