@@ -250,8 +250,12 @@ def _rewrite_distinct_on(q: str) -> str:
     after = q[si + len("SELECT"):]
     lead = after[: len(after) - len(after.lstrip())]
     rest = after.lstrip()
-    if not rest.upper().startswith("DISTINCT ON"):
+    up = rest.upper()
+    if not up.startswith("DISTINCT ON"):
         return q
+    nxt = up[len("DISTINCT ON"):len("DISTINCT ON") + 1]
+    if nxt not in ("", " ", "\t", "\n", "("):  # not the ON keyword (e.g. a
+        return q                               # hypothetical DISTINCT ONLY)
     p0 = rest.upper().find("(", len("DISTINCT ON"))
     if p0 < 0:
         return q

@@ -364,3 +364,11 @@ def test_distinct_on_semantics_match_window_form(spark):
     ).collect()
     # k=1 -> highest v (9, 'b'); k=2 -> tie on v, smallest tag ('c')
     assert [(r.k, r.v, r.tag) for r in rows] == [(1, 9, "b"), (2, 3, "c")]
+
+
+def test_rewrite_distinct_on_keyword_boundary():
+    from ballista_mvp_spark.engine import _rewrite_distinct_on
+
+    # a word that merely STARTS with 'DISTINCT ON' is not the clause
+    q = "SELECT DISTINCT ONE FROM t"
+    assert _rewrite_distinct_on(q) == q
