@@ -274,3 +274,27 @@ def test_round8_window_prestage():
         "events_ab_srm",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
+
+
+def test_round9_window_prestage():
+    """The pre-staged round-9 certification window: the 49 oracle-backed
+    round-4 names + agg_cube — 50 unique oracle-backed entries, no
+    rows-only member, disjoint from the round-5..8 windows (it IS the
+    r4 window modulo the banned rows-only slot)."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND4,
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND7,
+        _CERT_FIRST_ROUND8,
+        _CERT_FIRST_ROUND9,
+    )
+
+    assert len(_CERT_FIRST_ROUND9) == 50
+    assert len(set(_CERT_FIRST_ROUND9)) == 50
+    assert set(_CERT_FIRST_ROUND9) <= set(ALL_ORACLES)
+    assert "dedup_incremental_minhash" not in _CERT_FIRST_ROUND9
+    assert set(_CERT_FIRST_ROUND9) - set(_CERT_FIRST_ROUND4) == {"agg_cube"}
+    for w in (_CERT_FIRST_ROUND5, _CERT_FIRST_ROUND6, _CERT_FIRST_ROUND7,
+              _CERT_FIRST_ROUND8):
+        assert not set(_CERT_FIRST_ROUND9) & set(w)
