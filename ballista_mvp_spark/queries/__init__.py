@@ -222,6 +222,7 @@ _CERT_FIRST_ROUND8 = [
     "fn_string_distance", "sim_knn_eval",
     "sql_distinct_on", "stats_outlier_iqr", "text_stopword_density",
     "profile_fd_check", "sim_dedup_threshold_sweep", "events_ab_srm",
+    "events_rolling_median", "fn_formatting",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -229,9 +230,9 @@ _CERT_FIRST_ROUND8 = [
     "events_topk_users", "text_gopher", "text_decontaminate",
     "pipeline_pack", "pipeline_leakage", "multimodal_meta",
     # r1-r3 rows not re-proven by any later window
-    "join_inner", "join_right_semi",
+    "join_inner",
     "sql_subquery_scalar",
-    "window_first_last_nth", "window_agg_rows_frame",
+    "window_first_last_nth",
     "events_anomaly", "events_cum_users", "events_session_window",
     "streaming_enrich", "streaming_join", "streaming_dedup",
 ]

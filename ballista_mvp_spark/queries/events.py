@@ -2205,6 +2205,52 @@ FROM dec, tot GROUP BY decile ORDER BY decile
 """
 
 
+def events_rolling_median(spark, sf_dir):
+    """Trailing 7-day rolling MEDIAN of daily counts per event type —
+    the robust smoother dashboards use where a rolling mean would chase
+    spikes (events_ewma's outlier-immune sibling). Spark has no
+    ordered-set aggregate over a window frame, so the exact interpolated
+    median is composed from primitives: sort_array(collect_list(...))
+    over the ROWS frame + closed-form middle-element interpolation —
+    bounded state (≤7 day-level values per row; the window runs on the
+    day-grain table, never on facts). Matches DuckDB's native
+    median-over-frame bit-for-bit (both are quantile_cont(0.5) on ≤7
+    exact integers)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list(F.col("n").cast("double")).over(w))
+    sz = F.size(arr)
+    mid_hi = F.element_at(arr, (sz / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, F.greatest((sz / 2).cast("int"), F.lit(1)))
+    med = F.when(sz % 2 == 1, F.element_at(arr, ((sz + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(med, 4).alias("rolling_median_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(median(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_median_7d
+FROM daily ORDER BY event_type, day
+"""
+
+
 def events_changepoint(spark, sf_dir):
     """CUSUM change-point detection (Page, Biometrika 1954) on the daily
     event-count series per type: S_t = Σ_{i≤t}(x_i − x̄); the day where
@@ -2505,6 +2551,7 @@ QUERIES = {
     "graph_ppr": graph_ppr,
     "events_changepoint": events_changepoint,
     "events_ab_srm": events_ab_srm,
+    "events_rolling_median": events_rolling_median,
     "events_time_to_convert": events_time_to_convert,
     "events_value_deciles": events_value_deciles,
     "events_seasonality": events_seasonality,
@@ -2563,6 +2610,7 @@ ORACLES = {
     "graph_ppr": GRAPH_PPR_ORACLE,
     "events_changepoint": EVENTS_CHANGEPOINT_ORACLE,
     "events_ab_srm": EVENTS_AB_SRM_ORACLE,
+    "events_rolling_median": EVENTS_ROLLING_MEDIAN_ORACLE,
     "events_time_to_convert": EVENTS_TIME_TO_CONVERT_ORACLE,
     "events_value_deciles": EVENTS_VALUE_DECILES_ORACLE,
     "events_seasonality": EVENTS_SEASONALITY_ORACLE,

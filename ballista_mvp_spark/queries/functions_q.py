@@ -174,6 +174,35 @@ ORDER BY p_partkey
 """
 
 
+def fn_formatting(spark, sf_dir):
+    """printf-style formatting (Spark format_string ↔ DuckDB printf —
+    both delegate to C-style %-formatting, so outputs must agree
+    byte-for-byte): zero-padded ints, fixed-precision floats, hex,
+    string fields and literal %% — the report/identifier-rendering
+    surface of any SQL engine."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.format_string("P%07d", F.col("p_partkey")).alias("padded_id"),
+        F.format_string("%.2f", F.col("p_size") / 7.0).alias("size7"),
+        F.format_string("%08x", F.col("p_partkey")).alias("hex_id"),
+        F.format_string(
+            "%s/%s (%d%%)", F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        ).alias("label"),
+    ).orderBy("p_partkey")
+
+
+FN_FORMATTING_ORACLE = """
+SELECT p_partkey,
+       printf('P%07d', p_partkey) AS padded_id,
+       printf('%.2f', p_size / 7.0) AS size7,
+       printf('%08x', p_partkey) AS hex_id,
+       printf('%s/%s (%d%%)', p_brand, p_type, p_size) AS label
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
 def fn_string_distance(spark, sf_dir):
     """Edit-distance functions over realistic name pairs (adjacent part
     names): levenshtein distance, the normalized similarity
@@ -878,6 +907,7 @@ QUERIES = {
     "fn_string": fn_string,
     "fn_string2": fn_string2,
     "fn_string_distance": fn_string_distance,
+    "fn_formatting": fn_formatting,
     "fn_regex": fn_regex,
     "fn_hash": fn_hash,
     "fn_hash_full": fn_hash_full,
@@ -902,6 +932,7 @@ ORACLES = {
     "fn_string": FN_STRING_ORACLE,
     "fn_string2": FN_STRING2_ORACLE,
     "fn_string_distance": FN_STRING_DISTANCE_ORACLE,
+    "fn_formatting": FN_FORMATTING_ORACLE,
     "fn_regex": FN_REGEX_ORACLE,
     "fn_hash": FN_HASH_ORACLE,
     "fn_datetime": FN_DATETIME_ORACLE,

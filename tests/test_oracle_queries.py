@@ -271,7 +271,7 @@ def test_round8_window_prestage():
         "fn_string_distance", "sim_knn_eval",
         "sql_distinct_on", "stats_outlier_iqr", "text_stopword_density",
         "profile_fd_check", "sim_dedup_threshold_sweep",
-        "events_ab_srm",
+        "events_ab_srm", "events_rolling_median", "fn_formatting",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
 
