@@ -695,6 +695,166 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def dedup_cluster_histogram(spark, sf_dir):
+    """Duplication-tier histogram: how many exact-duplicate clusters
+    have size 1, 2, 3, … and how much row mass sits in each tier — the
+    'is duplication long-tailed or head-heavy' report read before
+    choosing keep-one vs downweight policies (pipeline_dedup_rate gives
+    the one-number rate; this is its full distribution). Two nested
+    map-side-combined groupBys: fingerprint → cluster size → tier
+    counts; output is ≤ max-cluster-size rows at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("sz")
+    )
+    tot = sizes.agg(F.sum("sz").alias("t"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            F.round(F.col("sz") * F.col("n_clusters") / F.col("t"), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_HISTOGRAM_ORACLE = r"""
+WITH sizes AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS sz
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(sz) AS BIGINT) AS t FROM sizes)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       round(sz * count(*) * 1.0 / min(tot.t), 6) AS doc_share
+FROM sizes, tot GROUP BY sz ORDER BY cluster_size
+"""
+
+
+def sim_norm_profile(spark, sf_dir):
+    """Embedding L2-norm profile per label (count / mean / min / max /
+    stddev of vector norms): the 'are these normalized' sanity gate —
+    cosine-based dedup and ANN assume unit-ish norms, and a label whose
+    norm distribution drifts flags a broken encoder batch. One
+    fold-per-row norm (JVM-side higher-order aggregate, zero shuffle)
+    + one k-row reduce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_NORM_PROFILE_ORACLE = """
+WITH per AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings)
+SELECT label, count(*) AS n,
+       round(avg(nrm), 6) AS mean_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(stddev_samp(nrm), 6) AS std_norm
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+def pipeline_ab_power(spark, sf_dir):
+    """Sample-size / power planning for the next A/B run (classic
+    two-proportion formula, e.g. Fleiss et al., 'Statistical Methods
+    for Rates and Proportions'): from the OBSERVED control conversion
+    rate of events_ab_test's arm A, the users-per-arm required to
+    detect relative lifts of 2/5/10/20% at α=0.05 (two-sided),
+    power=0.80 — n = (z_{α/2}+z_β)² · (p₁q₁+p₂q₂) / (p₁−p₂)². The
+    planning artifact every experimentation stack publishes next to the
+    readout. One per-user collapse + 1-row arithmetic exploded over the
+    4 lift literals."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count("*")
+            >= 0.2
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    base = per_user.filter(F.pmod("user_id", F.lit(2)) == 0).agg(
+        F.count("*").alias("n_a"),
+        (F.sum("conv") / F.count("*")).alias("p1"),
+    )
+    lifted = base.select(
+        "n_a",
+        "p1",
+        F.explode(F.array(F.lit(0.02), F.lit(0.05), F.lit(0.1), F.lit(0.2))).alias(
+            "rel_lift"
+        ),
+    )
+    z = 1.959963984540054 + 0.8416212335729143  # z_{0.975} + z_{0.80}
+    p2 = F.col("p1") * (1 + F.col("rel_lift"))
+    var = F.col("p1") * (1 - F.col("p1")) + p2 * (1 - p2)
+    n_req = F.ceil(F.lit(z * z) * var / ((p2 - F.col("p1")) * (p2 - F.col("p1"))))
+    return lifted.select(
+        "rel_lift",
+        "n_a",
+        F.round("p1", 6).alias("p_control"),
+        F.round(p2, 6).alias("p_treated"),
+        n_req.cast("long").alias("n_per_arm"),
+        (n_req <= F.col("n_a")).cast("int").alias("detectable_now"),
+    ).orderBy("rel_lift")
+
+
+PIPELINE_AB_POWER_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+                   / count(*) >= 0.2 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT count(*) AS n_a, sum(conv) * 1.0 / count(*) AS p1
+  FROM per_user WHERE user_id % 2 = 0),
+lifts AS (SELECT unnest([0.02, 0.05, 0.1, 0.2]) AS rel_lift)
+SELECT rel_lift, n_a,
+       round(p1, 6) AS p_control,
+       round(p1 * (1 + rel_lift), 6) AS p_treated,
+       CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 * (p1 * (1 - p1)
+                    + p1 * (1 + rel_lift) * (1 - p1 * (1 + rel_lift)))
+                 / ((p1 * (1 + rel_lift) - p1) * (p1 * (1 + rel_lift) - p1)))
+            AS BIGINT) AS n_per_arm,
+       CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 * (p1 * (1 - p1)
+                    + p1 * (1 + rel_lift) * (1 - p1 * (1 + rel_lift)))
+                 / ((p1 * (1 + rel_lift) - p1) * (p1 * (1 + rel_lift) - p1)))
+            <= n_a AS INT) AS detectable_now
+FROM base, lifts ORDER BY rel_lift
+"""
+
+
 def profile_fd_check(spark, sf_dir):
     """Functional-dependency audit (the Deequ/'uniqueness-of' data-
     quality primitive): does fingerprint(text) determine lang, and does
@@ -4481,6 +4641,9 @@ QUERIES = {
     "stats_outlier_iqr": stats_outlier_iqr,
     "text_stopword_density": text_stopword_density,
     "profile_fd_check": profile_fd_check,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
+    "sim_norm_profile": sim_norm_profile,
+    "pipeline_ab_power": pipeline_ab_power,
     "sim_dedup_threshold_sweep": sim_dedup_threshold_sweep,
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
@@ -4561,6 +4724,9 @@ ORACLES = {
     "stats_outlier_iqr": STATS_OUTLIER_IQR_ORACLE,
     "text_stopword_density": TEXT_STOPWORD_DENSITY_ORACLE,
     "profile_fd_check": PROFILE_FD_CHECK_ORACLE,
+    "dedup_cluster_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
+    "sim_norm_profile": SIM_NORM_PROFILE_ORACLE,
+    "pipeline_ab_power": PIPELINE_AB_POWER_ORACLE,
     "sim_dedup_threshold_sweep": SIM_DEDUP_THRESHOLD_SWEEP_ORACLE,
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,

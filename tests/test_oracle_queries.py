@@ -272,6 +272,8 @@ def test_round8_window_prestage():
         "sql_distinct_on", "stats_outlier_iqr", "text_stopword_density",
         "profile_fd_check", "sim_dedup_threshold_sweep",
         "events_ab_srm", "events_rolling_median", "fn_formatting",
+        "dedup_cluster_histogram", "sim_norm_profile",
+        "pipeline_ab_power",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
 
