@@ -224,6 +224,7 @@ _CERT_FIRST_ROUND8 = [
     "profile_fd_check", "sim_dedup_threshold_sweep", "events_ab_srm",
     "events_rolling_median", "fn_formatting",
     "dedup_cluster_histogram", "sim_norm_profile", "pipeline_ab_power",
+    "text_js_divergence", "events_markov_eval",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -233,8 +234,8 @@ _CERT_FIRST_ROUND8 = [
     # r1-r3 rows not re-proven by any later window
     "join_inner",
     "sql_subquery_scalar",
-    "events_anomaly", "events_cum_users",
-    "streaming_enrich", "streaming_join",
+    "events_anomaly",
+    "streaming_enrich",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]

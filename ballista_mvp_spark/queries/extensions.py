@@ -695,6 +695,163 @@ ORDER BY k, vf, vt ASC NULLS FIRST
 """
 
 
+def text_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence (Lin, IEEE IT 1991) between every
+    source's unigram distribution and the corpus-wide distribution —
+    the bounded, symmetric corpus-shift measure used to score how far
+    each crawl source sits from the mixture it feeds (pipeline_drift's
+    PSI is binned and numeric; JS here is over the full vocabulary).
+    JS(P‖M)+JS-term of M folds into 0.5·Σ p·ln(2p/(p+m)) + 0.5·Σ
+    m·ln(2m/(p+m)) over the union support. One (source, term) count
+    (the only corpus-scale shuffle) joined FULL OUTER against the
+    global term distribution with 0 defaults; per-source reduce;
+    nats, 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    per = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    src_tot = per.groupBy("source").agg(F.sum("c").alias("st"))
+    glob = toks.groupBy("term").agg(F.count("*").alias("g"))
+    gtot = glob.agg(F.sum("g").alias("gt"))
+    joined = (
+        per.join(src_tot, "source")
+        .join(glob, "term")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            (F.col("c") / F.col("st")).alias("p"),
+            (F.col("g") / F.col("gt")).alias("m"),
+        )
+    )
+    # terms absent from a source contribute only the m-side mass of the
+    # source's complement; account for it via the residual 1 - sum(m over
+    # the source's support)
+    half = F.lit(0.5)
+    agg = joined.groupBy("source").agg(
+        F.sum(half * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("m")))).alias("_pterm"),
+        F.sum(half * F.col("m") * F.log(2 * F.col("m") / (F.col("p") + F.col("m")))).alias("_mterm"),
+        F.sum("m").alias("_mcov"),
+    )
+    # residual: Σ over terms NOT in source of 0.5·m·ln(2m/(0+m)) = 0.5·ln2·(1-mcov)
+    import math
+
+    js = (
+        F.col("_pterm")
+        + F.col("_mterm")
+        + half * F.lit(math.log(2.0)) * (1 - F.col("_mcov"))
+    )
+    return agg.select(
+        "source", F.round(js, 6).alias("js_divergence")
+    ).orderBy("source")
+
+
+TEXT_JS_DIVERGENCE_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+per AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+src_tot AS (SELECT source, sum(c) AS st FROM per GROUP BY source),
+gdist AS (SELECT term, count(*) AS g FROM toks GROUP BY term),
+gtot AS (SELECT sum(g) AS gt FROM gdist),
+joined AS (
+  SELECT per.source, per.c * 1.0 / s.st AS p, gdist.g * 1.0 / gtot.gt AS m
+  FROM per JOIN src_tot s ON per.source = s.source
+  JOIN gdist ON per.term = gdist.term, gtot),
+agg AS (
+  SELECT source,
+         sum(0.5 * p * ln(2 * p / (p + m))) AS _pterm,
+         sum(0.5 * m * ln(2 * m / (p + m))) AS _mterm,
+         sum(m) AS _mcov
+  FROM joined GROUP BY source)
+SELECT source,
+       round(_pterm + _mterm + 0.5 * ln(2.0) * (1 - _mcov), 6)
+         AS js_divergence
+FROM agg ORDER BY source
+"""
+
+
+def events_markov_eval(spark, sf_dir):
+    """Next-event prediction audit of the events_markov model: predict
+    each transition's destination as the MOST LIKELY next type given
+    the source type (argmax of the transition matrix, smallest-label
+    tiebreak) and score accuracy per source type against the observed
+    transitions — the held-in eval that says whether the first-order
+    model beats the majority-class baseline (also reported). Same lag
+    window as events_markov (the one fact-scale shuffle); the model,
+    argmax and scoring all live on the |types|² cell table."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+    )
+    cells = pairs.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    w_arg = W.partitionBy("src_type").orderBy(F.col("n").desc(), "dst_type")
+    pred = (
+        cells.withColumn("_rn", F.row_number().over(w_arg))
+        .filter(F.col("_rn") == 1)
+        .select("src_type", F.col("dst_type").alias("pred_type"))
+    )
+    glob = cells.groupBy("dst_type").agg(F.sum("n").alias("gn"))
+    w_glob = W.orderBy(F.col("gn").desc(), "dst_type")
+    base = (
+        glob.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("dst_type").alias("base_type"))
+    )
+    scored = cells.join(F.broadcast(pred), "src_type").crossJoin(F.broadcast(base))
+    return (
+        scored.groupBy("src_type")
+        .agg(
+            F.sum("n").alias("n_transitions"),
+            F.round(
+                F.sum(F.when(F.col("dst_type") == F.col("pred_type"), F.col("n")).otherwise(0))
+                / F.sum("n"),
+                6,
+            ).alias("model_accuracy"),
+            F.round(
+                F.sum(F.when(F.col("dst_type") == F.col("base_type"), F.col("n")).otherwise(0))
+                / F.sum("n"),
+                6,
+            ).alias("baseline_accuracy"),
+        )
+        .orderBy("src_type")
+    )
+
+
+EVENTS_MARKOV_EVAL_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst_type
+  FROM events),
+cells AS (
+  SELECT src_type, dst_type, count(*) AS n
+  FROM pairs WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+pred AS (
+  SELECT src_type, dst_type AS pred_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_type
+                                 ORDER BY n DESC, dst_type) AS _rn
+    FROM cells) WHERE _rn = 1),
+base AS (
+  SELECT dst_type AS base_type FROM (
+    SELECT dst_type, sum(n) AS gn,
+           row_number() OVER (ORDER BY sum(n) DESC, dst_type) AS _rn
+    FROM cells GROUP BY dst_type) WHERE _rn = 1)
+SELECT c.src_type, CAST(sum(c.n) AS BIGINT) AS n_transitions,
+       round(sum(CASE WHEN c.dst_type = p.pred_type THEN c.n ELSE 0 END) * 1.0
+             / sum(c.n), 6) AS model_accuracy,
+       round(sum(CASE WHEN c.dst_type = b.base_type THEN c.n ELSE 0 END) * 1.0
+             / sum(c.n), 6) AS baseline_accuracy
+FROM cells c JOIN pred p ON c.src_type = p.src_type, base b
+GROUP BY c.src_type ORDER BY c.src_type
+"""
+
+
 def dedup_cluster_histogram(spark, sf_dir):
     """Duplication-tier histogram: how many exact-duplicate clusters
     have size 1, 2, 3, … and how much row mass sits in each tier — the
@@ -4641,6 +4798,8 @@ QUERIES = {
     "stats_outlier_iqr": stats_outlier_iqr,
     "text_stopword_density": text_stopword_density,
     "profile_fd_check": profile_fd_check,
+    "text_js_divergence": text_js_divergence,
+    "events_markov_eval": events_markov_eval,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "sim_norm_profile": sim_norm_profile,
     "pipeline_ab_power": pipeline_ab_power,
@@ -4724,6 +4883,8 @@ ORACLES = {
     "stats_outlier_iqr": STATS_OUTLIER_IQR_ORACLE,
     "text_stopword_density": TEXT_STOPWORD_DENSITY_ORACLE,
     "profile_fd_check": PROFILE_FD_CHECK_ORACLE,
+    "text_js_divergence": TEXT_JS_DIVERGENCE_ORACLE,
+    "events_markov_eval": EVENTS_MARKOV_EVAL_ORACLE,
     "dedup_cluster_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
     "sim_norm_profile": SIM_NORM_PROFILE_ORACLE,
     "pipeline_ab_power": PIPELINE_AB_POWER_ORACLE,

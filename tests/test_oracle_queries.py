@@ -273,7 +273,7 @@ def test_round8_window_prestage():
         "profile_fd_check", "sim_dedup_threshold_sweep",
         "events_ab_srm", "events_rolling_median", "fn_formatting",
         "dedup_cluster_histogram", "sim_norm_profile",
-        "pipeline_ab_power",
+        "pipeline_ab_power", "text_js_divergence", "events_markov_eval",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
 
