@@ -225,6 +225,7 @@ _CERT_FIRST_ROUND8 = [
     "events_rolling_median", "fn_formatting",
     "dedup_cluster_histogram", "sim_norm_profile", "pipeline_ab_power",
     "text_js_divergence", "events_markov_eval",
+    "pipeline_truncation_loss", "dedup_cross_source",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -234,8 +235,6 @@ _CERT_FIRST_ROUND8 = [
     # r1-r3 rows not re-proven by any later window
     "join_inner",
     "sql_subquery_scalar",
-    "events_anomaly",
-    "streaming_enrich",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]

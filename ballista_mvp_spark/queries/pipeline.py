@@ -2028,6 +2028,90 @@ GROUP BY t.lang ORDER BY t.lang
 """
 
 
+def pipeline_truncation_loss(spark, sf_dir):
+    """Context-length planning table: for max_len ∈ {64, 128, 256, 512}
+    tokens, what fraction of corpus token mass is LOST to truncation
+    and what fraction of documents are touched — the table read before
+    fixing a training sequence length (the dual of pipeline_pack, which
+    assumes concat-packing loses nothing). One token-count scan
+    exploded over the 4 length literals, one 4-row reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(TX.word_count(F.col("text")).cast("long").alias("n_tok"))
+    lifted = d.select(
+        "n_tok",
+        F.explode(
+            F.array(F.lit(64), F.lit(128), F.lit(256), F.lit(512))
+        ).alias("max_len"),
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0))
+    return (
+        lifted.groupBy("max_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(lost).alias("tokens_lost"),
+            F.round(F.sum(lost) / F.sum("n_tok"), 6).alias("loss_share"),
+            F.round(
+                F.sum((F.col("n_tok") > F.col("max_len")).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("docs_truncated_share"),
+        )
+        .orderBy("max_len")
+    )
+
+
+PIPELINE_TRUNCATION_LOSS_ORACLE = r"""
+WITH d AS (
+  SELECT CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+lifted AS (SELECT n_tok, unnest([64, 128, 256, 512]) AS max_len FROM d)
+SELECT max_len, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT) AS tokens_lost,
+       round(sum(greatest(n_tok - max_len, 0)) * 1.0 / sum(n_tok), 6)
+         AS loss_share,
+       round(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS docs_truncated_share
+FROM lifted GROUP BY max_len ORDER BY max_len
+"""
+
+
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source EXACT duplication matrix: for every source pair,
+    how many normalized-fingerprint clusters contain documents from
+    BOTH — the mirror-site / syndication detector (text_overlap_matrix
+    measures fuzzy n-gram containment; this counts verbatim reprints).
+    One fingerprint→distinct-source collapse, then an in-cluster source
+    self-join bounded by sources-per-cluster (≤ #sources, never corpus
+    fan-out). Only pairs with ≥1 shared cluster are emitted."""
+    docs = _t(spark, sf_dir, "documents")
+    fs = docs.select(
+        TX.fingerprint(F.col("text")).alias("fp"), "source"
+    ).distinct()
+    a = fs.select("fp", F.col("source").alias("source_a"))
+    b = fs.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_clusters"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+DEDUP_CROSS_SOURCE_ORACLE = r"""
+WITH fs AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         source
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_clusters
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
 def pipeline_dataset_card(spark, sf_dir):
     """One-row dataset card — the summary block a corpus release ships
     with (datasheet/data-card practice, Gebru et al., CACM 2021):
@@ -2204,6 +2288,8 @@ QUERIES = {
     "pipeline_rebalance": pipeline_rebalance,
     "pipeline_kanon": pipeline_kanon,
     "pipeline_dataset_card": pipeline_dataset_card,
+    "pipeline_truncation_loss": pipeline_truncation_loss,
+    "dedup_cross_source": dedup_cross_source,
     "text_oov": text_oov,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
@@ -2251,6 +2337,8 @@ ORACLES = {
     "pipeline_rebalance": PIPELINE_REBALANCE_ORACLE,
     "pipeline_kanon": PIPELINE_KANON_ORACLE,
     "pipeline_dataset_card": PIPELINE_DATASET_CARD_ORACLE,
+    "pipeline_truncation_loss": PIPELINE_TRUNCATION_LOSS_ORACLE,
+    "dedup_cross_source": DEDUP_CROSS_SOURCE_ORACLE,
     "text_oov": TEXT_OOV_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,

@@ -274,6 +274,7 @@ def test_round8_window_prestage():
         "events_ab_srm", "events_rolling_median", "fn_formatting",
         "dedup_cluster_histogram", "sim_norm_profile",
         "pipeline_ab_power", "text_js_divergence", "events_markov_eval",
+        "pipeline_truncation_loss", "dedup_cross_source",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
 
