@@ -226,6 +226,7 @@ _CERT_FIRST_ROUND8 = [
     "dedup_cluster_histogram", "sim_norm_profile", "pipeline_ab_power",
     "text_js_divergence", "events_markov_eval",
     "pipeline_truncation_loss", "dedup_cross_source",
+    "agg_salted_skew", "join_salted_skew",
     # the 16 re-certs displaced from the round-7 window
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
     "sql_subquery_exists_in", "fn_url", "window_ntile",
@@ -233,8 +234,6 @@ _CERT_FIRST_ROUND8 = [
     "events_topk_users", "text_gopher", "text_decontaminate",
     "pipeline_pack", "pipeline_leakage", "multimodal_meta",
     # r1-r3 rows not re-proven by any later window
-    "join_inner",
-    "sql_subquery_scalar",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]

@@ -632,6 +632,87 @@ ORDER BY o_custkey, rk
 """
 
 
+def agg_salted_skew(spark, sf_dir):
+    """Two-stage SALTED aggregation (operators/skew.salted_agg) on the
+    most skew-prone key shape there is — 5 event types over the whole
+    fact table: stage 1 aggregates on (key, salt-of-row-hash) so the
+    hot key's rows spread over 16 partitions, stage 2 merges partials
+    on the key alone. The oracle is the PLAIN aggregate: salting must
+    be result-invariant, which is exactly the property that makes it a
+    legal scale fix (AQE-style skew handling as an explicit, certified
+    operator). Integer sum/count/min/max only — exact cross-engine."""
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type", "user_id", "event_id")
+    out = salted_agg(
+        base,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+            "sum_user": ("sum", "user_id"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type", "n", "min_user", "max_user", "sum_user"
+    ).orderBy("event_type")
+
+
+AGG_SALTED_SKEW_ORACLE = """
+SELECT event_type, count(event_id) AS n,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def join_salted_skew(spark, sf_dir):
+    """SALTED inner equi-join (operators/skew.salted_join) of the events
+    fact table against the 5-row event-type dimension — the canonical
+    hot-key join (a 5-key build side means every probe row hits one of
+    5 hash partitions unsalted). The probe side gets a 16-way
+    deterministic row-hash salt, the build side is exploded 16×, and
+    the join keys on (type, salt). The oracle is the PLAIN join + agg:
+    salting must not change a single row. Output: per-type joined
+    rollup proving row multiplicity survived exactly."""
+    from ..operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.select(F.col("event_type").alias("t")).distinct()
+        .withColumn("type_tag", F.concat(F.lit("tag:"), F.col("t")))
+    )
+    joined = salted_join(
+        e.select("event_type", "event_id", "value"),
+        dim,
+        "event_type",
+        "t",
+        n_salt=16,
+    )
+    return (
+        joined.groupBy("event_type", "type_tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JOIN_SALTED_SKEW_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT event_type AS t, 'tag:' || event_type AS type_tag
+  FROM events)
+SELECT e.event_type, d.type_tag, count(*) AS n,
+       round(sum(e.value), 4) AS sum_v
+FROM events e JOIN dim d ON e.event_type = d.t
+GROUP BY 1, 2 ORDER BY e.event_type
+"""
+
+
 def sql_distinct_on(spark, sf_dir):
     """DISTINCT ON (PostgreSQL / DuckDB first-row-per-group syntax):
     each customer's LATEST order. Spark lacks the clause, so Engine.sql
@@ -1478,6 +1559,8 @@ QUERIES = {
     "market_supplier_scorecard": market_supplier_scorecard,
     "customer_churn": customer_churn,
     "sql_distinct_on": sql_distinct_on,
+    "agg_salted_skew": agg_salted_skew,
+    "join_salted_skew": join_salted_skew,
     "agg_quantiles": agg_quantiles,
     "agg_regression": agg_regression,
     "agg_boolean": agg_boolean,
@@ -1537,6 +1620,8 @@ ORACLES = {
     "market_supplier_scorecard": MARKET_SUPPLIER_SCORECARD_ORACLE,
     "customer_churn": CUSTOMER_CHURN_ORACLE,
     "sql_distinct_on": SQL_DISTINCT_ON_TEXT,
+    "agg_salted_skew": AGG_SALTED_SKEW_ORACLE,
+    "join_salted_skew": JOIN_SALTED_SKEW_ORACLE,
     "agg_quantiles": AGG_QUANTILES_ORACLE,
     "agg_regression": AGG_REGRESSION_ORACLE,
     "agg_boolean": AGG_BOOLEAN_ORACLE,

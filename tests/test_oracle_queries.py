@@ -275,6 +275,7 @@ def test_round8_window_prestage():
         "dedup_cluster_histogram", "sim_norm_profile",
         "pipeline_ab_power", "text_js_divergence", "events_markov_eval",
         "pipeline_truncation_loss", "dedup_cross_source",
+        "agg_salted_skew", "join_salted_skew",
     }
     assert late_round5 <= set(_CERT_FIRST_ROUND8)
 
