@@ -508,3 +508,27 @@ def test_ppr_iterations_are_hash_joins(spark):
 
     plan = _plan(graph_ppr(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """agg_salted_skew: stage-1 partials group on (key, salt) BELOW an
+    exchange on the bare key — i.e. two HashAggregate layers with the
+    salt only in the inner one — and no cartesian anywhere."""
+    from ballista_mvp_spark.queries.relational import agg_salted_skew
+
+    plan = _plan(agg_salted_skew(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "_salt" in plan  # the salt key reaches the physical plan
+
+
+def test_salted_join_keyed_on_key_and_salt(spark):
+    """join_salted_skew: the join must be a hash/sort-merge equi-join
+    whose key includes the salt (hot key spread over n_salt partitions),
+    never a cartesian or nested loop."""
+    from ballista_mvp_spark.queries.relational import join_salted_skew
+
+    plan = _plan(join_salted_skew(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan
