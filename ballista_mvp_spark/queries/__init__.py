@@ -204,12 +204,9 @@ _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
 assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
 
 # ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
-# AFTER CORRECTNESS_r07.json lands): the 5 round-5 additions that landed
-# after the round-7 window filled (never driver-certified), then the 16
-# re-certs displaced from the round-7 window, then re-certifications of
-# r1-r3 rows no later window re-proved — families spread so every
-# aggregate/join/sql/window/events/streaming/text family is re-proven
-# under the final driver. Validated by
+# AFTER CORRECTNESS_r07.json lands): the 34 round-5 additions that
+# landed after the round-7 window filled (never driver-certified) plus
+# the 16 re-certs displaced from the round-7 window. Validated by
 # tests/test_oracle_queries.py::test_round8_window_prestage.
 _CERT_FIRST_ROUND8 = [
     # round-5 additions past the round-7 freeze, never driver-certified
@@ -253,3 +250,34 @@ _CERT_FIRST_ROUND9 = [
 assert len(_CERT_FIRST_ROUND9) == 50, len(_CERT_FIRST_ROUND9)
 _missing9 = [n for n in _CERT_FIRST_ROUND9 if n not in ALL_QUERIES]
 assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
+
+# ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
+# AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
+# that appear in NO other window (computed against rounds 4-9), padded
+# to 50 with the three headline bench members (a third driver row for
+# the queries the per-round bench times). After round 10, EVERY
+# oracle-backed registry query has a driver row from rounds 5-10 under
+# the final engine state. Validated by
+# tests/test_oracle_queries.py::test_round10_window_prestage.
+_CERT_FIRST_ROUND10 = [
+    "agg_regression", "agg_boolean", "agg_string",
+    "agg_weighted_percentile", "join_inner", "join_right_semi",
+    "sql_subquery_scalar", "agg_distinct_filter", "agg_array_agg",
+    "agg_rollup", "fn_json", "fn_string2", "window_first_last_nth",
+    "window_agg_rows_frame", "window_agg_groups_frame", "events_anomaly",
+    "events_cum_users", "events_session_window", "events_ohlc",
+    "streaming_enrich", "streaming_join", "streaming_session_close",
+    "streaming_dedup", "events_gapfill", "events_trailing_window",
+    "events_json", "events_type_share", "text_bigram_lm",
+    "scd2_merge_customers", "text_tokens", "text_langid_ngram",
+    "text_pii", "multimodal_frames", "pipeline_validate",
+    "pipeline_epochs", "dedup_survivors", "text_repetition", "text_tfidf",
+    "dedup_clusters", "pipeline_mixture", "pipeline_quota",
+    "pipeline_shuffle", "pipeline_funnel", "pipeline_budget",
+    "pipeline_chunk", "dedup_incremental", "profile_documents",
+    # bench-member fillers (third driver row for the timed queries)
+    "tpch_q1", "dedup_exact", "text_quality",
+]
+assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
+_missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
+assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}"

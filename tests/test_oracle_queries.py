@@ -302,3 +302,30 @@ def test_round9_window_prestage():
     for w in (_CERT_FIRST_ROUND5, _CERT_FIRST_ROUND6, _CERT_FIRST_ROUND7,
               _CERT_FIRST_ROUND8):
         assert not set(_CERT_FIRST_ROUND9) & set(w)
+
+
+def test_round10_window_prestage():
+    """The pre-staged round-10 certification window: every oracle-backed
+    query outside windows 4-9, padded with three bench members — after
+    it, all oracle-backed queries hold a rounds-5-10 driver row."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND4,
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND7,
+        _CERT_FIRST_ROUND8,
+        _CERT_FIRST_ROUND9,
+        _CERT_FIRST_ROUND10,
+    )
+
+    assert len(_CERT_FIRST_ROUND10) == 50
+    assert len(set(_CERT_FIRST_ROUND10)) == 50
+    assert set(_CERT_FIRST_ROUND10) <= set(ALL_ORACLES)
+    used = (set(_CERT_FIRST_ROUND4) | set(_CERT_FIRST_ROUND5)
+            | set(_CERT_FIRST_ROUND6) | set(_CERT_FIRST_ROUND7)
+            | set(_CERT_FIRST_ROUND8) | set(_CERT_FIRST_ROUND9))
+    fillers = {"tpch_q1", "dedup_exact", "text_quality"}
+    assert set(_CERT_FIRST_ROUND10) - used == set(_CERT_FIRST_ROUND10) - fillers
+    # completeness: windows 4-10 + rows-only = the whole registry
+    leftover = set(ALL_ORACLES) - used - set(_CERT_FIRST_ROUND10)
+    assert not leftover, f"oracle-backed queries in no window: {leftover}"
