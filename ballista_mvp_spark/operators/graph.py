@@ -396,10 +396,16 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
-    ns = seeds.select("node").distinct().agg(F.count("*").alias("_ns"))
+    seed_n = seeds.select("node").distinct()
+    if seed_n.isEmpty():
+        raise ValueError(
+            "personalized_pagerank: empty seed set — every teleport weight "
+            "would be 0 and all ranks would silently collapse to 0"
+        )
+    ns = seed_n.agg(F.count("*").alias("_ns"))
     base = (
         nodes.join(
-            seeds.select("node").distinct().withColumn("_is_seed", F.lit(1)),
+            seed_n.withColumn("_is_seed", F.lit(1)),
             "node",
             "left",
         )

@@ -260,3 +260,12 @@ def test_personalized_pagerank_matches_numpy_reference(spark):
     # non-seed-reachable mass: node 5 has no in-edges and is not seeded
     # by teleport beyond its own seed share
     assert got[5] == round(0.15 * 0.5, 6)
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    empty = spark.createDataFrame([], "node long")
+    with _pytest.raises(ValueError, match="empty seed set"):
+        G.personalized_pagerank(edges, empty)
