@@ -220,11 +220,22 @@ def label_propagation(
             .groupBy(F.col("u").alias("node"), "label")
             .agg(F.count("*").alias("_c"))
         )
-        w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label"))
+        # deterministic argmax (most-frequent label, ties to the
+        # SMALLEST label) as a map-side-combinable max(struct(count,
+        # -label)) hash aggregate — the row_number-window form sorts
+        # the whole O(edges) count table every superstep (measured 6.7×
+        # wall at 4× nodes in tools/scale_stress.py --graph before this
+        # rewrite); lexicographic struct-max keeps the exact same
+        # winner. Node ids must be non-negative (every id here is),
+        # so -label cannot overflow.
         labels = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
+                ).alias("_best")
+            )
+            .select("node", (-F.col("_best._nl")).alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
