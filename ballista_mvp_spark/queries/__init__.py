@@ -275,8 +275,9 @@ _CERT_FIRST_ROUND10 = [
     "dedup_clusters", "pipeline_mixture", "pipeline_quota",
     "pipeline_shuffle", "pipeline_funnel", "pipeline_budget",
     "pipeline_chunk", "dedup_incremental", "profile_documents",
-    # bench-member fillers (third driver row for the timed queries)
-    "tpch_q1", "dedup_exact", "text_quality",
+    # the late round-5 gopher-funnel addition + bench-member fillers
+    "text_gopher_funnel",
+    "tpch_q1", "dedup_exact",
 ]
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]

@@ -482,6 +482,103 @@ FROM m ORDER BY doc_id
 """
 
 
+def text_gopher_funnel(spark, sf_dir):
+    """Gopher-gate rejection funnel: per RULE, how many documents fail
+    it, and the overall keep rate — the one-page quality-report rollup
+    of text_gopher's per-document flags (which rule does the culling is
+    the actionable number; the per-doc table is the evidence). Reuses
+    the certified gopher_report expressions; one scan, one 1-row
+    reduce, unpivoted JVM-side to (rule, n_fail, fail_share) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = TX.gopher_report(docs, "doc_id", "text")
+    flags = [
+        "f_word_count", "f_mean_len", "f_alpha", "f_symbol",
+        "f_stopwords", "f_bullet", "f_ellipsis", "keep",
+    ]
+    agg = rep.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum((~F.col(c)).cast("int")).alias(f"_fail_{c}")
+            for c in flags
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("rule"), F.col(f"_fail_{c}").alias("n_fail")
+            )
+            for c in flags
+        ]
+    )
+    return (
+        agg.select("_n", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.rule").alias("rule"),
+            F.col("p.n_fail").alias("n_fail"),
+            F.round(F.col("p.n_fail") / F.col("_n"), 6).alias("fail_share"),
+        )
+        .orderBy("rule")
+    )
+
+
+TEXT_GOPHER_FUNNEL_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1), 6) AS mean_word_len,
+         round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / greatest(len(t), 1), 6) AS alpha_word_frac,
+         round(len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / greatest(len(t), 1), 6) AS symbol_word_ratio,
+         CAST(len(list_filter(list_distinct(t),
+              x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
+           AS req_stopword_hits,
+         round(len(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '^\s*[-*•]')))
+               * 1.0 / greatest(len(str_split(text, chr(10))), 1), 6) AS bullet_line_frac,
+         round(len(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+               * 1.0 / greatest(len(str_split(text, chr(10))), 1), 6) AS ellipsis_line_frac
+  FROM base),
+flags AS (
+  SELECT n_words BETWEEN 50 AND 100000 AS f_word_count,
+         mean_word_len BETWEEN 3.0 AND 10.0 AS f_mean_len,
+         alpha_word_frac >= 0.8 AS f_alpha,
+         symbol_word_ratio <= 0.1 AS f_symbol,
+         req_stopword_hits >= 2 AS f_stopwords,
+         bullet_line_frac <= 0.9 AS f_bullet,
+         ellipsis_line_frac <= 0.3 AS f_ellipsis,
+         (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND alpha_word_frac >= 0.8 AND symbol_word_ratio <= 0.1
+           AND req_stopword_hits >= 2 AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3 AS keep
+  FROM m),
+agg AS (
+  SELECT count(*) AS _n,
+         sum(CASE WHEN NOT f_word_count THEN 1 ELSE 0 END) AS fail_f_word_count,
+         sum(CASE WHEN NOT f_mean_len THEN 1 ELSE 0 END) AS fail_f_mean_len,
+         sum(CASE WHEN NOT f_alpha THEN 1 ELSE 0 END) AS fail_f_alpha,
+         sum(CASE WHEN NOT f_symbol THEN 1 ELSE 0 END) AS fail_f_symbol,
+         sum(CASE WHEN NOT f_stopwords THEN 1 ELSE 0 END) AS fail_f_stopwords,
+         sum(CASE WHEN NOT f_bullet THEN 1 ELSE 0 END) AS fail_f_bullet,
+         sum(CASE WHEN NOT f_ellipsis THEN 1 ELSE 0 END) AS fail_f_ellipsis,
+         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS fail_keep
+  FROM flags),
+rows_out AS (
+  SELECT 'f_word_count' AS rule, fail_f_word_count AS n_fail, _n FROM agg
+  UNION ALL SELECT 'f_mean_len', fail_f_mean_len, _n FROM agg
+  UNION ALL SELECT 'f_alpha', fail_f_alpha, _n FROM agg
+  UNION ALL SELECT 'f_symbol', fail_f_symbol, _n FROM agg
+  UNION ALL SELECT 'f_stopwords', fail_f_stopwords, _n FROM agg
+  UNION ALL SELECT 'f_bullet', fail_f_bullet, _n FROM agg
+  UNION ALL SELECT 'f_ellipsis', fail_f_ellipsis, _n FROM agg
+  UNION ALL SELECT 'keep', fail_keep, _n FROM agg)
+SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       round(n_fail * 1.0 / _n, 6) AS fail_share
+FROM rows_out ORDER BY rule
+"""
+
+
 def pipeline_mixture(spark, sf_dir):
     """Deterministic stratified data-mixture sampling: downweight 'en' to
     25% and 'de' to 50% by salted md5 bucket; other languages pass
@@ -2290,6 +2387,7 @@ QUERIES = {
     "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_truncation_loss": pipeline_truncation_loss,
     "dedup_cross_source": dedup_cross_source,
+    "text_gopher_funnel": text_gopher_funnel,
     "text_oov": text_oov,
     "versioned_update_restore": versioned_update_restore,
     "versioned_cdf": versioned_cdf,
@@ -2339,6 +2437,7 @@ ORACLES = {
     "pipeline_dataset_card": PIPELINE_DATASET_CARD_ORACLE,
     "pipeline_truncation_loss": PIPELINE_TRUNCATION_LOSS_ORACLE,
     "dedup_cross_source": DEDUP_CROSS_SOURCE_ORACLE,
+    "text_gopher_funnel": TEXT_GOPHER_FUNNEL_ORACLE,
     "text_oov": TEXT_OOV_ORACLE,
     "versioned_update_restore": VERSIONED_UPDATE_RESTORE_ORACLE,
     "versioned_cdf": VERSIONED_CDF_ORACLE,

@@ -324,7 +324,7 @@ def test_round10_window_prestage():
     used = (set(_CERT_FIRST_ROUND4) | set(_CERT_FIRST_ROUND5)
             | set(_CERT_FIRST_ROUND6) | set(_CERT_FIRST_ROUND7)
             | set(_CERT_FIRST_ROUND8) | set(_CERT_FIRST_ROUND9))
-    fillers = {"tpch_q1", "dedup_exact", "text_quality"}
+    fillers = {"tpch_q1", "dedup_exact"}
     assert set(_CERT_FIRST_ROUND10) - used == set(_CERT_FIRST_ROUND10) - fillers
     # completeness: windows 4-10 + rows-only = the whole registry
     leftover = set(ALL_ORACLES) - used - set(_CERT_FIRST_ROUND10)
