@@ -558,3 +558,31 @@ def test_poisson_bootstrap_weights_distribution(spark):
     # exact reproducibility (pure function of salt+id)
     again = {r.w: r.c for r in ids.select(_boot_weight(u).alias("w")).groupBy("w").agg(F.count("*").alias("c")).collect()}
     assert again == counts
+
+
+def test_rolling_median_composition_matches_python(spark):
+    """events_rolling_median's sort_array/collect_list interpolation,
+    checked against Python statistics.median over random series — the
+    engine-independent pin of the frame-median composition (the oracle
+    pins DuckDB; this pins the math)."""
+    import random
+    import statistics
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    xs = [float(rng.randrange(100)) for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(xs)), ["i", "v"])
+    w = W.orderBy("i").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list(F.col("v")).over(w))
+    sz = F.size(arr)
+    mid_hi = F.element_at(arr, (sz / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, F.greatest((sz / 2).cast("int"), F.lit(1)))
+    med = F.when(
+        sz % 2 == 1, F.element_at(arr, ((sz + 1) / 2).cast("int"))
+    ).otherwise((mid_lo + mid_hi) / 2.0)
+    got = {r.i: r.m for r in df.select("i", med.alias("m")).collect()}
+    for i in range(40):
+        window = xs[max(0, i - 6): i + 1]
+        assert got[i] == statistics.median(window), (i, got[i], window)
