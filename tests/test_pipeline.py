@@ -283,3 +283,29 @@ def test_equal_allocation_membership_stable_when_other_stratum_grows(spark):
     grown = df.union(spark.createDataFrame([(1000 + i, "en") for i in range(20)], ["id", "lang"]))
     after = {r.id for r in P.equal_allocation_sample(grown, "id", "lang").collect() if r.lang == "de"}
     assert before == after == {100 + i for i in range(10)}
+
+
+def test_cross_source_catches_planted_mirrors(spark, tmp_path):
+    # plant verbatim reprints across sources (including a 3-way mirror)
+    # plus whitespace/case variants that must still collapse to one
+    # fingerprint cluster
+    rows = [
+        (1, "the quick brown fox", "en", "srcA", 19),
+        (2, "THE  quick   Brown fox", "en", "srcB", 22),   # same after norm
+        (3, "the quick brown fox", "en", "srcC", 19),      # 3-way mirror
+        (4, "something else entirely", "en", "srcA", 23),
+        (5, "something else entirely", "en", "srcA", 23),  # same-source dup: no pair
+        (6, "unique text here", "en", "srcB", 16),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    from ballista_mvp_spark.queries.pipeline import dedup_cross_source
+
+    got = {
+        (r.source_a, r.source_b): r.n_shared_clusters
+        for r in dedup_cross_source(spark, str(tmp_path)).collect()
+    }
+    # the fox cluster spans A/B/C -> all three pairs, one cluster each;
+    # the same-source dup (rows 4,5) must NOT create a pair
+    assert got == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1, ("srcB", "srcC"): 1}
