@@ -586,3 +586,49 @@ def test_rolling_median_composition_matches_python(spark):
     for i in range(40):
         window = xs[max(0, i - 6): i + 1]
         assert got[i] == statistics.median(window), (i, got[i], window)
+
+
+def test_wilson_interval_bounds_and_coverage(spark):
+    """stats_wilson's interval arithmetic, pinned against a direct
+    Python evaluation on random (k, n): the interval must stay inside
+    [0, 1], contain p-hat, and match the closed form to 1e-12."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, n + 1), n)
+            for i, n in enumerate(rng.randrange(5, 500) for _ in range(60))]
+    df = spark.createDataFrame(rows, ["i", "k", "n"])
+    z = 1.959963984540054
+    p = F.col("k") / F.col("n")
+    z2n = F.lit(z * z) / F.col("n")
+    center = (p + z2n / 2) / (1 + z2n)
+    half = F.lit(z) * F.sqrt(p * (1 - p) / F.col("n") + z2n / (4 * F.col("n"))) / (1 + z2n)
+    got = {r.i: (r.lo, r.hi) for r in df.select(
+        "i", (center - half).alias("lo"), (center + half).alias("hi")).collect()}
+    for i, k, n in rows:
+        ph = k / n
+        z2 = z * z / n
+        c = (ph + z2 / 2) / (1 + z2)
+        h = z * ((ph * (1 - ph) / n + z2 / (4 * n)) ** 0.5) / (1 + z2)
+        lo, hi = got[i]
+        assert abs(lo - (c - h)) < 1e-12 and abs(hi - (c + h)) < 1e-12
+        assert -1e-12 <= lo <= ph + 1e-12 <= hi <= 1 + 1e-12
+
+
+def test_percentile_vector_matches_numpy_linear(spark):
+    """stats_qq's multi-quantile aggregate: Spark F.percentile must
+    agree with numpy's linear-interpolation percentile (the method
+    DuckDB's quantile_cont also implements) on random doubles."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(9)
+    xs = rng.uniform(0, 1000, 137)
+    ps = [round(0.05 * i, 2) for i in range(1, 20)]
+    df = spark.createDataFrame([(float(x),) for x in xs], ["v"])
+    got = df.agg(F.percentile("v", F.lit(ps)).alias("q")).collect()[0].q
+    want = np.percentile(xs, [p * 100 for p in ps], method="linear")
+    assert np.allclose(got, want, rtol=0, atol=1e-9)
