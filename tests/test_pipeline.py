@@ -309,3 +309,45 @@ def test_cross_source_catches_planted_mirrors(spark, tmp_path):
     # the fox cluster spans A/B/C -> all three pairs, one cluster each;
     # the same-source dup (rows 4,5) must NOT create a pair
     assert got == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1, ("srcB", "srcC"): 1}
+
+
+def test_js_divergence_zero_for_identical_and_matches_python(spark, tmp_path):
+    import math
+    from collections import Counter
+
+    # two sources with the SAME distribution -> JS vs the mixture = 0;
+    # one skewed source -> positive, matching a direct computation
+    rows = []
+    did = 0
+    for src, words in [("same1", "a b c d"), ("same2", "a b c d"),
+                       ("skew", "a a a a a a z z")]:
+        did += 1
+        rows.append((did, words, "en", src, len(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    from ballista_mvp_spark.queries.extensions import text_js_divergence
+
+    got = {r.source: r.js_divergence
+           for r in text_js_divergence(spark, str(tmp_path)).collect()}
+
+    # direct reference
+    toks = {s: t.split() for _, t, _, s, _ in
+            [(r[0], r[1], r[2], r[3], r[4]) for r in rows]}
+    all_toks = [w for t in toks.values() for w in t]
+    m = Counter(all_toks); mt = sum(m.values())
+
+    def js(source):
+        p = Counter(toks[source]); pt = sum(p.values())
+        out = 0.0
+        for w in set(all_toks):
+            pw = p.get(w, 0) / pt
+            mw = m[w] / mt
+            if pw > 0:
+                out += 0.5 * pw * math.log(2 * pw / (pw + mw))
+            if mw > 0:
+                out += 0.5 * mw * math.log(2 * mw / (pw + mw)) if pw > 0 else 0.5 * mw * math.log(2.0)
+        return out
+
+    for s in ("same1", "same2", "skew"):
+        assert abs(got[s] - round(js(s), 6)) < 2e-6, (s, got[s], js(s))
+    assert got["skew"] > 0.1  # clearly shifted source scores high
