@@ -122,56 +122,18 @@ assert len(_CERT_FIRST_ROUND5) == 50, len(_CERT_FIRST_ROUND5)
 _missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
 assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"
 
-# Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-5 window leads.
-_CERT_FIRST = _CERT_FIRST_ROUND5
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
 
-# ROUND-6 WINDOW (pre-staged; swap into _CERT_FIRST at round-6 start
-# AFTER CORRECTNESS_r05.json lands): the 10 queries added late in round 4
-# (strict-oracle-green at both scales + vanilla session, never
-# driver-certified), padded to 50 with re-certifications of the oldest
-# (round-1/round-2) driver rows so every family is re-proven under the
-# final driver. Validated by tests/test_oracle_queries.py.
+# ROUND-6 WINDOW (ACTIVE — re-cut at round-6 start per VERDICT r5
+# next-round #1: retire first-time-certification debt fastest. The
+# originally staged round-6 window spent 40 of its 50 slots on re-certs
+# while 95 oracle-backed queries still lacked a driver row; this window
+# is instead EXACTLY the 50 round-5 additions — all strict-oracle-green
+# at both scales + vanilla session, never driver-certified, zero
+# rows-only members per the COVERAGE.md lesson. The displaced re-certs
+# rotate into the round-7/8/10 windows; the round-10 completeness
+# contract — every oracle-backed query appears in some window 4-10 —
+# is unchanged and pinned by test_round10_window_prestage.
 _CERT_FIRST_ROUND6 = [
-    # late-round-4 additions, never driver-certified
-    "market_basket", "customer_rfm", "text_tokens_cjk",
-    "graph_components", "events_ab_test", "stats_corr_matrix",
-    "text_bpe_merges", "graph_components_twophase", "stats_skew_profile",
-    "text_bpe_encode",
-    # relational core reps (r1 rows, re-proven)
-    "projection", "filter_pred", "limit_offset", "sort_nulls", "sort_topk",
-    "join_semi", "join_anti", "join_full", "join_nullsafe", "join_residual",
-    "intersect_op", "except_op", "distinct_op", "union_all", "union_distinct",
-    "values_inline", "pivot_op", "unpivot_op", "join_right",
-    "join_cross",
-    # function / aggregate families (r2 rows)
-    "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
-    "fn_array_struct", "fn_hash", "agg_median", "agg_stats",
-    # windows (r2 rows)
-    "window_rank_ties", "window_lag_lead", "window_agg_range_frame",
-    # events / dedup / pipeline / udf reps
-    "events_retention", "events_range_join", "events_asof_join",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_spans",
-    "udaf_apply_in_pandas", "udf_pandas_scalar",
-]
-assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
-_missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
-assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
-
-# ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
-# AFTER CORRECTNESS_r06.json lands): the 50 round-5 additions (all
-# strict-oracle-green at both scales + vanilla session, never
-# driver-certified — rows-only entries excluded per the COVERAGE.md
-# lesson), padded to 50 with re-certifications of oracle-backed
-# families no earlier window re-proved. Validated by
-# tests/test_oracle_queries.py::test_round7_window_prestage.
-_CERT_FIRST_ROUND7 = [
-    # round-5 additions, never driver-certified
     "versioned_update_restore", "versioned_cdf", "streaming_cdc_upsert",
     "stats_mutual_info", "stats_chi2", "sql_qualify",
     "text_script_profile", "text_readability", "text_code_detect",
@@ -190,26 +152,30 @@ _CERT_FIRST_ROUND7 = [
     "text_hapax", "events_forecast_naive", "stats_bootstrap",
     "graph_modularity",
     "pipeline_kanon", "text_oov", "sim_centroid_matrix",
-    # (no re-cert padding left: the window is exactly the 50 round-5
-    # additions. The re-certs originally staged here — agg_basic,
-    # join_left/right_anti, sql_lateral/subquery_exists_in, fn_url,
-    # window_ntile/running_total, streaming_tumbling/sessionize,
-    # events_topk_users, text_gopher/decontaminate,
-    # pipeline_pack/leakage, multimodal_meta — all hold r1-r3 driver
-    # rows already and every family keeps >=2 certified representatives
-    # in earlier windows; they rotate into the round-8 window.)
 ]
-assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
-_missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
-assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
+assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
+_missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
+assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
-# ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
-# AFTER CORRECTNESS_r07.json lands): the 34 round-5 additions that
-# landed after the round-7 window filled (never driver-certified) plus
-# the 16 re-certs displaced from the round-7 window. Validated by
-# tests/test_oracle_queries.py::test_round8_window_prestage.
-_CERT_FIRST_ROUND8 = [
-    # round-5 additions past the round-7 freeze, never driver-certified
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-6 window leads.
+_CERT_FIRST = _CERT_FIRST_ROUND6
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
+
+# ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
+# AFTER CORRECTNESS_r06.json lands): the remaining 45 oracle-backed
+# queries that have never held a driver row — the 34 round-5 additions
+# that landed after the old round-7 freeze, the 10 late-round-4
+# additions, and the late text_gopher_funnel — padded to 50 with 5
+# re-certifications displaced by the round-6 re-cut. After this window
+# EVERY oracle-backed registry query holds a driver row. Validated by
+# tests/test_oracle_queries.py::test_round7_window_prestage.
+_CERT_FIRST_ROUND7 = [
+    # round-5 additions past the old round-7 freeze, never certified
     "stats_levene", "stats_wilson", "sim_silhouette",
     "graph_reciprocity", "pipeline_dataset_card",
     "events_changepoint", "events_seasonality", "stats_qq",
@@ -224,13 +190,47 @@ _CERT_FIRST_ROUND8 = [
     "text_js_divergence", "events_markov_eval",
     "pipeline_truncation_loss", "dedup_cross_source",
     "agg_salted_skew", "join_salted_skew",
-    # the 16 re-certs displaced from the round-7 window
+    # late-round-4 additions, never driver-certified
+    "market_basket", "customer_rfm", "text_tokens_cjk",
+    "graph_components", "events_ab_test", "stats_corr_matrix",
+    "text_bpe_merges", "graph_components_twophase", "stats_skew_profile",
+    "text_bpe_encode",
+    # the late round-5 gopher-funnel addition (formerly in round 10)
+    "text_gopher_funnel",
+    # re-certifications displaced by the round-6 re-cut
     "agg_basic", "join_left", "join_right_anti", "sql_lateral",
-    "sql_subquery_exists_in", "fn_url", "window_ntile",
-    "window_running_total", "streaming_tumbling", "streaming_sessionize",
-    "events_topk_users", "text_gopher", "text_decontaminate",
-    "pipeline_pack", "pipeline_leakage", "multimodal_meta",
-    # r1-r3 rows not re-proven by any later window
+    "sql_subquery_exists_in",
+]
+assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
+_missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
+assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
+
+# ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
+# AFTER CORRECTNESS_r07.json lands): 50 re-certifications under the
+# final engine — the 40 r1/r2 family reps from the originally staged
+# round-6 window + 10 of the r1-r3 reps displaced by the re-cut.
+# Validated by tests/test_oracle_queries.py::test_round8_window_prestage.
+_CERT_FIRST_ROUND8 = [
+    # relational core reps (r1 rows, re-proven)
+    "projection", "filter_pred", "limit_offset", "sort_nulls", "sort_topk",
+    "join_semi", "join_anti", "join_full", "join_nullsafe", "join_residual",
+    "intersect_op", "except_op", "distinct_op", "union_all", "union_distinct",
+    "values_inline", "pivot_op", "unpivot_op", "join_right",
+    "join_cross",
+    # function / aggregate families (r2 rows)
+    "fn_math", "fn_string", "fn_regex", "fn_datetime", "fn_conditional",
+    "fn_array_struct", "fn_hash", "agg_median", "agg_stats",
+    # windows (r2 rows)
+    "window_rank_ties", "window_lag_lead", "window_agg_range_frame",
+    # events / dedup / pipeline / udf reps
+    "events_retention", "events_range_join", "events_asof_join",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_spans",
+    "udaf_apply_in_pandas", "udf_pandas_scalar",
+    # r1-r3 reps displaced from the old round-8 window
+    "fn_url", "window_ntile", "window_running_total",
+    "streaming_tumbling", "streaming_sessionize", "events_topk_users",
+    "text_gopher", "text_decontaminate", "pipeline_pack",
+    "pipeline_leakage",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]
@@ -241,7 +241,7 @@ assert not _missing8, f"_CERT_FIRST_ROUND8 names not in registry: {_missing8}"
 # round-4 window under the final driver — its 49 oracle-backed members
 # verbatim (dedup_incremental_minhash is rows-only and BANNED from
 # windows per the COVERAGE.md lesson; agg_cube, an r2 row no later
-# window re-proved, takes its slot). After round 9, every r4-era driver
+# window re-proves, takes its slot). After round 9, every r4-era driver
 # row has a re-certification row from the final engine state. Validated
 # by tests/test_oracle_queries.py::test_round9_window_prestage.
 _CERT_FIRST_ROUND9 = [
@@ -253,8 +253,9 @@ assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 
 # ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
 # AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
-# that appear in NO other window (computed against rounds 4-9), padded
-# to 50 with the three headline bench members (a third driver row for
+# that appear in NO other window (computed against rounds 4-9), plus
+# multimodal_meta (displaced from the old round-8 window by the re-cut),
+# padded to 50 with two headline bench members (a third driver row for
 # the queries the per-round bench times). After round 10, EVERY
 # oracle-backed registry query has a driver row from rounds 5-10 under
 # the final engine state. Validated by
@@ -275,8 +276,9 @@ _CERT_FIRST_ROUND10 = [
     "dedup_clusters", "pipeline_mixture", "pipeline_quota",
     "pipeline_shuffle", "pipeline_funnel", "pipeline_budget",
     "pipeline_chunk", "dedup_incremental", "profile_documents",
-    # the late round-5 gopher-funnel addition + bench-member fillers
-    "text_gopher_funnel",
+    # displaced from the old round-8 window by the re-cut
+    "multimodal_meta",
+    # bench-member fillers
     "tpch_q1", "dedup_exact",
 ]
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)

@@ -141,21 +141,17 @@ def test_registry_contract_hygiene():
         assert head in {"SELECT", "WITH"}, (name, head)
 
 
-def test_round5_window_active():
-    """The round-5 certification window (ACTIVE since round-5 start): 50
-    unique registry names, every one oracle-backed (a driver row can
-    hash-certify), no overlap with the historical round-4 window, leads
-    the registry insertion order, and includes every oracle-backed query
-    that still lacked a driver row after round 4 — certifying it closes
-    driver certification for the whole oracle-backed registry."""
+
+def test_round5_window_historical():
+    """The round-5 certification window (historical — CORRECTNESS_r05.json:
+    50/50 hash-green): 50 unique oracle-backed names, disjoint from the
+    round-4 window, and containing every oracle-backed query that lacked
+    a driver row after round 4 except the round-5 additions themselves."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND5  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND5  # driver sees it
     assert len(_CERT_FIRST_ROUND5) == 50
     assert len(set(_CERT_FIRST_ROUND5)) == 50
     assert set(_CERT_FIRST_ROUND5) <= set(ALL_QUERIES)
@@ -174,50 +170,27 @@ def test_round5_window_active():
     assert never_certified <= set(_CERT_FIRST_ROUND5)
 
 
-def test_round6_window_prestage():
-    """The pre-staged round-6 certification window: 50 unique
-    oracle-backed registry names, includes every late-round-4 addition
-    that lacks a driver row, and overlaps neither the historical
-    round-4 window nor the active round-5 window."""
+def test_round6_window_active():
+    """The round-6 certification window (ACTIVE — re-cut at round-6 start
+    per VERDICT r5 next-round #1): EXACTLY the 50 round-5 additions, all
+    oracle-backed (a driver row can hash-certify), never driver-certified,
+    no overlap with any earlier window, leading the registry insertion
+    order so the driver's first-50 sample certifies them."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND6  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND6  # driver sees it
     assert len(_CERT_FIRST_ROUND6) == 50
     assert len(set(_CERT_FIRST_ROUND6)) == 50
     assert set(_CERT_FIRST_ROUND6) <= set(ALL_QUERIES)
-    assert set(_CERT_FIRST_ROUND6) <= set(ALL_ORACLES)
+    assert set(_CERT_FIRST_ROUND6) <= set(ALL_ORACLES)  # no rows-only entries
     assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST_ROUND4)
     assert not set(_CERT_FIRST_ROUND6) & set(_CERT_FIRST_ROUND5)
-    late_round4 = {
-        "market_basket", "customer_rfm", "text_tokens_cjk",
-        "graph_components", "events_ab_test", "stats_corr_matrix",
-        "text_bpe_merges", "graph_components_twophase",
-        "stats_skew_profile", "text_bpe_encode",
-    }
-    assert late_round4 <= set(_CERT_FIRST_ROUND6)
-
-
-def test_round7_window_prestage():
-    """The pre-staged round-7 certification window: 50 unique
-    oracle-backed registry names, includes every round-5 addition
-    (which all lack driver rows), and overlaps no earlier window."""
-    from ballista_mvp_spark.queries import (
-        _CERT_FIRST_ROUND4,
-        _CERT_FIRST_ROUND5,
-        _CERT_FIRST_ROUND6,
-        _CERT_FIRST_ROUND7,
-    )
-
-    assert len(_CERT_FIRST_ROUND7) == 50
-    assert len(set(_CERT_FIRST_ROUND7)) == 50
-    assert set(_CERT_FIRST_ROUND7) <= set(ALL_QUERIES)
-    assert set(_CERT_FIRST_ROUND7) <= set(ALL_ORACLES)  # no rows-only entries
-    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND4)
-    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND5)
-    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND6)
     round5_additions = {
         "versioned_update_restore", "versioned_cdf", "streaming_cdc_upsert",
         "stats_mutual_info", "stats_chi2", "sql_qualify",
@@ -238,29 +211,29 @@ def test_round7_window_prestage():
         "graph_modularity",
         "pipeline_kanon", "text_oov", "sim_centroid_matrix",
     }
-    assert round5_additions <= set(_CERT_FIRST_ROUND7)
+    assert set(_CERT_FIRST_ROUND6) == round5_additions
 
 
-def test_round8_window_prestage():
-    """The pre-staged round-8 certification window: 50 unique
-    oracle-backed registry names, includes every round-5 addition that
-    landed after the round-7 window filled, and overlaps no other
-    pre-staged window (round-4 overlap is allowed: round-8 is the first
-    re-certification pass over r4-era rows)."""
+def test_round7_window_prestage():
+    """The pre-staged round-7 certification window: the remaining 45
+    never-driver-certified oracle-backed queries (34 late-round-5 + 10
+    late-round-4 + text_gopher_funnel) + 5 displaced re-certs — 50
+    unique oracle-backed names overlapping no earlier window. After it,
+    every oracle-backed registry query holds a driver row."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
         _CERT_FIRST_ROUND7,
-        _CERT_FIRST_ROUND8,
     )
 
-    assert len(_CERT_FIRST_ROUND8) == 50
-    assert len(set(_CERT_FIRST_ROUND8)) == 50
-    assert set(_CERT_FIRST_ROUND8) <= set(ALL_QUERIES)
-    assert set(_CERT_FIRST_ROUND8) <= set(ALL_ORACLES)  # no rows-only entries
-    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND5)
-    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND6)
-    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND7)
+    assert len(_CERT_FIRST_ROUND7) == 50
+    assert len(set(_CERT_FIRST_ROUND7)) == 50
+    assert set(_CERT_FIRST_ROUND7) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND7) <= set(ALL_ORACLES)  # no rows-only entries
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND4)
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND5)
+    assert not set(_CERT_FIRST_ROUND7) & set(_CERT_FIRST_ROUND6)
     late_round5 = {
         "stats_levene", "stats_wilson", "sim_silhouette",
         "graph_reciprocity", "pipeline_dataset_card",
@@ -277,7 +250,38 @@ def test_round8_window_prestage():
         "pipeline_truncation_loss", "dedup_cross_source",
         "agg_salted_skew", "join_salted_skew",
     }
-    assert late_round5 <= set(_CERT_FIRST_ROUND8)
+    late_round4 = {
+        "market_basket", "customer_rfm", "text_tokens_cjk",
+        "graph_components", "events_ab_test", "stats_corr_matrix",
+        "text_bpe_merges", "graph_components_twophase",
+        "stats_skew_profile", "text_bpe_encode",
+    }
+    assert late_round5 | late_round4 | {"text_gopher_funnel"} <= set(
+        _CERT_FIRST_ROUND7
+    )
+
+
+def test_round8_window_prestage():
+    """The pre-staged round-8 certification window: 50 unique
+    oracle-backed re-certifications (the 40 r1/r2 family reps from the
+    originally staged round-6 window + 10 displaced r1-r3 reps),
+    overlapping no other window."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND4,
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND7,
+        _CERT_FIRST_ROUND8,
+    )
+
+    assert len(_CERT_FIRST_ROUND8) == 50
+    assert len(set(_CERT_FIRST_ROUND8)) == 50
+    assert set(_CERT_FIRST_ROUND8) <= set(ALL_QUERIES)
+    assert set(_CERT_FIRST_ROUND8) <= set(ALL_ORACLES)  # no rows-only entries
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND4)
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND5)
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND6)
+    assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND7)
 
 
 def test_round9_window_prestage():
@@ -306,7 +310,7 @@ def test_round9_window_prestage():
 
 def test_round10_window_prestage():
     """The pre-staged round-10 certification window: every oracle-backed
-    query outside windows 4-9, padded with three bench members — after
+    query outside windows 4-9, padded with two bench members — after
     it, all oracle-backed queries hold a rounds-5-10 driver row."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND4,
