@@ -198,7 +198,11 @@ def _rewrite_qualify(q: str) -> str:
     column aliases) or contain window expressions directly. Scanning is
     quote- and paren-aware, so QUALIFY inside strings or subqueries is
     left alone; statements without a top-level QUALIFY pass through
-    byte-identical."""
+    byte-identical. A leading WITH clause is preserved verbatim (CTEs
+    stay in scope inside the wrapping subquery — Spark resolves CTEs
+    lexically over the whole statement). A top-level set operator after
+    the predicate bounds it (``... QUALIFY p UNION ALL SELECT ...``
+    binds QUALIFY to the first branch, the DuckDB parse)."""
     qi, _ = _find_kw(q, ("QUALIFY",))
     if qi < 0:
         return q
@@ -208,13 +212,15 @@ def _rewrite_qualify(q: str) -> str:
     fi, _ = _find_kw(q, ("FROM",), start=si)
     if fi < 0 or not (si < fi < qi):
         return q
-    ti, _ = _find_kw(q, ("ORDER BY", "LIMIT"), start=qi)
+    ti, _ = _find_kw(
+        q, ("ORDER BY", "LIMIT", "UNION", "INTERSECT", "EXCEPT"), start=qi
+    )
     pred = (q[qi + len("QUALIFY"):ti] if ti >= 0 else q[qi + len("QUALIFY"):]).strip()
     tail = (" " + q[ti:].strip()) if ti >= 0 else ""
     sel = q[si + len("SELECT"):fi].strip()
     body = q[fi:qi].strip()
     return (
-        f"SELECT * EXCEPT (__qualify__) FROM ("
+        f"{q[:si]}SELECT * EXCEPT (__qualify__) FROM ("
         f"SELECT {sel}, ({pred}) AS __qualify__ {body}"
         f") WHERE __qualify__{tail}"
     )
@@ -243,7 +249,12 @@ def _rewrite_distinct_on(q: str) -> str:
     pins a deterministic one). Statements without a leading top-level
     DISTINCT ON pass through byte-identical; DuckDB runs the original
     text natively, so a single SQL string is a cross-engine contract
-    (the QUALIFY convention, engine.py _rewrite_qualify)."""
+    (the QUALIFY convention, engine.py _rewrite_qualify). A leading
+    WITH clause is preserved verbatim (CTEs resolve inside the wrapper);
+    a top-level set operator after FROM bails out unchanged — the
+    rewrite cannot bound DISTINCT ON to the first branch safely, and
+    Spark's parse error on the original text beats a malformed
+    rewrite."""
     si, _ = _find_kw(q, ("SELECT",))
     if si < 0:
         return q
@@ -276,6 +287,9 @@ def _rewrite_distinct_on(q: str) -> str:
     if fi < 0:
         return q
     sel = q[sel_start:fi].strip()
+    so, _ = _find_kw(q, ("UNION", "INTERSECT", "EXCEPT"), start=fi)
+    if so >= 0:
+        return q
     oi, _ = _find_kw(q, ("ORDER BY",), start=fi)
     li, _ = _find_kw(q, ("LIMIT",), start=oi if oi >= 0 else fi)
     body_end = oi if oi >= 0 else (li if li >= 0 else len(q))
@@ -283,7 +297,7 @@ def _rewrite_distinct_on(q: str) -> str:
     ob = (q[oi + len("ORDER BY"):li] if li >= 0 else q[oi + len("ORDER BY"):]).strip() if oi >= 0 else keys
     tail = (" " + q[oi:].strip()) if oi >= 0 else ((" " + q[li:].strip()) if li >= 0 else "")
     return (
-        f"SELECT * EXCEPT (__don__) FROM ("
+        f"{q[:si]}SELECT * EXCEPT (__don__) FROM ("
         f"SELECT *, row_number() OVER ("
         f"PARTITION BY {keys} ORDER BY {ob}) AS __don__ "
         f"FROM (SELECT {sel} {body})"
@@ -583,7 +597,16 @@ class Engine:
         ``VERSION AS OF`` time travel) are dispatched to
         sources/versioned.py first; everything else goes to Catalyst."""
         if args is not None:
-            return self.spark.sql(query, args=args)
+            # parameterized path keeps the dialect rewrites — they are
+            # pure string transforms that preserve :name / ? placeholders
+            # (versioned-DML dispatch stays unparameterized: those
+            # statements execute side effects, not placeholder queries)
+            return self.spark.sql(
+                _rewrite_qualify(
+                    _rewrite_distinct_on(self._rewrite_time_travel(query))
+                ),
+                args=args,
+            )
         if (out := self._sql_versioned(query)) is not None:
             return out
         return self.spark.sql(

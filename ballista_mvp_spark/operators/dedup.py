@@ -628,6 +628,7 @@ def connected_components(
     active = sym.select(F.col("a").alias("id")).distinct()
     labels = active.select("id", F.col("id").alias("comp")).localCheckpoint()
     converged = False
+    _round = -1  # stays -1 when max_iter <= 0 so last_rounds reads 0
     for _round in range(max_iter):
         nbr = (
             sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")), "b")
@@ -654,7 +655,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    # diagnostic for the scale-stress harness: rounds actually executed
+    # best-effort diagnostic for the scale-stress harness: rounds
+    # actually executed (shared mutable function attribute — concurrent
+    # callers may interleave; never used for control flow)
     connected_components.last_rounds = _round + 1
     if not converged:
         raise RuntimeError(

@@ -221,21 +221,22 @@ def label_propagation(
             .agg(F.count("*").alias("_c"))
         )
         # deterministic argmax (most-frequent label, ties to the
-        # SMALLEST label) as a map-side-combinable max(struct(count,
-        # -label)) hash aggregate — the row_number-window form sorts
+        # SMALLEST label) as a map-side-combinable min(struct(-count,
+        # label)) hash aggregate — the row_number-window form sorts
         # the whole O(edges) count table every superstep (measured 6.7×
         # wall at 4× nodes in tools/scale_stress.py --graph before this
-        # rewrite); lexicographic struct-max keeps the exact same
-        # winner. Node ids must be non-negative (every id here is),
-        # so -label cannot overflow.
+        # rewrite); lexicographic struct-min keeps the exact same
+        # winner. Only the COUNT is negated (always a non-negative
+        # long), so the label column may be any orderable type — string
+        # doc/url ids included.
         labels = (
             counts.groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
+                F.min(
+                    F.struct((-F.col("_c")).alias("_nc"), F.col("label"))
                 ).alias("_best")
             )
-            .select("node", (-F.col("_best._nl")).alias("label"))
+            .select("node", F.col("_best.label").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))

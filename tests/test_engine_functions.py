@@ -372,3 +372,85 @@ def test_rewrite_distinct_on_keyword_boundary():
     # a word that merely STARTS with 'DISTINCT ON' is not the clause
     q = "SELECT DISTINCT ONE FROM t"
     assert _rewrite_distinct_on(q) == q
+
+
+def test_rewrite_qualify_preserves_leading_with_clause(spark):
+    """ADVICE r5 (high): a leading WITH clause must survive the QUALIFY
+    rewrite — the old rewrite started at the first top-level SELECT and
+    silently dropped the CTE definitions."""
+    from ballista_mvp_spark.engine import Engine, _rewrite_qualify
+
+    q = (
+        "WITH c AS (SELECT 1 AS k, 10 AS v UNION ALL SELECT 1, 20 "
+        "UNION ALL SELECT 2, 5) "
+        "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn "
+        "FROM c QUALIFY rn = 1 ORDER BY k"
+    )
+    out = _rewrite_qualify(q)
+    assert out.startswith("WITH c AS"), out  # CTE prefix preserved verbatim
+    rows = Engine(spark).sql(q).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 20), (2, 5)]
+
+
+def test_rewrite_distinct_on_preserves_leading_with_clause(spark):
+    from ballista_mvp_spark.engine import Engine, _rewrite_distinct_on
+
+    q = (
+        "WITH c AS (SELECT 1 AS k, 10 AS v UNION ALL SELECT 1, 20 "
+        "UNION ALL SELECT 2, 5) "
+        "SELECT DISTINCT ON (k) k, v FROM c ORDER BY k, v DESC"
+    )
+    out = _rewrite_distinct_on(q)
+    assert out.startswith("WITH c AS"), out
+    rows = Engine(spark).sql(q).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 20), (2, 5)]
+
+
+def test_rewrite_qualify_bounds_predicate_at_set_operator(spark):
+    """ADVICE r5: a trailing top-level set operation must bound the
+    QUALIFY predicate (DuckDB parses QUALIFY into the first branch), not
+    be absorbed into it."""
+    from ballista_mvp_spark.engine import Engine, _rewrite_qualify
+
+    q = (
+        "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM "
+        "(SELECT 1 AS k UNION ALL SELECT 2) "
+        "QUALIFY rn = 1 UNION ALL SELECT 99, 99"
+    )
+    out = _rewrite_qualify(q)
+    assert "UNION ALL SELECT 99, 99" in out  # union survives outside the pred
+    got = sorted((r[0], r[1]) for r in Engine(spark).sql(q).collect())
+    assert got == [(1, 1), (99, 99)]
+
+
+def test_rewrite_distinct_on_bails_on_set_operator():
+    """DISTINCT ON followed by a top-level set operator returns the text
+    unchanged (documented bail: Spark's parse error on the original beats
+    a malformed rewrite)."""
+    from ballista_mvp_spark.engine import _rewrite_distinct_on
+
+    q = "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u"
+    assert _rewrite_distinct_on(q) == q
+
+
+def test_engine_sql_args_path_keeps_dialect_rewrites(spark):
+    """ADVICE r5: Engine.sql(query, args=...) must apply the same
+    QUALIFY / DISTINCT ON rewrites as the unparameterized path."""
+    from ballista_mvp_spark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, 5), (1, 9), (2, 3), (2, 7)], ["k", "v"]
+    ).createOrReplaceTempView("args_rw_t")
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn "
+        "FROM args_rw_t WHERE v > :lo QUALIFY rn = 1 ORDER BY k",
+        args={"lo": 0},
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 9), (2, 7)]
+    rows2 = eng.sql(
+        "SELECT DISTINCT ON (k) k, v FROM args_rw_t WHERE v > :lo "
+        "ORDER BY k, v DESC",
+        args={"lo": 0},
+    ).collect()
+    assert [(r.k, r.v) for r in rows2] == [(1, 9), (2, 7)]

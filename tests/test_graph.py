@@ -269,3 +269,32 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
     empty = spark.createDataFrame([], "node long")
     with _pytest.raises(ValueError, match="empty seed set"):
         G.personalized_pagerank(edges, empty)
+
+
+def test_label_propagation_string_node_ids(spark):
+    """ADVICE r5: the argmax tie-break must be type-agnostic — string
+    doc/url node ids propagate with ties to the lexicographically
+    SMALLEST label, same rule as numeric ids."""
+    c1 = [(a, b) for a in ("a1", "a2", "a3", "a4")
+          for b in ("a1", "a2", "a3", "a4") if a < b]
+    c2 = [(a, b) for a in ("b1", "b2", "b3", "b4")
+          for b in ("b1", "b2", "b3", "b4") if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [("a4", "b1")], ["src", "dst"])
+    got = {r.node: r.community
+           for r in G.label_propagation(edges, iterations=4).collect()}
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("b2", "b3", "b4")} == {"b1"}
+
+
+def test_connected_components_zero_iteration_budget_raises_cleanly(spark):
+    """ADVICE r5: max_iter <= 0 must raise the documented convergence
+    RuntimeError, not a NameError from the unbound loop variable."""
+    import pytest as _pytest
+
+    from ballista_mvp_spark.operators import dedup as D
+
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, edges, max_iter=0)
+    assert D.connected_components.last_rounds == 0
