@@ -46,9 +46,33 @@ BENCH_QUERIES = [
 ]
 
 
+def _machine_state() -> dict:
+    """Contention evidence recorded with every run (VERDICT r5 #3): three
+    driver rounds of cold-total drift (18.5 -> 21.4 -> 22.5 s) were each
+    adjudicated as shared-box load from prose in PERF.md; these fields
+    make the claim readable out of the JSON itself."""
+    state: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            state["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {l.split(":")[0]: l.split()[1] for l in f if ":" in l}
+        state["page_cache_gib"] = round(int(mem.get("Cached", 0)) / 2**20, 2)
+        state["mem_available_gib"] = round(
+            int(mem.get("MemAvailable", 0)) / 2**20, 2
+        )
+    except (OSError, ValueError):
+        pass
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    machine_before = _machine_state()
     spark = build_session("bench")
     # warm the JVM/codegen path once so per-query times measure the engine,
     # not JIT warmup
@@ -72,6 +96,11 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # `value` stays the cold total so BENCH_r01..rN remain directly
+    # comparable; `warm_suite_seconds` is the CROSS-ROUND HEADLINE for
+    # plan-regression reads (cold carries +-2 s of JIT-compile noise that
+    # run order alone moves — VERDICT r5 "Performance"). The machine_*
+    # fields are the contention evidence for adjudicating cold drift.
     print(
         json.dumps(
             {
@@ -81,6 +110,9 @@ def main() -> None:
                 "queries": times,
                 "queries_warm": warm,
                 "warm_suite_seconds": round(sum(warm.values()), 3),
+                "warm_is_cross_round_headline": True,
+                "machine_before": machine_before,
+                "machine_after": _machine_state(),
                 "sf": sf,
             }
         )
