@@ -276,18 +276,131 @@ def _graph_stress(spark, mults) -> None:
         survivors = G.kcore_peel(edges, k=3, rounds=4).count()
         dt = time.perf_counter() - t0
         assert survivors == n, (survivors, n)  # degree>=4: nothing peels
-        print(f"x{m:<3} nodes={n:<9} graph_kcore    survivors={survivors:<9} {dt:6.2f}s", flush=True)
+        print(
+            f"x{m:<3} nodes={n:<9} graph_kcore    survivors={survivors:<9} "
+            f"{dt:6.2f}s ({dt / 4:5.2f}s/round, 4 rounds structure-fixed)",
+            flush=True,
+        )
 
         t0 = time.perf_counter()
         labeled = G.label_propagation(edges, iterations=3).count()
         dt = time.perf_counter() - t0
         assert labeled == n, (labeled, n)
-        print(f"x{m:<3} nodes={n:<9} graph_labelprop labeled={labeled:<9} {dt:6.2f}s", flush=True)
+        print(
+            f"x{m:<3} nodes={n:<9} graph_labelprop labeled={labeled:<9} "
+            f"{dt:6.2f}s ({dt / 3:5.2f}s/superstep, 3 fixed)",
+            flush=True,
+        )
+
+        # PPR: seeds = one node per block (the block bases), 5 fixed
+        # power iterations; rank mass must stay 1 within the per-node
+        # 6dp output rounding (|err| <= n * 5e-7 worst case)
+        seeds = ids.filter(o == 0).select(FF.col("id").alias("node"))
+        t0 = time.perf_counter()
+        ppr = G.personalized_pagerank(edges, seeds, iterations=5)
+        n_ranked, mass = ppr.agg(FF.count("*"), FF.sum("rank")).first()
+        dt = time.perf_counter() - t0
+        assert n_ranked == n, (n_ranked, n)
+        assert abs(mass - 1.0) < n * 5e-7 + 1e-3, mass
+        print(
+            f"x{m:<3} nodes={n:<9} graph_ppr      mass={mass:<9.4f} "
+            f"{dt:6.2f}s ({dt / 5:5.2f}s/iteration, 5 fixed)",
+            flush=True,
+        )
 
         t0 = time.perf_counter()
         links = G.jaccard_links(edges).count()
         dt = time.perf_counter() - t0
         print(f"x{m:<3} nodes={n:<9} graph_jaccard  pairs={links:<10} {dt:6.2f}s", flush=True)
+
+
+def _skew_stress(spark, mults) -> None:
+    """Measured skew crossover for operators/skew.py (VERDICT r5 #8):
+    a zipf-hot dataset — ONE key owns 50% of all rows, the rest spread
+    uniformly over 10k keys — aggregated and joined four ways:
+
+    - agg: plain groupBy-sum vs salted_agg. Spark's map-side partial
+      hash aggregation already parallelizes a hot key for ALGEBRAIC
+      aggregates, so the expectation is parity (recorded either way —
+      salted_agg's two-stage shape matters when partials are
+      ineffective: count distinct / collect-style or agg fallback).
+    - join vs a 10k-row dim with broadcast DISABLED (simulating a dim
+      too large for the driver): plain sort-merge with AQE off (the
+      straggler baseline), plain with AQE skew-split on, salted_join
+      with AQE off (plan-time spread, no runtime stats needed).
+
+    Every variant's row count and checksum must agree; wall times and
+    the crossover go to SCALE.md."""
+    from pyspark.sql import functions as FF
+
+    from ballista_mvp_spark.operators import skew as S
+
+    conf = spark.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled")
+    bj0 = conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def run(label, thunk, aqe):
+        conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t0 = time.perf_counter()
+        out = thunk()
+        return label, out, time.perf_counter() - t0
+
+    try:
+        for m in mults:
+            n = 1_000_000 * m
+            # deterministic zipf-hot fact: even ids -> key 0 (50% hot),
+            # odd ids spread over keys 1..9999
+            fact = spark.range(n).select(
+                FF.when(FF.col("id") % 2 == 0, FF.lit(0))
+                .otherwise(FF.col("id") % 9999 + 1)
+                .alias("k"),
+                (FF.col("id") % 97).cast("double").alias("v"),
+                FF.col("id").alias("uid"),
+            ).localCheckpoint(eager=True)
+            dim = spark.range(10_000).select(
+                FF.col("id").alias("k"), (FF.col("id") * 3).alias("w")
+            ).localCheckpoint(eager=True)
+
+            # -- aggregation --
+            ref = None
+            for label, aqe, thunk in (
+                ("agg_plain      ", True,
+                 lambda: fact.groupBy("k").agg(FF.sum("v").alias("s"))
+                 .agg(FF.count("*"), FF.round(FF.sum("s"), 2)).first()),
+                ("agg_salted     ", True,
+                 lambda: S.salted_agg(fact, ["k"], {"s": ("sum", "v")},
+                                      salt_from=["uid"])
+                 .agg(FF.count("*"), FF.round(FF.sum("s"), 2)).first()),
+            ):
+                label, out, dt = run(label, thunk, aqe)
+                ref = ref or out
+                assert tuple(out) == tuple(ref), (label, out, ref)
+                print(f"x{m:<3} rows={n:<9} skew {label} groups={out[0]:<6} "
+                      f"{dt:6.2f}s", flush=True)
+
+            # -- join (broadcast disabled throughout) --
+            ref = None
+            for label, aqe, thunk in (
+                ("join_plain_noaqe", False,
+                 lambda: fact.join(dim, "k")
+                 .agg(FF.count("*"), FF.sum(FF.col("v") + FF.col("w"))).first()),
+                ("join_plain_aqe  ", True,
+                 lambda: fact.join(dim, "k")
+                 .agg(FF.count("*"), FF.sum(FF.col("v") + FF.col("w"))).first()),
+                ("join_salted     ", False,
+                 lambda: S.salted_join(fact, dim.withColumnRenamed("k", "k2"),
+                                       "k", "k2", salt_from=["uid"])
+                 .agg(FF.count("*"), FF.sum(FF.col("v") + FF.col("w"))).first()),
+            ):
+                label, out, dt = run(label, thunk, aqe)
+                ref = ref or out
+                assert tuple(out) == tuple(ref), (label, out, ref)
+                print(f"x{m:<3} rows={n:<9} skew {label} n={out[0]:<9} "
+                      f"{dt:6.2f}s", flush=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", bj0)
 
 
 def _mutate_stress(spark, sf_dir, mults) -> None:
@@ -352,6 +465,7 @@ def main() -> None:
     do_index = "--index" in args
     do_components = "--components" in args
     do_graph = "--graph" in args
+    do_skew = "--skew" in args
     do_mutate = "--mutate" in args
     only = None
     if "--only" in args:
@@ -361,7 +475,8 @@ def main() -> None:
     mults = [
         int(a)
         for a in args
-        if a not in ("--ann", "--index", "--components", "--mutate", "--graph")
+        if a not in ("--ann", "--index", "--components", "--mutate",
+                     "--graph", "--skew")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
     if do_mutate:
@@ -372,6 +487,9 @@ def main() -> None:
         return
     if do_graph:
         _graph_stress(spark, mults)
+        return
+    if do_skew:
+        _skew_stress(spark, mults)
         return
     if do_index:
         _index_stress(spark, sf_dir, mults)
