@@ -305,6 +305,61 @@ def _rewrite_distinct_on(q: str) -> str:
     )
 
 
+def _rewrite_cte_bodies(q: str) -> str:
+    """Apply the QUALIFY / DISTINCT ON rewrites INSIDE each top-level
+    CTE body: ``WITH c AS (SELECT ... QUALIFY ...) SELECT * FROM c``.
+    The outer rewrites only see depth-0 keywords, so dialect syntax
+    inside a CTE body (depth 1) would pass through them and fail
+    Spark's parser even though DuckDB runs it natively.
+
+    Mechanics: for a statement whose first top-level keyword is WITH,
+    every depth-0 ``AS (`` span before the main (first depth-0) SELECT
+    is a CTE body; each body is itself a SELECT statement, so the full
+    rewrite chain recurses into it (nested WITHs included). Bodies
+    without dialect syntax are reassembled byte-identical. QUALIFY /
+    DISTINCT ON inside derived-table subqueries (FROM (...)) remain
+    unsupported — depth >= 1 outside a CTE — and surface as Spark parse
+    errors on the original text."""
+    wi, _ = _find_kw(q, ("WITH",))
+    si, _ = _find_kw(q, ("SELECT",))
+    if wi < 0 or si < 0 or si < wi:
+        return q
+    pieces: list[str] = []
+    last = 0
+    pos = wi
+    while True:
+        ai, _ = _find_kw(q, ("AS",), start=pos)
+        if ai < 0 or ai > si:
+            break
+        j = ai + 2
+        while j < len(q) and q[j].isspace():
+            j += 1
+        if j >= len(q) or q[j] != "(":
+            pos = ai + 2
+            continue
+        # find the matching close paren: _scan_sql yields ')' with depth
+        # already decremented, so the matching close (scanning from the
+        # open paren) is the first ')' yielded at depth 0
+        close = -1
+        for i, ch, depth in _scan_sql(q[j:]):
+            if ch == ")" and depth == 0:
+                close = j + i
+                break
+        if close < 0:
+            return q  # unbalanced — leave for the parser to report
+        body = q[j + 1:close]
+        pieces.append(q[last:j + 1])
+        pieces.append(
+            _rewrite_qualify(_rewrite_distinct_on(_rewrite_cte_bodies(body)))
+        )
+        last = close
+        pos = close
+    if not pieces:
+        return q
+    pieces.append(q[last:])
+    return "".join(pieces)
+
+
 def _gen_job_id(rng: random.Random) -> str:
     """7-char alphanumeric job id, like the reference's
     ``TaskManager::generate_job_id`` (task_manager.rs:517-525)."""
@@ -603,14 +658,20 @@ class Engine:
             # statements execute side effects, not placeholder queries)
             return self.spark.sql(
                 _rewrite_qualify(
-                    _rewrite_distinct_on(self._rewrite_time_travel(query))
+                    _rewrite_distinct_on(
+                        _rewrite_cte_bodies(self._rewrite_time_travel(query))
+                    )
                 ),
                 args=args,
             )
         if (out := self._sql_versioned(query)) is not None:
             return out
         return self.spark.sql(
-            _rewrite_qualify(_rewrite_distinct_on(self._rewrite_time_travel(query)))
+            _rewrite_qualify(
+                _rewrite_distinct_on(
+                    _rewrite_cte_bodies(self._rewrite_time_travel(query))
+                )
+            )
         )
 
     def prepare(self, query: str) -> PreparedStatement:

@@ -454,3 +454,49 @@ def test_engine_sql_args_path_keeps_dialect_rewrites(spark):
         args={"lo": 0},
     ).collect()
     assert [(r.k, r.v) for r in rows2] == [(1, 9), (2, 7)]
+
+
+def test_rewrite_qualify_inside_cte_body(spark):
+    """QUALIFY / DISTINCT ON inside a CTE body (depth 1) must be
+    rewritten too — the depth-0 scans alone would pass the statement
+    through and Spark's parser would reject it, while DuckDB runs it
+    natively (cross-engine contract)."""
+    import duckdb
+
+    from ballista_mvp_spark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, 5), (1, 9), (2, 3), (2, 7)], ["k", "v"]
+    ).createOrReplaceTempView("cte_body_t")
+    eng = Engine(spark)
+    q = (
+        "WITH best AS ("
+        "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn "
+        "FROM cte_body_t QUALIFY rn = 1"
+        ") SELECT k, v FROM best ORDER BY k"
+    )
+    rows = eng.sql(q).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 9), (2, 7)]
+    # DuckDB runs the ORIGINAL text — byte-identical cross-engine SQL
+    con = duckdb.connect()
+    con.execute("CREATE VIEW cte_body_t AS SELECT * FROM (VALUES "
+                "(1, 5), (1, 9), (2, 3), (2, 7)) t(k, v)")
+    assert con.execute(q).fetchall() == [(1, 9), (2, 7)]
+
+    q2 = (
+        "WITH best AS ("
+        "SELECT DISTINCT ON (k) k, v FROM cte_body_t ORDER BY k, v DESC"
+        ") SELECT k, v FROM best ORDER BY k"
+    )
+    assert [(r.k, r.v) for r in eng.sql(q2).collect()] == [(1, 9), (2, 7)]
+    assert con.execute(q2).fetchall() == [(1, 9), (2, 7)]
+
+    # nested WITH inside a CTE body
+    q3 = (
+        "WITH outer_c AS (WITH inner_c AS ("
+        "SELECT k, v, rank() OVER (ORDER BY v DESC) AS rk FROM cte_body_t "
+        "QUALIFY rk <= 2) SELECT k, v FROM inner_c) "
+        "SELECT k, v FROM outer_c ORDER BY v DESC"
+    )
+    assert [(r.k, r.v) for r in eng.sql(q3).collect()] == [(1, 9), (2, 7)]
+    assert con.execute(q3).fetchall() == [(1, 9), (2, 7)]
