@@ -44,6 +44,12 @@ def salted_agg(
     if bad:
         raise ValueError(f"unsupported salted aggregate fns: {sorted(bad)}")
     salt_cols = salt_from or [c for c in df.columns if c not in keys]
+    if not salt_cols:
+        raise ValueError(
+            "salted_agg: no columns to derive the salt from (every column "
+            "is a grouping key) — pass salt_from or add a stable "
+            "high-cardinality column"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt)).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
@@ -68,6 +74,12 @@ def salted_join(
     salted probe partition finds its match. Join key becomes
     (key, salt) — the hot key's rows spread over n_salt partitions."""
     salt_cols = salt_from or [c for c in left.columns if c != left_key]
+    if not salt_cols:
+        raise ValueError(
+            "salted_join: no probe-side columns to derive the salt from "
+            "(the key is the only column) — pass salt_from or add a stable "
+            "high-cardinality column"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
     l2 = left.withColumn("_salt", lsalt)
     r2 = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))

@@ -306,3 +306,18 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     assert "skew=true" in plan
     # result identity: 20000 rows via hot key 0 + 4500 singleton matches
     assert got == 24500
+
+
+def test_salted_ops_reject_empty_salt_source(spark):
+    """Every column being a key (agg) or the key being the only column
+    (join) leaves nothing to derive the salt from — a clear ValueError
+    beats xxhash64's zero-arg analysis error."""
+    import pytest
+
+    from ballista_mvp_spark.operators import skew as S
+
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    with pytest.raises(ValueError, match="salted_agg: no columns"):
+        S.salted_agg(df, ["k"], {"n": ("count", "k")})
+    with pytest.raises(ValueError, match="salted_join: no probe-side"):
+        S.salted_join(df, df.withColumnRenamed("k", "k2"), "k", "k2")
