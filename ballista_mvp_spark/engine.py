@@ -183,6 +183,33 @@ def _find_kw(text: str, kws: tuple[str, ...], start: int = 0) -> tuple[int, str]
     return -1, ""
 
 
+def _is_set_operator(q: str, i: int, kw: str) -> bool:
+    """True when the UNION/INTERSECT/EXCEPT keyword at ``i`` is a set
+    OPERATOR — followed (after optional ALL/DISTINCT) by a query head
+    (SELECT/WITH, possibly parenthesized) — as opposed to Spark's
+    select-list ``* EXCEPT (col, ...)`` projection syntax."""
+    up = q.upper()
+    j = i + len(kw)
+    while j < len(q) and q[j].isspace():
+        j += 1
+    for t in ("ALL", "DISTINCT"):
+        k = j + len(t)
+        if up.startswith(t, j) and (k >= len(q) or not (up[k].isalnum() or up[k] == "_")):
+            j = k
+            while j < len(q) and q[j].isspace():
+                j += 1
+            break
+    if j < len(q) and q[j] == "(":
+        j += 1
+        while j < len(q) and q[j].isspace():
+            j += 1
+    for t in ("SELECT", "WITH"):
+        k = j + len(t)
+        if up.startswith(t, j) and (k >= len(q) or not (up[k].isalnum() or up[k] == "_")):
+            return True
+    return False
+
+
 def _rewrite_qualify(q: str) -> str:
     """Rewrite a top-level ``QUALIFY <pred>`` clause (DuckDB / Snowflake
     / BigQuery syntax — filter rows AFTER window functions evaluate,
@@ -200,15 +227,33 @@ def _rewrite_qualify(q: str) -> str:
     left alone; statements without a top-level QUALIFY pass through
     byte-identical. A leading WITH clause is preserved verbatim (CTEs
     stay in scope inside the wrapping subquery — Spark resolves CTEs
-    lexically over the whole statement). A top-level set operator after
-    the predicate bounds it (``... QUALIFY p UNION ALL SELECT ...``
-    binds QUALIFY to the first branch, the DuckDB parse)."""
+    lexically over the whole statement). Set operators: one AFTER the
+    predicate bounds it (``... QUALIFY p UNION ALL SELECT ...`` binds
+    QUALIFY to the preceding branch, the DuckDB parse); one BEFORE it
+    (``SELECT ... UNION ALL SELECT ... QUALIFY p``) recurses into the
+    branch that owns the QUALIFY, leaving earlier branches verbatim."""
     qi, _ = _find_kw(q, ("QUALIFY",))
     if qi < 0:
         return q
     si, _ = _find_kw(q, ("SELECT",))
     if si < 0:
         return q
+    # QUALIFY in a non-first set-operation branch: recurse on the branch
+    # that owns it (the text from the SELECT/WITH after the LAST real
+    # set operator before QUALIFY), keeping everything before verbatim
+    last_so, pos = -1, si
+    while True:
+        so, so_kw = _find_kw(q, ("UNION", "INTERSECT", "EXCEPT"), start=pos)
+        if so < 0 or so >= qi:
+            break
+        if _is_set_operator(q, so, so_kw):
+            last_so = so + len(so_kw)
+        pos = so + len(so_kw)
+    if last_so >= 0:
+        bs, _ = _find_kw(q, ("SELECT", "WITH"), start=last_so)
+        if bs < 0 or bs >= qi:
+            return q
+        return q[:bs] + _rewrite_qualify(q[bs:])
     fi, _ = _find_kw(q, ("FROM",), start=si)
     if fi < 0 or not (si < fi < qi):
         return q
@@ -652,18 +697,28 @@ class Engine:
         ``VERSION AS OF`` time travel) are dispatched to
         sources/versioned.py first; everything else goes to Catalyst."""
         if args is not None:
-            # parameterized path keeps the dialect rewrites — they are
-            # pure string transforms that preserve :name / ? placeholders
-            # (versioned-DML dispatch stays unparameterized: those
-            # statements execute side effects, not placeholder queries)
-            return self.spark.sql(
-                _rewrite_qualify(
-                    _rewrite_distinct_on(
-                        _rewrite_cte_bodies(self._rewrite_time_travel(query))
-                    )
-                ),
-                args=args,
+            # parameterized path keeps the dialect rewrites for NAMED
+            # parameters — :name placeholders bind by name, so a rewrite
+            # may reorder or duplicate them freely. POSITIONAL (?) args
+            # bind by order: _rewrite_qualify moves the predicate ahead
+            # of the body and _rewrite_distinct_on duplicates the ORDER
+            # BY expression, either of which silently misbinds a ? — so
+            # a rewrite that changed the text combined with list args
+            # raises instead. (Versioned-DML dispatch stays
+            # unparameterized: those statements execute side effects.)
+            rewritten = _rewrite_qualify(
+                _rewrite_distinct_on(
+                    _rewrite_cte_bodies(self._rewrite_time_travel(query))
+                )
             )
+            if rewritten != query and not isinstance(args, dict):
+                raise ValueError(
+                    "positional (?) parameters cannot be combined with "
+                    "QUALIFY / DISTINCT ON / time-travel rewrites — the "
+                    "transform may reorder or duplicate placeholders; "
+                    "use named :param arguments"
+                )
+            return self.spark.sql(rewritten, args=args)
         if (out := self._sql_versioned(query)) is not None:
             return out
         return self.spark.sql(

@@ -204,10 +204,10 @@ def label_propagation(
     so a SQL oracle can unroll the same K supersteps and value-match).
 
     Per iteration: one join (neighbor label lookup, keyed on node id),
-    one (node, label) count agg, one row_number window per node — all
-    map-side-combinable or node-keyed; label state is O(nodes). Fixed
-    iteration count, the pagerank convention. Returns (node, community)
-    after the last superstep."""
+    one (node, label) count agg, and one map-side-combinable
+    min(struct(-count, label)) argmax per node — no window sort; label
+    state is O(nodes). Fixed iteration count, the pagerank convention.
+    Returns (node, community) after the last superstep."""
     adj = _sym_adj(edges, src, dst).localCheckpoint(eager=True)
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

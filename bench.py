@@ -53,8 +53,7 @@ def _machine_state() -> dict:
     make the claim readable out of the JSON itself."""
     state: dict = {}
     try:
-        with open("/proc/loadavg") as f:
-            state["loadavg"] = [float(x) for x in f.read().split()[:3]]
+        state["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
     try:

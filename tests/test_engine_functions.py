@@ -500,3 +500,53 @@ def test_rewrite_qualify_inside_cte_body(spark):
     )
     assert [(r.k, r.v) for r in eng.sql(q3).collect()] == [(1, 9), (2, 7)]
     assert con.execute(q3).fetchall() == [(1, 9), (2, 7)]
+
+
+def test_rewrite_qualify_in_later_set_branch(spark):
+    """QUALIFY belonging to a non-first set-operation branch must be
+    rewritten within THAT branch (DuckDB's parse), not grafted onto the
+    first branch."""
+    from ballista_mvp_spark.engine import Engine, _rewrite_qualify
+
+    q = (
+        "SELECT 10 AS a UNION ALL "
+        "SELECT k FROM (SELECT 1 AS k UNION ALL SELECT 2) t "
+        "QUALIFY row_number() OVER (ORDER BY k) = 1"
+    )
+    out = _rewrite_qualify(q)
+    assert out.startswith("SELECT 10 AS a UNION ALL "), out  # branch 1 verbatim
+    got = sorted(r[0] for r in Engine(spark).sql(q).collect())
+    assert got == [1, 10]
+    # select-list EXCEPT before QUALIFY is NOT a set operator
+    spark.createDataFrame([(1, 5), (1, 9)], ["k", "v"]).createOrReplaceTempView(
+        "sl_except_t"
+    )
+    q2 = (
+        "SELECT * EXCEPT (v) FROM (SELECT k, v, "
+        "row_number() OVER (ORDER BY v DESC) AS rn FROM sl_except_t) "
+        "QUALIFY rn = 1"
+    )
+    assert [(r.k, r.rn) for r in Engine(spark).sql(q2).collect()] == [(1, 1)]
+
+
+def test_engine_sql_positional_args_reject_rewrites(spark):
+    """Positional (?) parameters bind by order; the QUALIFY rewrite moves
+    the predicate ahead of the body, so combining them must raise rather
+    than silently misbind. Rewrite-free positional queries still work."""
+    import pytest
+
+    from ballista_mvp_spark.engine import Engine
+
+    spark.createDataFrame([(1, 5), (2, 9)], ["k", "v"]).createOrReplaceTempView(
+        "pos_args_t"
+    )
+    eng = Engine(spark)
+    assert eng.sql(
+        "SELECT k FROM pos_args_t WHERE v > ?", args=[6]
+    ).collect()[0].k == 2
+    with pytest.raises(ValueError, match="positional"):
+        eng.sql(
+            "SELECT k, row_number() OVER (ORDER BY v) AS rn "
+            "FROM pos_args_t WHERE v > ? QUALIFY rn <= ?",
+            args=[0, 1],
+        )
