@@ -84,11 +84,20 @@ def asof_join(
         ).over(w).alias("_mt"),
         *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
     )
+    # tolerance distance: numeric time columns (epoch seconds) subtract
+    # directly — unix_timestamp() on them is an ANSI type error (and a
+    # silent all-NULL match-killer in non-ANSI mode)
+    t_dtype = dict(unioned.dtypes)["_t"]
+    if t_dtype.startswith(("timestamp", "date", "string")):
+        def _secs(c: str):  # noqa: E306
+            return F.unix_timestamp(F.col(c))
+    else:
+        def _secs(c: str):
+            return F.col(c).cast("double")
     in_tol = (
         F.lit(True)
         if tolerance_seconds is None
-        else F.abs(F.unix_timestamp("_t") - F.unix_timestamp("_mt"))
-        <= F.lit(tolerance_seconds)
+        else F.abs(_secs("_t") - _secs("_mt")) <= F.lit(tolerance_seconds)
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],

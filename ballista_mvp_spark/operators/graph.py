@@ -414,10 +414,21 @@ def personalized_pagerank(
             "personalized_pagerank: empty seed set — every teleport weight "
             "would be 0 and all ranks would silently collapse to 0"
         )
-    ns = seed_n.agg(F.count("*").alias("_ns"))
+    # teleport mass must be normalized over the seeds that actually
+    # appear in the graph — counting absent seeds (a cohort member with
+    # no interactions in this snapshot) would silently scale every rank
+    # down and break the rank-mass invariant
+    seed_in = seed_n.join(nodes, "node", "left_semi")
+    if seed_in.isEmpty():
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the graph — every "
+            "teleport weight would be 0 and all ranks would silently "
+            "collapse to 0"
+        )
+    ns = seed_in.agg(F.count("*").alias("_ns"))
     base = (
         nodes.join(
-            seed_n.withColumn("_is_seed", F.lit(1)),
+            seed_in.withColumn("_is_seed", F.lit(1)),
             "node",
             "left",
         )

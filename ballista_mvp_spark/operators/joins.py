@@ -51,23 +51,53 @@ def join(
     join would wrongly drop null-extended rows).
     """
     how = how.lower().replace("semi", "_semi").replace("anti", "_anti").replace("__", "_")
+    if how in ("right_semi", "right_anti"):
+        if broadcast_right:
+            # after the input swap the right argument becomes the STREAM
+            # side of a left_semi/left_anti, where Spark cannot use a
+            # broadcast build (JoinSelection builds semi/anti from the
+            # right only) — the hint would be silently dropped, so fail
+            # loudly instead of pretending the pin took effect
+            raise ValueError(
+                f"broadcast_right is not expressible for {how}: the right "
+                "side becomes the streamed output side of the swapped "
+                "semi/anti join; wrap the LEFT side in F.broadcast(...) "
+                "if it is the dimension-sized one"
+            )
+        return join(right, left, on, how.replace("right", "left"), residual)
     if broadcast_right:
         right = F.broadcast(right)
-    if how == "right_semi":
-        return join(right, left, _flip(on), "left_semi", residual)
-    if how == "right_anti":
-        return join(right, left, _flip(on), "left_anti", residual)
     if how == "cross":
         df = left.crossJoin(right)
         return df.where(residual) if residual is not None else df
     cond = on
     if residual is not None:
+        if isinstance(cond, list):
+            # a name-list USING join can't be AND-ed with a residual —
+            # build the explicit equi-conditions, then reproduce the
+            # USING output shape (one column per key, left/right non-key
+            # columns after) so callers see the same schema either way
+            keys = cond
+            eq = None
+            for k in keys:
+                c = left[k] == right[k]
+                eq = c if eq is None else eq & c
+            joined = left.join(right, eq & residual, how)
+            if how in ("left_semi", "left_anti"):
+                return joined  # left columns only, already USING-shaped
+            if how in ("right", "right_outer"):
+                key_cols = [right[k].alias(k) for k in keys]
+            elif how in ("full", "full_outer", "outer", "fullouter"):
+                key_cols = [F.coalesce(left[k], right[k]).alias(k) for k in keys]
+            else:
+                key_cols = [left[k].alias(k) for k in keys]
+            return joined.select(
+                *key_cols,
+                *[left[c] for c in left.columns if c not in keys],
+                *[right[c] for c in right.columns if c not in keys],
+            )
         cond = residual if cond is None else cond & residual
     return left.join(right, cond, how)
-
-
-def _flip(on):
-    return on
 
 
 def null_safe_eq(a: Column, b: Column) -> Column:

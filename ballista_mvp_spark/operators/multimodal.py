@@ -151,10 +151,15 @@ def featurize_arrow(media: DataFrame) -> DataFrame:
             ]
             data = np.frombuffer(combined.buffers()[2], dtype=np.uint8)
             lens = (offs[1:] - offs[:-1]).astype(np.int64)
-            sums = np.add.reduceat(
-                data.astype(np.int64), offs[:-1].astype(np.int64), dtype=np.int64
-            ) if len(data) else np.zeros(len(lens), dtype=np.int64)
-            # reduceat quirk: a zero-length segment yields data[off] — mask
+            # segment sums via one prefix-sum pass: sums[i] =
+            # csum[offs[i+1]] - csum[offs[i]]. Unlike np.add.reduceat this
+            # has NO edge cases — a zero-length or trailing-empty payload
+            # (whose start offset equals len(data), an IndexError under
+            # reduceat) simply yields 0
+            csum = np.concatenate(
+                ([0], np.cumsum(data.astype(np.int64), dtype=np.int64))
+            )
+            sums = csum[offs[1:]] - csum[offs[:-1]]
             means = np.where(lens > 0, np.round(sums / np.maximum(lens, 1), 6), 0.0)
             ent, heads = [], []
             for i in range(len(combined)):

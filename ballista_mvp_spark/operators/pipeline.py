@@ -118,17 +118,6 @@ def pack_sequences(
     )
 
 
-def _ngrams(toks: Column, n: int) -> Column:
-    """Non-distinct word n-grams (repetition analysis needs multiplicity,
-    unlike dedup.shingles)."""
-    if n == 1:
-        return toks
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-
-
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (1, 2, 3)
 ) -> DataFrame:
@@ -590,7 +579,11 @@ def histogram(
     stats = df.agg(
         F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
     )
-    width = (F.col("_hi") - F.col("_lo")) / bins
+    # a constant column (lo == hi) gets width 1.0 instead of an ANSI
+    # DIVIDE_BY_ZERO: every row lands in bin 0 with edges [lo, lo+1)
+    width = F.when(
+        F.col("_hi") != F.col("_lo"), (F.col("_hi") - F.col("_lo")) / bins
+    ).otherwise(F.lit(1.0))
     bin_id = F.least(
         F.lit(bins - 1),
         F.floor((F.col(col) - F.col("_lo")) / width).cast("int"),

@@ -74,8 +74,17 @@ def refresh_rollup(
     ]
     if not touched:
         return []
+    # null-ts delta rows hash to the null hour partition
+    # (__HIVE_DEFAULT_PARTITION__): isin([None]) matches nothing under
+    # SQL null semantics, so recompute it with an explicit isNull branch
+    # — and keep None out of sorted() (str/None comparison TypeError)
+    non_null = [t for t in touched if t is not None]
+    has_null = len(non_null) < len(touched)
     hour_col = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
-    fresh = hourly_rollup(raw.filter(hour_col.isin(touched)))
+    cond = hour_col.isin(non_null) if non_null else F.lit(False)
+    if has_null:
+        cond = cond | hour_col.isNull()
+    fresh = hourly_rollup(raw.filter(cond))
     (
         fresh.repartition("hour")
         .write.mode("overwrite")
@@ -83,7 +92,7 @@ def refresh_rollup(
         .partitionBy("hour")
         .parquet(path)
     )
-    return sorted(touched)
+    return sorted(non_null) + ([None] if has_null else [])
 
 
 def reaggregate_rollup(hourly: DataFrame, granularity: str = "day") -> DataFrame:

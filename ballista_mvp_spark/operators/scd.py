@@ -41,6 +41,24 @@ def scd2_merge(
     closed_hist = current.filter(F.col(valid_to).isNotNull())
     open_rows = current.filter(F.col(valid_to).isNull())
 
+    # two update rows for one business key would fan the left join out:
+    # the open row closes twice and TWO simultaneous open versions
+    # appear, silently corrupting the history (and compounding on every
+    # later merge). All updates in a batch share one change_ts, so there
+    # is no in-batch ordering to resolve by — fail loudly; callers
+    # pre-collapse a multi-change batch to its latest row per key.
+    dup = (
+        updates.groupBy(key).agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_merge: update batch contains multiple rows for key "
+            f"{dup[0][0]!r} — collapse the batch to one row per key "
+            "(e.g. the latest change) before merging"
+        )
     upd = updates.select(key, *attrs).withColumn("_has_upd", F.lit(1))
     attrs_differ = F.lit(False)
     for a in attrs:

@@ -36,7 +36,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-magnitude vectors (quantize_embeddings handles them too) get
+    # similarity 0.0 instead of an ANSI DIVIDE_BY_ZERO that would kill
+    # every cosine-based operator on one bad embedding
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

@@ -401,3 +401,22 @@ def test_incremental_minhash_finds_planted_cross_dups(spark):
     }
     assert set(out) == {(1, 100)}, out
     assert 0.5 <= out[(1, 100)] <= 1.0
+
+
+def test_cosine_zero_vector_yields_zero_not_divide_error(spark):
+    """A zero-magnitude embedding must score 0.0 cosine against anything
+    (ANSI session would otherwise raise DIVIDE_BY_ZERO and kill the job)."""
+    from ballista_mvp_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.brute_force_topk(df, df, k=2).collect()
+    zero_scores = [r.cos_sim for r in out if 2 in (r.query_id, r.neighbor_id)]
+    assert zero_scores and all(s == 0.0 for s in zero_scores)
+    # non-degenerate pairs unaffected
+    ortho = [r.cos_sim for r in out if {r.query_id, r.neighbor_id} == {1, 3}]
+    assert ortho and all(s == 0.0 for s in ortho)
+    same = {(r.query_id, r.neighbor_id): r.cos_sim for r in out}
+    assert same[(1, 3)] is not None

@@ -298,3 +298,19 @@ def test_connected_components_zero_iteration_budget_raises_cleanly(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(nodes, edges, max_iter=0)
     assert D.connected_components.last_rounds == 0
+
+
+def test_ppr_out_of_graph_seeds_keep_rank_mass(spark):
+    """Seeds absent from the graph must not dilute teleport mass: ranks
+    normalize over seeds-intersect-nodes, so total rank stays ~1."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (999,)], ["node"])  # 999 not in graph
+    out = G.personalized_pagerank(edges, seeds, iterations=5)
+    mass = sum(r.rank for r in out.collect())
+    assert abs(mass - 1.0) < 1e-3, mass
+    # all seeds out of graph -> loud error, not all-zero ranks
+    ghost = spark.createDataFrame([(999,)], ["node"])
+    with _pytest.raises(ValueError, match="no seed appears"):
+        G.personalized_pagerank(edges, ghost, iterations=2)

@@ -511,3 +511,22 @@ def test_phrase_search_token_positions(spark):
     assert got == {3: 1}
     with pytest.raises(ValueError, match="empty phrase"):
         TX.phrase_search(docs, "doc_id", "text", "  ")
+
+
+def test_featurize_arrow_trailing_empty_payload(spark):
+    """A batch whose FINAL payload is empty previously crashed the Arrow
+    path (reduceat start offset == len(data)); the prefix-sum rewrite
+    must match featurize() bit-for-bit including empties and keep the
+    preceding payload's sum exact."""
+    from ballista_mvp_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"), "{}"), (2, "image", bytearray(b""), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    ).coalesce(1)
+    via_arrow = {tuple(r) for r in M.featurize_arrow(media).collect()}
+    via_pandas = {tuple(r) for r in M.featurize(media).collect()}
+    assert via_arrow == via_pandas
+    by_id = {r[0]: r for r in via_arrow}
+    assert by_id[1][1] == 3 and abs(by_id[1][2] - ((97 + 98 + 99) / 3)) < 1e-6
+    assert by_id[2][1] == 0 and by_id[2][2] == 0.0

@@ -351,3 +351,14 @@ def test_js_divergence_zero_for_identical_and_matches_python(spark, tmp_path):
     for s in ("same1", "same2", "skew"):
         assert abs(got[s] - round(js(s), 6)) < 2e-6, (s, got[s], js(s))
     assert got["skew"] > 0.1  # clearly shifted source scores high
+
+
+def test_histogram_constant_column(spark):
+    """A constant-valued column (lo == hi) must produce one bin with all
+    rows, not an ANSI DIVIDE_BY_ZERO."""
+    from ballista_mvp_spark.operators.pipeline import histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["v"])
+    rows = histogram(df, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 3
+    assert rows[0].bin_lo == 5.0

@@ -120,3 +120,32 @@ def test_detect_and_repair_stale_hours(spark, tmp_path):
         )
     )
     assert got == _normalize(R.hourly_rollup(ev))
+
+
+def test_refresh_handles_null_ts_partition(spark, tmp_path):
+    """Delta rows with a null ts land in the null-hour partition; the
+    refresh must actually recompute it (isin([None]) matches nothing)
+    and must not crash sorting str/None."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators import rollup as R
+
+    base = spark.createDataFrame(
+        [("2024-01-01 03:10:00", "click", 1.0, 10)],
+        "ts_s string, event_type string, value double, user_id long",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value", "user_id"
+    )
+    nulls = spark.createDataFrame(
+        [(None, "click", 2.0, 11), (None, "view", 3.0, 12)],
+        "ts_s string, event_type string, value double, user_id long",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value", "user_id"
+    )
+    raw = base.unionByName(nulls)
+    path = str(tmp_path / "roll")
+    R.refresh_rollup(spark, path, raw, base)  # seed the real hour
+    touched = R.refresh_rollup(spark, path, raw, nulls.unionByName(base))
+    assert touched[-1] is None and touched[0] == "2024-01-01 03:00:00"
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("hour").isNull()).count() > 0  # null partition real
