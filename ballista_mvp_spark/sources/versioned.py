@@ -71,6 +71,44 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+_LEDGER = "_batch_ledger.json"
+
+
+def _ledger_add(path: str, batch_ids: list) -> None:
+    """Preserve committed batch ids whose manifests vacuum is dropping:
+    the exactly-once replay guard must keep seeing them, or a
+    checkpoint-lagged restart after vacuum re-commits the batch. The
+    ledger only ever grows (ids are tiny); os.replace keeps the update
+    atomic for readers."""
+    ledger = os.path.join(path, _MANIFEST_DIR, _LEDGER)
+    ids = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            ids.update(json.load(fh))
+    ids.update(batch_ids)
+    tmp = ledger + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(ids), fh)
+    os.replace(tmp, ledger)
+
+
+def committed_batch_ids(path: str) -> set:
+    """Every batch id this table has ever committed: live manifests plus
+    the ledger of ids whose manifests were vacuumed. THE replay guard —
+    scanning manifests alone re-opens the replay window as soon as
+    vacuum drops the manifest that recorded the id."""
+    ids = set()
+    ledger = os.path.join(path, _MANIFEST_DIR, _LEDGER)
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            ids.update(json.load(fh))
+    for v in _versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            ids.add(b)
+    return ids
+
+
 def _data_files(commit_dir: str) -> list[str]:
     return sorted(
         f
@@ -115,6 +153,7 @@ def write_versioned(
     mode: str = "append",
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
+    expected_head: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -130,6 +169,15 @@ def write_versioned(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     prev = _versions(path)
+    if expected_head is not None and (prev[-1] if prev else 0) != expected_head:
+        # the caller's plan (e.g. a compaction that READ expected_head)
+        # is stale — fail like a lost manifest-link race so
+        # mutate_with_retry re-plans instead of silently dropping the
+        # interloper's rows
+        raise RuntimeError(
+            f"concurrent commit: head moved to {prev[-1] if prev else 0}, "
+            f"planned against {expected_head}"
+        )
     version = (prev[-1] + 1) if prev else 1
     token = uuid.uuid4().hex[:12]
     commit_rel = os.path.join(_DATA_DIR, f"commit-{version}-{token}")
@@ -195,9 +243,8 @@ def foreach_batch_sink(path: str):
     version counts, read only the tail checkpointed alongside."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        for v in _versions(path):
-            if _read_manifest(path, v).get("batch_id") == batch_id:
-                return  # replay of a committed batch: drop it
+        if batch_id in committed_batch_ids(path):
+            return  # replay of a committed batch: drop it
         write_versioned(batch_df, path, mode="append", batch_id=batch_id)
 
     return _sink
@@ -283,9 +330,8 @@ def cdc_merge_sink(
     from pyspark.sql import functions as F
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        for v in _versions(path):
-            if _read_manifest(path, v).get("batch_id") == batch_id:
-                return  # replay of a committed batch: drop it
+        if batch_id in committed_batch_ids(path):
+            return  # replay of a committed batch: drop it
         batch = batch_df
         if seq_col is not None:
             w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
@@ -385,9 +431,20 @@ def read_versioned(
             if (st := stats.get(f, {}).get(col)) is None
             or _overlaps(st, lo, hi)
         ]
-    if not m["files"]:
-        raise FileNotFoundError(f"version {v} at {path} has no files")
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    if not m["files"]:
+        # a legitimately EMPTY version (truncating overwrite, empty
+        # first stream batch): 0 rows with the schema of the nearest
+        # earlier version that has files — an empty table is data, not
+        # an error
+        for pv in reversed([x for x in vs if x <= v]):
+            pf = _read_manifest(path, pv)["files"]
+            if pf:
+                return reader.parquet(os.path.join(path, pf[0])).limit(0)
+        raise FileNotFoundError(
+            f"version {v} at {path} is empty and no earlier version "
+            "carries a schema"
+        )
     if not rel_files:
         # every file pruned: empty result with the table's schema
         return reader.parquet(os.path.join(path, m["files"][0])).limit(0)
@@ -427,8 +484,11 @@ def compact_versioned(
         os.path.getsize(os.path.join(path, f)) for f in m["files"]
     ) / 1e6
     n_out = max(1, round(total_mb / target_file_mb))
-    df = read_versioned(spark, path, merge_schema=True).coalesce(n_out)
-    return write_versioned(df, path, mode="overwrite", stats_cols=stats_cols)
+    df = read_versioned(spark, path, version=vs[-1], merge_schema=True).coalesce(n_out)
+    return write_versioned(
+        df, path, mode="overwrite", stats_cols=stats_cols,
+        expected_head=vs[-1],
+    )
 
 
 def _head(path: str) -> tuple[int, dict]:
@@ -474,13 +534,23 @@ def _commit_rewrite(
     stats_cols: list[str] | None,
     n_rewritten: int,
     batch_id: int | None = None,
+    head_v: int | None = None,
 ) -> int:
     """Commit a row-level mutation: write ``out_df`` (the rewritten
     content of the touched files) as new data files, carry every
     untouched file over BY REFERENCE (with its recorded stats), and
-    link the manifest atomically."""
-    vs = _versions(path)
-    version = vs[-1] + 1
+    link the manifest atomically.
+
+    ``head_v`` is the version the caller PLANNED against; the commit is
+    pinned to ``head_v + 1`` so a commit that landed while the rewrite
+    job ran makes the manifest link fail with ``concurrent commit``
+    (mutate_with_retry then re-plans from the new head). Computing the
+    version from a fresh listing here instead would silently CLOBBER
+    the interloper: this untouched list predates its files, so linking
+    over it would drop committed rows — the classic lost update."""
+    if head_v is None:
+        head_v = _versions(path)[-1]
+    version = head_v + 1
     token = uuid.uuid4().hex[:12]
     commit_rel = os.path.join(_DATA_DIR, f"commit-{version}-{token}")
     commit_dir = os.path.join(path, commit_rel)
@@ -562,7 +632,8 @@ def delete_versioned(
     ).filter(~F.coalesce(pred, F.lit(False)))
     untouched = [f for f in files if f not in set(touched)]
     return _commit_rewrite(
-        path, survivors, untouched, "delete", stats, stats_cols, len(touched)
+        path, survivors, untouched, "delete", stats, stats_cols, len(touched),
+        head_v=head_v,
     )
 
 
@@ -651,7 +722,7 @@ def update_versioned(
     untouched = [f for f in files if f not in set(touched)]
     return _commit_rewrite(
         path, df.select(cols), untouched, "update", stats, stats_cols,
-        len(touched),
+        len(touched), head_v=head_v,
     )
 
 
@@ -698,11 +769,10 @@ def merge_versioned(
     # schema): on a schema-evolved table the target schema is the
     # merge of all live files' schemas, same as read_versioned(
     # merge_schema=True) — footer-only cost.
-    tgt = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, f) for f in files])
-        .schema
-    )
+    # read_versioned handles an EMPTY live set (truncated table) by
+    # walking back to the nearest schema-carrying version; a direct
+    # parquet(*files) would crash on the zero-file head
+    tgt = read_versioned(spark, path, version=head_v, merge_schema=True).schema
     if set(source.columns) != {f.name for f in tgt}:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} != "
@@ -749,13 +819,17 @@ def merge_versioned(
             .parquet(*[os.path.join(path, f) for f in touched])
             .join(keys_df, key, "left_anti")
         )
-        out = survivors.unionByName(source.select(*survivors.columns))
+        # touched files may PREDATE later-added columns (their union
+        # schema is narrower than the live set's): allowMissingColumns
+        # pads the survivors' absent columns with typed nulls instead of
+        # projecting those columns OFF the source rows forever
+        out = survivors.unionByName(source, allowMissingColumns=True)
     else:
         out = source  # no key overlap anywhere: pure insert
     untouched = [f for f in files if f not in set(touched)]
     return _commit_rewrite(
         path, out, untouched, "merge", stats, stats_cols, len(touched),
-        batch_id=batch_id,
+        batch_id=batch_id, head_v=head_v,
     )
 
 
@@ -825,6 +899,18 @@ def vacuum(path: str, keep_last: int = 1, retain_seconds: float = 86400.0) -> in
         committed.update(m_files)
         if v in keep:
             referenced.update(m_files)
+    # manifests that landed AFTER the listing above (a concurrent commit
+    # or RESTORE) may re-reference files this sweep would otherwise
+    # reclaim — re-list immediately before deleting and treat any new
+    # manifest's files as live. A commit linking between this check and
+    # the deletes below is still exposed for files older than
+    # retain_seconds (restore re-checks existence before linking; the
+    # default 24 h window covers any realistic plan-to-link gap).
+    for v in _versions(path):
+        if v not in vs:
+            late = _read_manifest(path, v)["files"]
+            referenced.update(late)
+            committed.update(late)
     removed = 0
     now = _time.time()
     data_root = os.path.join(path, _DATA_DIR)
@@ -868,10 +954,28 @@ def vacuum(path: str, keep_last: int = 1, retain_seconds: float = 86400.0) -> in
             else:
                 # mixed dir: drop only dead data files, keep sidecars of
                 # live ones (Hadoop LocalFS errors on stale .crc, never
-                # on absent data it was not asked for)
+                # on absent data it was not asked for). A dead file NO
+                # manifest has ever named may be a micro-batch staged in
+                # a shared streaming commit dir whose manifest link is
+                # pending — the same in-flight ambiguity as whole
+                # uncommitted dirs, so it gets the same age guard.
                 for f in dead:
+                    rel = os.path.relpath(os.path.join(cdir, f), path)
+                    if rel not in committed and retain_seconds > 0:
+                        try:
+                            age = now - os.path.getmtime(os.path.join(cdir, f))
+                        except OSError:
+                            continue
+                        if age < retain_seconds:
+                            continue
                     os.remove(os.path.join(cdir, f))
-                removed += len(dead)
+                    removed += 1
+    dropped_ids = [
+        b for v in drop
+        if (b := _read_manifest(path, v).get("batch_id")) is not None
+    ]
+    if dropped_ids:
+        _ledger_add(path, dropped_ids)
     for v in drop:
         os.remove(_manifest_path(path, v))
     return removed

@@ -70,9 +70,13 @@ def _table_schema(path: str) -> StructType:
     vs = V._versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed version at {path}")
-    files = V._read_manifest(path, vs[-1])["files"]
+    files = None
+    for v in reversed(vs):  # empty head (truncate) → nearest schema-carrier
+        files = V._read_manifest(path, v)["files"]
+        if files:
+            break
     if not files:
-        raise FileNotFoundError(f"version {vs[-1]} at {path} has no files")
+        raise FileNotFoundError(f"no version at {path} carries a schema")
     arrow = pq.ParquetFile(os.path.join(path, files[-1])).schema_arrow
     base = from_arrow_schema(arrow)
     # every data column must plan nullable: files that PREDATE a column
@@ -238,8 +242,21 @@ class _VersionedWriteBase:
         return _WroteFile(os.path.join(self.commit_rel, fname), len(rows))
 
     def abort(self, messages) -> None:
+        # Spark constructs a FRESH writer object for the commit/abort
+        # call (python_streaming_sink_runner instantiates per
+        # invocation), so self.commit_rel's random token differs from
+        # the executor writers' — the reliable handles on the staged
+        # files are the task receipts themselves. Remove exactly those;
+        # receipts of failed tasks never existed, and anything a crashed
+        # executor left behind stays an orphan for vacuum's aged sweep.
         import shutil
 
+        for rel in self._added(messages):
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except OSError:
+                pass
+        # same-process batch writer: the staging dir token IS ours
         shutil.rmtree(os.path.join(self.path, self.commit_rel), ignore_errors=True)
 
     def _added(self, messages) -> list[str]:
@@ -273,9 +290,8 @@ class VersionedTableStreamWriter(_VersionedWriteBase, DataSourceStreamWriter):
     as foreach_batch_sink without leaving the DataFrame API."""
 
     def commit(self, messages, batchId: int) -> None:
-        for v in V._versions(self.path):
-            if V._read_manifest(self.path, v).get("batch_id") == batchId:
-                return  # replay of a committed batch: drop it
+        if batchId in V.committed_batch_ids(self.path):
+            return  # replay of a committed batch: drop it
         V.commit_files(
             self.path,
             self._added(messages),

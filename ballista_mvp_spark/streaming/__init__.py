@@ -60,18 +60,9 @@ def run_tumbling_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, drain synchronously into a memory sink, return the final
     table (complete mode → all windows present, matching the batch
     oracle)."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    # the streaming file source wants a directory: point it at sf_dir with
-    # a glob that selects only the events file
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = _ts_to_ltz(src, schema)
+    # the streaming file source wants a directory: _events_stream points
+    # it at sf_dir with a glob selecting only the events file
+    src = _events_stream(spark, sf_dir)
     agg = tumbling_agg(src)
     qname = f"tumbling_{uuid.uuid4().hex[:8]}"
     q = (
@@ -92,16 +83,7 @@ def run_sliding_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in 4 overlapping windows) through the STREAMING engine, complete
     mode → memory sink. The overlapping-window expansion is the one
     streaming window shape tumbling/session don't exercise."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = _ts_to_ltz(src, schema)
+    src = _events_stream(spark, sf_dir)
     agg = sliding_agg(src)
     qname = f"sliding_{uuid.uuid4().hex[:8]}"
     q = (
@@ -347,16 +329,7 @@ def run_session_close_batchfile(
     inside the gap at end-of-stream remain open (exactly the streaming
     semantics — asserted against a batch recomputation in
     tests/test_streaming.py)."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = _ts_to_ltz(src, schema)
+    src = _events_stream(spark, sf_dir)
     out = sessionize_on_close(src.select("user_id", "ts", "event_id"), gap_seconds)
     qname = f"sessclose_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
@@ -371,16 +344,7 @@ def run_stateful_sessionize_batchfile(spark: SparkSession, sf_dir: str, gap_seco
     """Drive stateful sessionization through the streaming engine over the
     events parquet (single micro-batch → final state per user == batch
     sessionization), drain to memory sink, return the table."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = _ts_to_ltz(src, schema)
+    src = _events_stream(spark, sf_dir)
     out = stateful_sessionize(src.select("user_id", "ts", "event_id"), gap_seconds)
     qname = f"sess_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(qname).start()
@@ -412,16 +376,7 @@ def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KEY SET itself — exactly `SELECT DISTINCT user_id, event_type,
     hour` in the batch oracle, while the execution path exercised is the
     streaming state store."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    src = _ts_to_ltz(src, schema)
+    src = _events_stream(spark, sf_dir)
     keyed = (
         src.withWatermark("ts", "2 hours")
         .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), TS_FMT))
@@ -480,10 +435,14 @@ def run_incremental_sink(
     agg = tumbling_agg(source if source is not None else _events_stream(spark, sf_dir))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # partition on the FULL agg key (hour, event_type): update mode
+        # emits only the groups a batch changed, so partitioning on hour
+        # alone would dynamically overwrite a whole hour directory with
+        # one event_type's row and silently drop the hour's other types
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour")
+            .partitionBy("hour", "event_type")
             .parquet(out_path)
         )
 
@@ -788,6 +747,7 @@ def run_neardedup_ingest(
                 .distinct()
             )
             batch = batch.join(flagged, "doc_id", "left_anti")
+            hs.unpersist()  # superseded by the post-filter recompute
             hs, bands_df = _shingle_bands(batch)
         # (3) idempotent writes: partition by the deterministic batch id
         (
@@ -813,6 +773,9 @@ def run_neardedup_ingest(
             .partitionBy("_batch")
             .parquet(index_path)
         )
+        # a long-lived query would otherwise pin every batch's shingle
+        # cache in executor storage forever
+        hs.unpersist()
 
     q = (
         src.writeStream.option("checkpointLocation", checkpoint_path)

@@ -1056,3 +1056,150 @@ def test_concurrent_row_mutations_conflict_and_rebase(spark, tmp_path):
         assert os.path.exists(os.path.join(t, f)), f
     # history shows three commits (initial + two mutations)
     assert len(V.history(t)) == 3
+
+
+def test_commit_rewrite_detects_interloper_between_plan_and_link(spark, tmp_path):
+    """Lost-update guard (round-6 review): a commit that lands while a
+    mutation's rewrite job runs must make the mutation's manifest link
+    FAIL with 'concurrent commit' (so mutate_with_retry re-plans), not
+    silently clobber the interloper's rows by linking head+2."""
+    import pytest
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    V.write_versioned(df, t)  # v1
+    # simulate: mutation planned against head 1, interloper commits v2
+    V.write_versioned(spark.createDataFrame([(3, "c")], ["id", "v"]), t)
+    out = spark.createDataFrame([(1, "a2")], ["id", "v"])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V._commit_rewrite(t, out, [], "update", {}, None, 1, head_v=1)
+    # the interloper's rows are still at the head
+    assert V.read_versioned(spark, t).count() == 3
+
+
+def test_write_versioned_expected_head_pin(spark, tmp_path):
+    """Compaction-style content-preserving rewrites pin the head they
+    read; a moved head raises instead of forking the interloper away."""
+    import pytest
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], ["id"]), t)  # v1
+    V.write_versioned(spark.createDataFrame([(2,)], ["id"]), t)  # v2
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.write_versioned(
+            spark.createDataFrame([(9,)], ["id"]), t,
+            mode="overwrite", expected_head=1,
+        )
+    assert V.read_versioned(spark, t).count() == 2  # nothing clobbered
+
+
+def test_merge_keeps_evolved_column_when_touched_files_predate_it(spark, tmp_path):
+    """Schema-evolution upsert: merging into keys that live ONLY in
+    pre-evolution files must not project the evolved column off the
+    source rows."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    # v1: (id, v) — predates lang
+    V.write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), t,
+        stats_cols=["id"],
+    )
+    # v2: evolved append with lang, ids far away so only file A matches
+    V.write_versioned(
+        spark.createDataFrame([(100, "x", "en")], ["id", "v", "lang"]), t,
+        stats_cols=["id"],
+    )
+    src = spark.createDataFrame([(1, "a2", "de")], ["id", "v", "lang"])
+    V.merge_versioned(spark, t, src, key="id", stats_cols=["id"])
+    got = {
+        r.id: (r.v, r.lang)
+        for r in V.read_versioned(spark, t, merge_schema=True).collect()
+    }
+    assert got[1] == ("a2", "de")  # evolved column survived the rewrite
+    assert got[2] == ("b", None) and got[100] == ("x", "en")
+
+
+def test_vacuum_age_guards_staged_files_in_mixed_commit_dirs(spark, tmp_path):
+    """A never-committed file inside a directory that ALSO holds live
+    files (the streaming writer's shared staging dir) is an in-flight
+    micro-batch until the retention window passes — vacuum must not
+    delete it young."""
+    import os
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], ["id"]), t)  # v1
+    m = V._read_manifest(t, 1)
+    cdir = os.path.join(t, os.path.dirname(m["files"][0]))
+    staged = os.path.join(cdir, "part-inflight.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"PAR1fake")
+    V.vacuum(t, keep_last=1)  # default 24 h retention
+    assert os.path.exists(staged)  # young in-flight file survives
+    V.vacuum(t, keep_last=1, retain_seconds=0)
+    assert not os.path.exists(staged)  # expired orphan reclaimed
+
+
+def test_replay_guard_survives_vacuum_of_batch_manifest(spark, tmp_path):
+    """Exactly-once across ops: vacuuming the manifest that recorded a
+    batch id must not re-open the replay window — the ledger keeps the
+    id visible and a replayed batch is still skipped."""
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    sink = V.foreach_batch_sink(t)
+    b41 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    sink(b41, 41)  # v1 stamped batch_id=41
+    V.compact_versioned(spark, t)  # v2, no batch id
+    V.vacuum(t, keep_last=1, retain_seconds=0)  # drops v1's manifest
+    assert 41 in V.committed_batch_ids(t)
+    sink(b41, 41)  # checkpoint-lagged replay after vacuum
+    assert V.read_versioned(spark, t).count() == 1  # not double-committed
+
+
+def test_empty_version_reads_as_zero_rows(spark, tmp_path):
+    """A truncating overwrite (zero files) is data, not an error: reads
+    return 0 rows with the schema of the nearest schema-carrying
+    version, and the stream-reader schema probe works too."""
+    from ballista_mvp_spark.sources import versioned as V
+    from ballista_mvp_spark.sources.versioned_stream import _table_schema
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    V.commit_files(t, [], mode="overwrite")  # truncate: v2 with no files
+    got = V.read_versioned(spark, t)
+    assert got.count() == 0 and set(got.columns) == {"id", "v"}
+    assert {f.name for f in _table_schema(t).fields} == {"id", "v"}
+    # time travel to v1 still sees the row
+    assert V.read_versioned(spark, t, version=1).count() == 1
+
+
+def test_stream_abort_removes_task_receipt_files(spark, tmp_path):
+    """Spark hands abort() a FRESH writer instance (new staging token),
+    so cleanup must target the files named in the task receipts, not the
+    abort instance's own never-used staging dir."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ballista_mvp_spark.sources import versioned_stream as VS
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "data", "commit-w-exec"), exist_ok=True)
+    staged = os.path.join(t, "data", "commit-w-exec", "part-x.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"PAR1fake")
+    schema = StructType([StructField("id", LongType())])
+    # a FRESH writer (different token), as the commit runner constructs
+    fresh = VS.VersionedTableStreamWriter({"path": t}, schema)
+    msg = VS._WroteFile(os.path.join("data", "commit-w-exec", "part-x.parquet"), 1)
+    fresh.abort([msg], 7)
+    assert not os.path.exists(staged)
