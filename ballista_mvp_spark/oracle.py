@@ -11,25 +11,18 @@ order-of-accumulation-sensitive float aggregates).
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
-TABLE_NAMES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+from .tables import TABLES as TABLE_NAMES  # one list for BOTH engines
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -80,12 +73,6 @@ def _strict_render(v) -> str:
     string-matches DuckDB's float64 ``20828.0``. Strict mode therefore
     REJECTS containers and Decimals outright — oracle-backed queries
     must pre-render them (array_join / CAST AS STRING) on both engines."""
-    import datetime
-    import decimal
-
-    import numpy as np
-    import pandas as pd
-
     if isinstance(v, (list, tuple, dict, set, np.ndarray)):
         raise DriverUnsafeCell(f"container cell {type(v).__name__}: {str(v)[:80]}")
     if isinstance(v, decimal.Decimal):
@@ -160,7 +147,9 @@ def compare(
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     if oracle_sql is None:
-        return CompareResult(name, len(s_rows) >= 0, len(s_rows), -1, "rows-only")
+        # the driver's weaker rows-only check still requires rows > 0 —
+        # `>= 0` was vacuously green on an empty (regressed) result
+        return CompareResult(name, len(s_rows) > 0, len(s_rows), -1, "rows-only")
     o_rel = con.sql(oracle_sql)
     o_cols = list(o_rel.columns)
     o_rows = [tuple(r) for r in o_rel.fetchall()]
@@ -194,7 +183,7 @@ def compare_strict(
     and Decimals) yet red under the driver."""
     s_pdf = spark_df.toPandas()
     if oracle_sql is None:
-        return CompareResult(name, True, len(s_pdf), -1, "rows-only")
+        return CompareResult(name, len(s_pdf) > 0, len(s_pdf), -1, "rows-only")
     o_pdf = con.sql(oracle_sql).df()
     s_cols = sorted(str(c).lower() for c in s_pdf.columns)
     o_cols = sorted(str(c).lower() for c in o_pdf.columns)

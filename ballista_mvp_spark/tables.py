@@ -34,9 +34,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Resolve a synthetic table to a DataFrame. Memoized per session —
     the catalog role: a repeated lookup must not re-read parquet footers
@@ -60,6 +57,11 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         # The driver may hand us a vanilla session without this conf; it is
         # runtime-settable, and without it the NANOS column aborts the scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The LTZ-equals-oracle argument below requires the UTC session
+        # zone; a driver session on a non-UTC host would otherwise shift
+        # every hour()/date_trunc() by the host offset vs DuckDB's naive
+        # read. Runtime-settable, like the two parquet confs.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         # 2026-08 testdata regen ships ts as plain µs (isAdjustedToUTC=false);
         # without this, Spark 4 infers TIMESTAMP_NTZ, which watermarks reject.
         # LTZ under the UTC session zone is value-identical to the oracle's

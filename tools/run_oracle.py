@@ -52,9 +52,11 @@ def main() -> int:
         spark = build_session("oracle-check")
     con = duckdb_connect(sf_dir)
     failures = 0
+    ran = 0
     for name, fn in ALL_QUERIES.items():
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
+        ran += 1
         t0 = time.time()
         try:
             res = compare(name, fn(spark, sf_dir), ALL_ORACLES.get(name), con, strict=strict)
@@ -65,7 +67,11 @@ def main() -> int:
         print(f"{res}  ({time.time() - t0:.1f}s)")
         if not res.ok:
             failures += 1
-    print(f"\n{failures} failures / {len(ALL_QUERIES)} queries")
+    if ran == 0:
+        # a typo'd prefix must not read as a green gate
+        print(f"\nERROR: no registry query matches prefixes {prefixes}")
+        return 1
+    print(f"\n{failures} failures / {ran} queries")
     return 1 if failures else 0
 
 

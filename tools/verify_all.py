@@ -42,6 +42,12 @@ def main() -> int:
          [sys.executable, "tools/run_oracle.py", "--strict", "/root/testdata/sf0.01"]),
         ("oracle sf0.1 strict",
          [sys.executable, "tools/run_oracle.py", "--strict", "/root/testdata/sf0.1"]),
+        # the driver's EXACT conditions: default-config ANSI session —
+        # catches divergence that only appears without build_session's
+        # tuning (e.g. the non-arrow toPandas path)
+        ("oracle sf0.01 strict vanilla",
+         [sys.executable, "tools/run_oracle.py", "--strict", "--vanilla",
+          "/root/testdata/sf0.01"]),
     ]
     if "--skip-bench" not in sys.argv:
         gates.append(("bench", [sys.executable, "bench.py"]))
