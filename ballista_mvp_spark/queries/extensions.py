@@ -209,7 +209,13 @@ def dedup_minhash_det(spark, sf_dir):
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(-1))),
+                F.when(
+                    F.size(t) >= 3, F.sequence(F.lit(0), F.size(t) - 3)
+                ).otherwise(F.array().cast("array<int>")),
+                # guard: sequence(0, -1) is a DESCENDING [0, -1] in
+                # Spark, so a sub-3-token doc crashed element_at with an
+                # index error — no grams instead, matching the oracle's
+                # generate_series(1, len-2)
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(t, i + 1),
@@ -631,7 +637,7 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 ORDER BY a, b
 """
 
@@ -702,10 +708,15 @@ def text_js_divergence(spark, sf_dir):
     each crawl source sits from the mixture it feeds (pipeline_drift's
     PSI is binned and numeric; JS here is over the full vocabulary).
     JS(P‖M)+JS-term of M folds into 0.5·Σ p·ln(2p/(p+m)) + 0.5·Σ
-    m·ln(2m/(p+m)) over the union support. One (source, term) count
-    (the only corpus-scale shuffle) joined FULL OUTER against the
-    global term distribution with 0 defaults; per-source reduce;
-    nats, 6dp."""
+    m·ln(2m/(p+m)) over the union support. Mechanism: one (source,
+    term) count (the only corpus-scale shuffle) INNER-joined against the
+    global term distribution; the global-side mass of terms OUTSIDE the
+    source's support is folded in closed form as 0.5·ln2·(1−mcov) (for
+    those terms p=0, so the p-side term vanishes and the m-side term is
+    0.5·m·ln2 summed over the missing mass) — equivalent to a full-outer
+    join with 0 defaults but without materializing |sources|×|vocab|
+    zero rows; do NOT add the zero rows on top of the residual, that
+    double-counts. Nats, 6dp."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("term"))
     per = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
@@ -1074,9 +1085,11 @@ def sim_dedup_threshold_sweep(spark, sf_dir):
     ladder of thresholds (0.95 / 0.9 / 0.8 / 0.6 / 0.4) from ONE
     all-pairs pass over the bounded embedding corpus — the table you
     read before picking the semantic-dedup cutoff (too low ⇒ purge
-    distinct content, too high ⇒ keep near-dups). Pairs are computed
-    once and bucketed by greatest-threshold-passed, then a cumulative
-    window gives pairs-at-or-above each rung; the certified
+    distinct content, too high ⇒ keep near-dups). Each pair explodes
+    into every rung it passes and a rung-keyed count gives
+    pairs-at-or-above each threshold; a rung spine keeps EVERY ladder
+    row present (a rung no pair reaches reads n_pairs=0 instead of
+    silently vanishing from the calibration table). The certified
     cosine_dup_pairs kernel is the scale path (this calibration runs on
     a sample at 100 TB, exactly as here)."""
     from ..operators import similarity as S
@@ -1084,16 +1097,22 @@ def sim_dedup_threshold_sweep(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    ladder = (0.95, 0.9, 0.8, 0.6, 0.4)
     pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
-    rungs = F.array(*[F.lit(t) for t in (0.95, 0.9, 0.8, 0.6, 0.4)])
+    rungs = F.array(*[F.lit(t) for t in ladder])
     tagged = pairs.select(
         F.explode(F.filter(rungs, lambda t: F.col("cos_sim") >= t)).alias(
             "threshold"
         )
     )
+    spine = spark.createDataFrame([(t,) for t in ladder], "threshold double")
     return (
-        tagged.groupBy("threshold")
-        .agg(F.count("*").alias("n_pairs"))
+        spine.join(
+            tagged.groupBy("threshold").agg(F.count("*").alias("_n")),
+            "threshold",
+            "left",
+        )
+        .select("threshold", F.coalesce(F.col("_n"), F.lit(0)).alias("n_pairs"))
         .orderBy(F.col("threshold").desc())
     )
 
@@ -1104,8 +1123,9 @@ WITH pairs AS (
                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
 rungs AS (SELECT unnest([0.95, 0.9, 0.8, 0.6, 0.4]) AS threshold)
-SELECT r.threshold, count(*) AS n_pairs
-FROM pairs p JOIN rungs r ON p.cos_sim >= r.threshold
+SELECT r.threshold,
+       CAST(count(p.cos_sim) AS BIGINT) AS n_pairs
+FROM rungs r LEFT JOIN pairs p ON p.cos_sim >= r.threshold
 GROUP BY r.threshold ORDER BY r.threshold DESC
 """
 
@@ -1554,7 +1574,13 @@ def text_ngram_novelty(spark, sf_dir):
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(-1))),
+                    F.when(
+                    F.size(t) >= 3, F.sequence(F.lit(0), F.size(t) - 3)
+                ).otherwise(F.array().cast("array<int>")),
+                # guard: sequence(0, -1) is a DESCENDING [0, -1] in
+                # Spark, so a sub-3-token doc crashed element_at with an
+                # index error — no grams instead, matching the oracle's
+                # generate_series(1, len-2)
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(t, i + 1),
@@ -1694,7 +1720,13 @@ def text_script_profile(spark, sf_dir):
         n_cjk.alias("n_cjk"),
         F.round(n_latin / total, 6).alias("frac_latin"),
         F.round(n_cjk / total, 6).alias("frac_cjk"),
-        F.when((n_cjk >= n_latin) & (n_cjk >= n_digit), F.lit("cjk"))
+        # zero Latin+digit+CJK (Cyrillic/Arabic/emoji/empty text) is its
+        # own routing class — the old tie-break sent it to the CJK
+        # tokenizer
+        F.when(
+            (n_latin == 0) & (n_digit == 0) & (n_cjk == 0), F.lit("other")
+        )
+        .when((n_cjk >= n_latin) & (n_cjk >= n_digit), F.lit("cjk"))
         .when(n_latin >= n_digit, F.lit("latin"))
         .otherwise(F.lit("digit"))
         .alias("dominant"),
@@ -1712,7 +1744,8 @@ WITH c AS (
 SELECT doc_id, lang, n_latin, n_digit, n_cjk,
        round(n_latin * 1.0 / total, 6) AS frac_latin,
        round(n_cjk * 1.0 / total, 6) AS frac_cjk,
-       CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit THEN 'cjk'
+       CASE WHEN n_latin = 0 AND n_digit = 0 AND n_cjk = 0 THEN 'other'
+            WHEN n_cjk >= n_latin AND n_cjk >= n_digit THEN 'cjk'
             WHEN n_latin >= n_digit THEN 'latin'
             ELSE 'digit' END AS dominant
 FROM c ORDER BY doc_id
@@ -1943,10 +1976,18 @@ FROM a
 
 
 def stats_autocorr(spark, sf_dir):
-    """Lag-1/2/3 autocorrelation of the hourly event-count series per
-    event type — the time-series diagnostic behind traffic seasonality
-    checks and anomaly-detector window sizing (a high lag-1 ACF says
-    smoothing helps; all-flat ACF says the series is white noise).
+    """Lag-1/2/3 autocorrelation of the OBSERVED hourly event-count
+    series per event type — the time-series diagnostic behind traffic
+    seasonality checks and anomaly-detector window sizing (a high lag-1
+    ACF says smoothing helps; all-flat ACF says the series is white
+    noise).
+
+    Lag semantics: lag-k means k OBSERVED hourly rows back, not k
+    wall-clock hours — hours with zero events are absent from the
+    series, so across a quiet gap a "lag-1" pair spans the gap (the
+    rolling-median ROWS-frame convention, events_rolling_median). The
+    oracle computes the identical row-lag quantity; a calendar-true ACF
+    would gap-fill a zero-count hour spine first (events_gapfill).
 
     One groupBy builds the hourly series (map-side combined), one
     event_type-keyed window pass emits the three lags (hours are unique
@@ -2074,14 +2115,27 @@ def stats_benford(spark, sf_dir):
     The leading digit comes from the INTEGER part rendered as a string
     (floor → bigint → substr), never from float formatting — bigint
     rendering is byte-identical cross-engine where printf('%g') is not.
-    One map-side-combined 9-group aggregate over a scan; the expected
-    shares are closed-form constants."""
+    A 1-9 digit spine guarantees every digit a row even when absent from
+    the data (n=0 still contributes its full expected-count deficit
+    (total·e_d)²/(total·e_d) = total·e_d to the χ² sum — dropping absent
+    digits would UNDERSTATE χ², the exact truncation signature the audit
+    hunts); values below 1 (leading digit 0, outside Benford's domain)
+    are excluded on both engines. One map-side-combined 9-group
+    aggregate over a scan; the expected shares are closed-form
+    constants."""
     o = _t(spark, sf_dir, "orders")
     d = F.substring(
         F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    counts = o.select(d.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n")
+    observed = (
+        o.select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     tot = counts.agg(F.sum("n").alias("total"))
     exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
@@ -2106,7 +2160,11 @@ STATS_BENFORD_ORACLE = """
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
   FROM orders),
-counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+observed AS (
+  SELECT digit, count(*) AS n FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+counts AS (
+  SELECT CAST(s.digit AS INT) AS digit, COALESCE(o.n, 0) AS n
+  FROM generate_series(1, 9) AS s(digit) LEFT JOIN observed o ON s.digit = o.digit),
 tot AS (SELECT sum(n) AS total FROM counts)
 SELECT digit, CAST(n AS BIGINT) AS n,
        round(n * 1.0 / total, 6) AS observed_pct,
@@ -2886,11 +2944,11 @@ FROM per GROUP BY lang ORDER BY lang
 
 def text_entropy(spark, sf_dir):
     """Corpus character-class entropy per language: the Shannon entropy
-    of the (letter, digit, whitespace, other) character distribution —
-    near-zero entropy flags boilerplate/log-dump corpora (one class
-    dominating), anomalously high entropy flags symbol soup; the
-    corpus-level composition gate that complements text_script_profile's
-    per-document routing signal.
+    of the (ASCII letter, digit, whitespace, other) character
+    distribution — 'letter' is [A-Za-z] ONLY, so non-Latin scripts (the
+    zh slice) concentrate in 'other' BY CONSTRUCTION and read low; the
+    near-zero-entropy boilerplate flag is meaningful WITHIN a script
+    family, not across scripts (route by text_script_profile first).
 
     Scan-speed per-document regexp counts (three regexes, zero shuffle)
     collapse into a |langs|×4 contingency table via one map-side-combined
@@ -4271,8 +4329,12 @@ ORDER BY a, b
 
 def sketch_hll_windowed(spark, sf_dir):
     """Trailing-window distinct counts from MERGED HOURLY SKETCHES: one
-    pass builds an HLL per hour; a 6-hour trailing window unions the
-    sketch column (hll_union_agg over a window frame) and estimates —
+    pass builds an HLL per hour; a trailing window over the LAST 6
+    OBSERVED HOURLY ROWS (ROWS frame — an hour with zero events is
+    absent, so across a quiet gap the frame reaches further back in
+    wall-clock time; gap-fill the hourly spine first for calendar-true
+    windows) unions the sketch column (hll_union_agg over the frame)
+    and estimates —
     the rolling-distinct dashboard query answered from KB-sized partials
     instead of re-scanning the fact table once per window position. At
     100 TB the hourly sketch table is the materialized rollup; every

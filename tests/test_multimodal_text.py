@@ -530,3 +530,35 @@ def test_featurize_arrow_trailing_empty_payload(spark):
     by_id = {r[0]: r for r in via_arrow}
     assert by_id[1][1] == 3 and abs(by_id[1][2] - ((97 + 98 + 99) / 3)) < 1e-6
     assert by_id[2][1] == 0 and by_id[2][2] == 0.0
+
+
+def test_trigram_queries_survive_short_documents(spark, tmp_path):
+    """Sub-3-token documents must yield NO trigrams (matching the
+    oracles' generate_series(1, len-2)), not a descending [0,-1]
+    sequence that crashes element_at — reproduces the round-6 review
+    finding against dedup_minhash_det / text_ngram_novelty."""
+    import os
+
+    from ballista_mvp_spark.queries.extensions import (
+        dedup_minhash_det,
+        text_ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en", "web"),
+            (2, "two words", "en", "web"),
+            (3, "three whole words here", "en", "web"),
+            (4, "three whole words here", "en", "web"),
+            (5, "", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    nov = {r.doc_id: r for r in text_ngram_novelty(spark, d).collect()}
+    assert 3 in nov and 4 in nov  # >=3-token docs still scored
+    assert all(did not in nov or nov[did].n_grams == 0 for did in (1, 2, 5))
+    pairs = dedup_minhash_det(spark, d).collect()  # must not crash
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(3, 4)}
