@@ -84,12 +84,18 @@ def asof_join(
         ).over(w).alias("_mt"),
         *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
     )
-    # tolerance distance: numeric time columns (epoch seconds) subtract
-    # directly — unix_timestamp() on them is an ANSI type error (and a
-    # silent all-NULL match-killer in non-ANSI mode)
+    # tolerance distance: timestamps compare at MICROSECOND precision
+    # (unix_timestamp truncates to seconds, so a 48h+0.4s distance would
+    # read exactly 48h and wrongly pass the bound on µs-grained data);
+    # numeric time columns (epoch seconds) subtract directly —
+    # unix_timestamp() on them is an ANSI type error (and a silent
+    # all-NULL match-killer in non-ANSI mode)
     t_dtype = dict(unioned.dtypes)["_t"]
-    if t_dtype.startswith(("timestamp", "date", "string")):
+    if t_dtype.startswith("timestamp"):
         def _secs(c: str):  # noqa: E306
+            return F.unix_micros(F.col(c)) / F.lit(1_000_000.0)
+    elif t_dtype.startswith(("date", "string")):
+        def _secs(c: str):
             return F.unix_timestamp(F.col(c))
     else:
         def _secs(c: str):
@@ -123,6 +129,10 @@ def range_join(
     if bucket_seconds is None:
         bucket_seconds = max(upper_seconds - lower_seconds, 1)
     n_buckets = (upper_seconds - lower_seconds) // bucket_seconds + 2
+    # bucketing may truncate to seconds (candidate generation only — the
+    # +2 bucket slack absorbs the sub-second remainder); the RESIDUAL
+    # below must not, or edge pairs up to 1s outside [lower, upper] (or
+    # just before the left time) leak into the result on µs-grained data
     lsec = F.unix_timestamp(left_time)
     rsec = F.unix_timestamp(right_time)
     lb = left.withColumn(
@@ -139,8 +149,9 @@ def range_join(
     rb = right.withColumn("_bucket", F.floor(rsec / bucket_seconds))
     on = ["_bucket"] + ([extra_key] if extra_key else [])
     joined = lb.join(rb, on)
-    lsec2 = F.unix_timestamp(left_time)
-    rsec2 = F.unix_timestamp(right_time)
+    lus = F.unix_micros(left_time)
+    rus = F.unix_micros(right_time)
     return joined.filter(
-        (rsec2 >= lsec2 + lower_seconds) & (rsec2 <= lsec2 + upper_seconds)
+        (rus >= lus + lower_seconds * 1_000_000)
+        & (rus <= lus + upper_seconds * 1_000_000)
     ).drop("_bucket")

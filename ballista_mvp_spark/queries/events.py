@@ -53,7 +53,10 @@ def events_json(spark, sf_dir):
     """JSON property extraction (props is a JSON string): typed pull of
     $.k + aggregation. get_json_object is JVM-side."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a single non-integral $.k is NULL (skipped by the aggs),
+    # not an ANSI CAST_INVALID_INPUT that kills the whole query; the
+    # oracle uses TRY_CAST for the same tolerance
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS LONG)")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -68,8 +71,8 @@ def events_json(spark, sf_dir):
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -117,9 +120,15 @@ def events_sessionize(spark, sf_dir):
     stats. One shuffle (user_id)."""
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precision gap: unix_timestamp TRUNCATES to seconds, so
+    # a 1800.5s gap would read 1800 and wrongly merge sessions (the ts
+    # column is µs-grained; the oracle's epoch() is fractional)
     gap_flag = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1800 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     sess = e.select(
@@ -1339,10 +1348,16 @@ def events_ab_test(spark, sf_dir):
         .cast("long")
         .alias("conv_b"),
     )
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    # nullif guards: an all-one-parity user slice (empty arm) must read
+    # NULL rates, not an ANSI DIVIDE_BY_ZERO that kills the job
+    na = F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    nb = F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
+    p_a = F.col("conv_a") / na
+    p_b = F.col("conv_b") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        (F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0)
+    )
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
     z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
     return raw.select(
         "n_a",
@@ -1371,15 +1386,15 @@ raw AS (
   FROM per_user),
 z AS (
   SELECT *,
-         (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+         (conv_a / nullif(CAST(n_a AS DOUBLE), 0.0) - conv_b / nullif(CAST(n_b AS DOUBLE), 0.0))
          / nullif(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-                       * (1.0 / n_a + 1.0 / n_b)), 0.0) AS zv
+                       * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 0.0) AS zv
   FROM raw)
 SELECT n_a, conv_a,
-       round(conv_a / CAST(n_a AS DOUBLE), 6) AS cr_a,
+       round(conv_a / nullif(CAST(n_a AS DOUBLE), 0.0), 6) AS cr_a,
        n_b, conv_b,
-       round(conv_b / CAST(n_b AS DOUBLE), 6) AS cr_b,
+       round(conv_b / nullif(CAST(n_b AS DOUBLE), 0.0), 6) AS cr_b,
        round(zv, 4) AS z_score,
        abs(zv) > 1.96 AS significant_95
 FROM z
@@ -1434,14 +1449,22 @@ ORDER BY agg.user_id
 def events_wau_mau(spark, sf_dir):
     """Engagement rollup: per ISO week — weekly active users, the
     enclosing month's active users (computed independently), and the
-    WAU/MAU stickiness ratio. Two distinct-count shuffles over slim
+    WAU/MAU stickiness ratio; a week belongs to the month containing
+    its Thursday (ISO 8601), so every week yields exactly ONE row even
+    across month boundaries. Two distinct-count shuffles over slim
     (period, user) pairs joined on the month key; the distinct
     pre-reduction means shuffle rows are bounded by active (user,
     period) pairs, not events."""
     e = _t(spark, sf_dir, "events")
+    # the week's enclosing month is the month of its THURSDAY (ISO 8601
+    # week-ownership rule): keying on the EVENT's month split boundary
+    # weeks into two partial rows, each under-counting WAU and
+    # double-counting straddling users
     wk = e.select(
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
-        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_format(
+            F.date_add(F.to_date(F.date_trunc("week", "ts")), 3), "yyyy-MM"
+        ).alias("month"),
         "user_id",
     ).distinct()
     wau = wk.groupBy("week", "month").agg(F.countDistinct("user_id").alias("wau"))
@@ -1470,7 +1493,8 @@ def events_wau_mau(spark, sf_dir):
 EVENTS_WAU_MAU_ORACLE = """
 WITH wk AS (
   SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-         strftime(date_trunc('month', ts), '%Y-%m') AS month, user_id
+         strftime(date_trunc('week', ts) + INTERVAL 3 DAY, '%Y-%m') AS month,
+         user_id
   FROM events),
 wau AS (SELECT week, month, count(DISTINCT user_id) AS wau FROM wk GROUP BY 1, 2),
 mau AS (
@@ -2350,8 +2374,12 @@ def events_seasonality(spark, sf_dir):
             F.round(F.var_samp(F.col("n") - F.col("dow_mean")), 4).alias(
                 "var_residual"
             ),
+            # constant daily counts (var 0) read NULL r2, not an ANSI
+            # DIVIDE_BY_ZERO — seasonality of a flat series is undefined
             F.round(
-                1 - F.var_samp(F.col("n") - F.col("dow_mean")) / F.var_samp("n"),
+                1
+                - F.var_samp(F.col("n") - F.col("dow_mean"))
+                / F.nullif(F.var_samp("n"), F.lit(0.0)),
                 6,
             ).alias("dow_r2"),
         )
@@ -2370,7 +2398,7 @@ prof AS (
 SELECT a.event_type, count(*) AS n_days,
        round(var_samp(a.n), 4) AS var_daily,
        round(var_samp(a.n - p.dow_mean), 4) AS var_residual,
-       round(1 - var_samp(a.n - p.dow_mean) / var_samp(a.n), 6) AS dow_r2
+       round(1 - var_samp(a.n - p.dow_mean) / nullif(var_samp(a.n), 0), 6) AS dow_r2
 FROM d2 a JOIN prof p ON a.event_type = p.event_type AND a.dow = p.dow
 GROUP BY a.event_type ORDER BY a.event_type
 """
@@ -2393,7 +2421,10 @@ def graph_reciprocity(spark, sf_dir):
     ).select(
         "n_edges",
         "n_recip",
-        F.round(F.col("n_recip") / F.col("n_edges"), 6).alias("reciprocity"),
+        F.round(
+            F.col("n_recip") / F.nullif(F.col("n_edges").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("reciprocity"),
     )
 
 
@@ -2410,7 +2441,7 @@ recip AS (
   WHERE EXISTS (SELECT 1 FROM d r WHERE r.src = d.dst AND r.dst = d.src)),
 tot AS (SELECT count(*) AS n_edges FROM d)
 SELECT n_edges, n_recip,
-       round(n_recip * 1.0 / n_edges, 6) AS reciprocity
+       round(n_recip * 1.0 / nullif(n_edges, 0), 6) AS reciprocity
 FROM tot, recip
 """
 

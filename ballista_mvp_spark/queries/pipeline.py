@@ -683,7 +683,13 @@ def pipeline_dedup_rate(spark, sf_dir):
             ),
         )
         .withColumn("n_dups", F.col("n_docs") - F.col("n_unique"))
-        .withColumn("dup_rate", F.round(F.col("n_dups") / F.col("n_docs"), 6))
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("n_dups") / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
         .orderBy("source")
     )
 
@@ -693,7 +699,7 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
        CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
-       round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6) AS dup_rate
+       round((count(*) - count(DISTINCT md5(text))) * 1.0 / nullif(count(*), 0), 6) AS dup_rate
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -1104,7 +1110,11 @@ def pipeline_drift(spark, sf_dir):
         F.min("n_chars").cast("double").alias("_lo"),
         F.max("n_chars").cast("double").alias("_hi"),
     )
-    width = (F.col("_hi") - F.col("_lo")) / 10
+    # constant-length corpus (lo == hi) gets width 1.0 — the same ANSI
+    # divide-by-zero guard as operators/pipeline.histogram
+    width = F.when(
+        F.col("_hi") != F.col("_lo"), (F.col("_hi") - F.col("_lo")) / 10
+    ).otherwise(F.lit(1.0))
     bin_id = F.least(
         F.lit(9), F.floor((F.col("n_chars") - F.col("_lo")) / width).cast("int")
     )
@@ -2234,7 +2244,13 @@ def pipeline_dataset_card(spark, sf_dir):
         F.sum("ntok").alias("n_tokens"),
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),
         F.round(F.median("n_chars"), 4).alias("p50_chars"),
-        F.round(1 - F.countDistinct("fp") / F.count("*"), 6).alias("dup_rate"),
+        # nullif: an empty/fully-filtered corpus reads NULL dup_rate,
+        # not an ANSI DIVIDE_BY_ZERO — the audit should report the
+        # degenerate corpus, not die on it
+        F.round(
+            1 - F.countDistinct("fp") / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dup_rate"),
     )
     top = (
         docs.groupBy("lang")
@@ -2268,7 +2284,7 @@ core AS (
          CAST(sum(ntok) AS BIGINT) AS n_tokens,
          round(avg(n_chars), 4) AS mean_chars,
          round(median(n_chars), 4) AS p50_chars,
-         round(1 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+         round(1 - count(DISTINCT fp) * 1.0 / nullif(count(*), 0), 6) AS dup_rate
   FROM base),
 top AS (
   SELECT lang AS top_lang, count(*) AS _top_n
