@@ -9,7 +9,8 @@ Oracle-dialect notes (Spark expression vs DuckDB SQL):
 - octet_length: DuckDB needs a BLOB cast (encode()).
 - sha1/sha224/384/512: absent in DuckDB → certified rows-only in
   fn_hash_full (md5/sha256 are value-certified in fn_hash).
-- dayofweek: Spark is 1=Sunday; DuckDB dow is 0=Sunday → oracle adds 1.
+- dayofweek: Spark is 1=Sunday, DuckDB dow is 0=Sunday → the SPARK side
+  subtracts 1 (dayofweek(ts) - 1) and the oracle uses dow unmodified.
 - Transcendentals (sin/exp/...): JVM vs libm may differ in the last ulp →
   rounded to 9 digits on both sides.
 """
@@ -222,7 +223,11 @@ def fn_string_distance(spark, sf_dir):
         "n1",
         "n2",
         lev.alias("lev"),
-        F.round(1 - lev / mx, 6).alias("similarity"),
+        # two empty strings are identical: similarity 1.0, not an ANSI
+        # DIVIDE_BY_ZERO (the cosine() zero-vector convention)
+        F.round(
+            F.when(mx == 0, F.lit(1.0)).otherwise(1 - lev / mx), 6
+        ).alias("similarity"),
         (F.substring("n1", 1, 5) == F.substring("n2", 1, 5)).cast("int").alias(
             "same_prefix5"
         ),
@@ -236,8 +241,10 @@ pairs AS (
   FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1)
 SELECT k, n1, n2,
        CAST(levenshtein(n1, n2) AS INT) AS lev,
-       round(1 - levenshtein(n1, n2) * 1.0
-                 / greatest(length(n1), length(n2)), 6) AS similarity,
+       round(CASE WHEN greatest(length(n1), length(n2)) = 0 THEN 1.0
+                  ELSE 1 - levenshtein(n1, n2) * 1.0
+                           / greatest(length(n1), length(n2)) END,
+             6) AS similarity,
        CAST(substr(n1, 1, 5) = substr(n2, 1, 5) AS INT) AS same_prefix5
 FROM pairs ORDER BY k
 """

@@ -212,7 +212,10 @@ ORDER BY nkey
 
 
 def join_semi(spark, sf_dir):
-    """LEFTSEMI (datafusion.proto:245): parts referenced by any lineitem."""
+    """LEFTSEMI (datafusion.proto:245): parts referenced by any
+    lineitem with quantity above 45 (the build-side filter keeps the
+    semi join selective — without it every part qualifies and the semi
+    join is vacuous)."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return (
@@ -320,7 +323,8 @@ GROUP BY seg2 ORDER BY seg2 ASC NULLS FIRST
 
 def join_null_skew(spark, sf_dir):
     """Null-key skew split (operators/skew.null_split_left_join): a fact
-    table where ~29% of rows carry a NULL join key (lineitem lines 5-7,
+    table where ~43% of rows carry a NULL join key (lineitem lines 5-7 —
+    3 of the 7 uniformly distributed line numbers; measured 0.431,
     simulating events without a user id) left-joined to orders. The
     operator routes the null-key rows around the shuffle entirely (they
     can never match); the oracle is the PLAIN left join — the rewrite
@@ -1235,8 +1239,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 def agg_minmax_by(spark, sf_dir):
     """MIN_BY / MAX_BY argmin-argmax aggregates (modern-ANSI surface,
     identical names in DuckDB): per market segment, the customer name at
-    the lowest/highest custkey and the order key of that segment's
-    first/last order by orderkey. Comparison keys are UNIQUE (custkey,
+    the lowest/highest custkey and the order TOTAL PRICE of that
+    segment's first/last order by orderkey (argmin/argmax returns the
+    VALUE column, picked at the extreme KEY). Comparison keys are UNIQUE (custkey,
     orderkey), so the pick is deterministic on both engines — min_by on
     a tied key is engine-defined and would not certify."""
     c = _t(spark, sf_dir, "customer")
@@ -1379,13 +1384,14 @@ def customer_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary), the canonical
     customer-analytics rollup: per-customer order stats → ntile(4)
     quartile codes (custkey tiebreak pins ties identically on both
-    engines) → segment population counts. Two shuffles total (customer
-    agg, then the three quartile windows share one global sort over the
-    customer-grain table); output is the ≤64-row segment histogram. At
-    100 TB the customer-grain table is the small one — the windows run
-    on post-aggregation rows, not facts."""
-    from pyspark.sql import Window as W
-
+    engines) → segment population counts. Plan shape: one customer-grain
+    agg shuffle, then THREE single-partition window sorts (each ntile
+    orders by a different key — recency/frequency/monetary — so they
+    cannot share a sort); output is the ≤64-row segment histogram. The
+    global sorts run on POST-AGGREGATION rows (one per customer), which
+    is what bounds them — at 10⁹+ customers swap exact ntile for
+    percentile-threshold bucketing (3 one-row quantile aggs broadcast
+    back), trading exact quartile populations for distributed binning."""
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
@@ -1431,8 +1437,6 @@ def market_supplier_scorecard(spark, sf_dir):
     the supplier-grain table (WindowGroupLimit prunes to 3 per nation),
     ordered by rounded revenue with suppkey tiebreak (the house
     determinism trick)."""
-    from pyspark.sql import Window as W
-
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1513,9 +1517,12 @@ def customer_churn(spark, sf_dir):
     flagged = per.crossJoin(F.broadcast(mx)).select(
         "o_custkey",
         "_spend",
-        (F.col("_last") < F.date_sub(F.col("_mx"), 365)).cast("int").alias(
-            "churned"
-        ),
+        # expr interval keeps any time-of-day on the max order date
+        # (date_sub truncates to midnight — the oracle subtracts
+        # INTERVAL 365 DAY, time-preserving)
+        (F.col("_last") < F.col("_mx") - F.expr("INTERVAL 365 DAYS"))
+        .cast("int")
+        .alias("churned"),
     )
     return (
         flagged.join(
