@@ -64,8 +64,11 @@ _VSQL_VACUUM = re.compile(
 _VSQL_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*$", re.I
 )
+# SET/WHERE boundary is found quote-aware at dispatch time (_find_kw) —
+# a regex non-greedy ' WHERE ' split would break on the word inside a
+# SET string literal ("SET note = 'a where b' WHERE id = 1")
 _VSQL_UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _VSQL_MERGE = re.compile(
@@ -405,6 +408,19 @@ def _rewrite_cte_bodies(q: str) -> str:
     return "".join(pieces)
 
 
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _check_ident(name: str) -> str:
+    """Reject anything but plain (optionally dot-qualified) identifiers
+    before interpolating into SQL text — the façade builds ANALYZE /
+    DESCRIBE / CREATE statements by f-string, so a name carrying quotes
+    or trailing SQL would otherwise alter the executed statement."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid identifier: {name!r}")
+    return name
+
+
 def _gen_job_id(rng: random.Random) -> str:
     """7-char alphanumeric job id, like the reference's
     ``TaskManager::generate_job_id`` (task_manager.rs:517-525)."""
@@ -456,13 +472,22 @@ class Engine:
         directories and schema declarations behave like the reference's
         ListingTable (datafusion.proto:99-115).
         """
-        if if_not_exists and name in [t.name for t in self.spark.catalog.listTables()]:
+        if if_not_exists and name.lower() in [
+            t.name.lower() for t in self.spark.catalog.listTables()
+        ]:  # Spark's catalog resolves names case-insensitively
             return
-        fmt = _FORMAT_ALIASES[file_format.lower()]
+        fmt = _FORMAT_ALIASES.get(file_format.lower())
+        if fmt is None:
+            raise ValueError(
+                f"unsupported file_format {file_format!r} — supported: "
+                f"{sorted(_FORMAT_ALIASES)}"
+            )
         if fmt == "avro":
             from .sources import read_avro
 
-            read_avro(self.spark, path, schema).createOrReplaceTempView(name)
+            read_avro(
+                self.spark, path, schema, options=options
+            ).createOrReplaceTempView(name)
             return
         reader = self.spark.read.format(fmt)
         if schema:
@@ -493,6 +518,7 @@ class Engine:
         """``CREATE SCHEMA/DATABASE`` ≅ CreateCatalogSchemaNode
         (datafusion.proto:192-202). Spark databases are namespaces in the
         session catalog; ``USE <db>``/qualified names work afterwards."""
+        _check_ident(name)
         clause = "IF NOT EXISTS " if if_not_exists else ""
         self.spark.sql(f"CREATE DATABASE {clause}`{name}`")
 
@@ -509,6 +535,7 @@ class Engine:
         are lazily instantiated, so runtime conf registration is enough;
         afterwards ``<name>.<schema>.<table>`` names, ``USE <name>``,
         and cross-catalog joins all resolve. Returns the catalog list."""
+        _check_ident(name)
         base = f"spark.sql.catalog.{name}"
         self.spark.conf.set(
             base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
@@ -526,8 +553,12 @@ class Engine:
         return [c.name for c in self.spark.catalog.listCatalogs()]
 
     def create_view(self, name: str, query: str, or_replace: bool = True) -> None:
-        """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210)."""
-        df = self.spark.sql(query)
+        """``CREATE VIEW`` ≅ CreateViewNode (datafusion.proto:204-210).
+        The view body goes through the same dialect rewrites as
+        :meth:`sql` — a QUALIFY / DISTINCT ON / time-travel query is one
+        language across every façade entry point (rewrite-only: a DML
+        statement is never executed from here)."""
+        df = self.spark.sql(self._rewritten(query))
         if or_replace:
             df.createOrReplaceTempView(name)
         else:
@@ -611,8 +642,14 @@ class Engine:
                 "version int, op string, n_files int, n_added int",
             )
         if (m := _VSQL_UPDATE.match(q)) and (path := _path(m.group(1))):
-            assigns = _split_assignments(m.group(2))
-            v = _V.update_versioned(self.spark, path, assigns, m.group(3))
+            rest = m.group(2)
+            wi, _ = _find_kw(rest, ("WHERE",))
+            if wi < 0:
+                return None  # UPDATE without WHERE: not ours, let Catalyst report
+            assigns = _split_assignments(rest[:wi])
+            v = _V.update_versioned(
+                self.spark, path, assigns, rest[wi + len("WHERE"):].strip()
+            )
             self.register_versioned(m.group(1), path)
             mm = _V._read_manifest(path, v)
             return self.spark.createDataFrame(
@@ -646,8 +683,23 @@ class Engine:
         if (m := _VSQL_VACUUM.match(q)) and (path := _path(m.group(1))):
             keep = int(m.group(2)) if m.group(2) else 1
             kwargs = {}
-            if m.group(3) is not None:  # RETAIN n HOURS (Delta syntax)
-                kwargs["retain_seconds"] = float(m.group(3)) * 3600.0
+            if m.group(3) is not None:  # RETAIN n HOURS (Delta semantics)
+                import os as _os
+                import time as _time
+
+                window = float(m.group(3)) * 3600.0
+                kwargs["retain_seconds"] = window
+                # Delta's RETAIN protects HISTORY inside the window, not
+                # just uncommitted orphans: keep every manifest whose
+                # commit is younger than the window (time travel within
+                # the retention period survives the vacuum)
+                now = _time.time()
+                young = [
+                    v for v in _V._versions(path)
+                    if now - _os.path.getmtime(_V._manifest_path(path, v))
+                    < window
+                ]
+                keep = max(keep, len(young), 1)
             removed = _V.vacuum(path, keep_last=keep, **kwargs)
             return self.spark.createDataFrame(
                 [(removed,)], "files_removed int"
@@ -676,8 +728,14 @@ class Engine:
 
         names = "|".join(re.escape(n) for n in self._versioned)
         pat = re.compile(rf"\b({names})\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.I)
+        # positions OUTSIDE string literals / quoted identifiers — a
+        # literal mentioning "orders VERSION AS OF 1" must pass through
+        # untouched (and must not side-effect a temp view)
+        visible = {i for i, _c, _d in _scan_sql(q)}
 
         def _sub(m: re.Match) -> str:
+            if m.start() not in visible:
+                return m.group(0)
             name, ver = m.group(1).lower(), int(m.group(2))
             view = f"{name}__v{ver}"
             _V.read_versioned(
@@ -706,11 +764,7 @@ class Engine:
             # a rewrite that changed the text combined with list args
             # raises instead. (Versioned-DML dispatch stays
             # unparameterized: those statements execute side effects.)
-            rewritten = _rewrite_qualify(
-                _rewrite_distinct_on(
-                    _rewrite_cte_bodies(self._rewrite_time_travel(query))
-                )
-            )
+            rewritten = self._rewritten(query)
             if rewritten != query and not isinstance(args, dict):
                 raise ValueError(
                     "positional (?) parameters cannot be combined with "
@@ -721,11 +775,17 @@ class Engine:
             return self.spark.sql(rewritten, args=args)
         if (out := self._sql_versioned(query)) is not None:
             return out
-        return self.spark.sql(
-            _rewrite_qualify(
-                _rewrite_distinct_on(
-                    _rewrite_cte_bodies(self._rewrite_time_travel(query))
-                )
+        return self.spark.sql(self._rewritten(query))
+
+    def _rewritten(self, query: str) -> str:
+        """The pure dialect-rewrite chain (time travel + CTE bodies +
+        QUALIFY + DISTINCT ON) WITHOUT the versioned-DML dispatch — for
+        façade entry points that must parse the same language as
+        :meth:`sql` but never execute side-effecting statements
+        (explain / estimate / create_view)."""
+        return _rewrite_qualify(
+            _rewrite_distinct_on(
+                _rewrite_cte_bodies(self._rewrite_time_travel(query))
             )
         )
 
@@ -762,7 +822,13 @@ class Engine:
         metrics (rows, scan/shuffle bytes, exchange counts, stage/task
         counts) — the analogue of the reference's per-job metrics REST
         surface (api/handlers.rs:184-243). Returns
-        ``(job_id, rows, QueryMetrics)``."""
+        ``(job_id, rows, QueryMetrics)``.
+
+        SQLMetrics read as PER-LATEST-RUN values: Spark 4 resets the
+        plan's metric accumulators at each execution (verified
+        empirically — three collects of the same DataFrame each read the
+        single-run scan_rows, not a cumulative sum), so the roll-up
+        below is this job's work without any snapshot arithmetic."""
         import time
 
         from .plans.metrics import collect_plan_metrics
@@ -876,6 +942,8 @@ class Engine:
                 raw = raw.split("> ", 1)[-1]
             if raw.strip():
                 lines.append(raw)
+        if not lines:  # DDL / statements without a result set
+            return [], []
         header, *data = lines
         return header.split(","), [tuple(r.split(",")) for r in data]
 
@@ -886,10 +954,13 @@ class Engine:
             self._thrift_server = None
 
     def explain(self, query: str, mode: str = "formatted") -> str:
-        """EXPLAIN ≅ ExplainNode (datafusion.proto:219-227)."""
+        """EXPLAIN ≅ ExplainNode (datafusion.proto:219-227). The text
+        goes through the dialect rewrites so EXPLAIN parses the same
+        language :meth:`sql` executes (rewrite-only — a versioned DML
+        statement is never executed from here)."""
         from .plans import explain_str
 
-        return explain_str(self.spark.sql(query), mode)
+        return explain_str(self.spark.sql(self._rewritten(query)), mode)
 
     def cache_table(self, name: str, eager: bool = True) -> None:
         """Pin a catalog table as an in-memory columnar relation (no
@@ -924,7 +995,7 @@ class Engine:
         prev = self.spark.conf.get("spark.sql.cbo.enabled", "false")
         self.spark.conf.set("spark.sql.cbo.enabled", "true")
         try:
-            qe = self.spark.sql(query)._jdf.queryExecution()
+            qe = self.spark.sql(self._rewritten(query))._jdf.queryExecution()
             stats = qe.optimizedPlan().stats()
             row_count = stats.rowCount()
             return {
@@ -942,8 +1013,9 @@ class Engine:
         catalog stats recorded (sizeInBytes/rowCount). At 100 TB, stats
         collection is itself a distributed scan — run it at write time,
         not query time."""
+        _check_ident(name)
         if columns:
-            cols = ", ".join(columns)
+            cols = ", ".join(_check_ident(c) for c in columns)
             self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
         else:
             self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -61,7 +63,11 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     return PlanFacts(
         pushed_filters=pushed,
         read_schemas=schemas,
-        n_exchanges=executed.count("Exchange "),
+        # shuffle exchanges only: 'BroadcastExchange'/'ReusedExchange'
+        # carry their own counters and must not inflate this one
+        n_exchanges=len(
+            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", executed)
+        ),
         broadcast_joins=executed.count("BroadcastHashJoin"),
         sortmerge_joins=executed.count("SortMergeJoin"),
         shuffledhash_joins=executed.count("ShuffledHashJoin"),
@@ -73,6 +79,9 @@ def plan_facts(df: DataFrame) -> PlanFacts:
 def analyze(df: DataFrame) -> dict:
     """ANALYZE (ExplainNode{analyze}, datafusion.proto:224-227 /
     AnalyzeNode): execute and report row count + the executed plan with
-    runtime stats (AQE final plan)."""
-    n = df.count()
+    runtime stats (AQE final plan). The action runs df's OWN
+    QueryExecution (collect) — df.count() would execute a DERIVED
+    aggregate plan and leave df's executed_plan un-run (isFinalPlan
+    false, no runtime stats)."""
+    n = len(df.collect())
     return {"rows": n, "executed_plan": executed_plan(df)}

@@ -73,13 +73,20 @@ def _is_source_missing(e: Exception) -> bool:
     return "Failed to find data source" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e)
 
 
-def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """AvroScanExecNode (datafusion.proto:1169-1171)."""
     err: Exception | None = None
     for provider in _AVRO_PROVIDERS:
         r = spark.read
         if schema:
             r = r.schema(schema)
+        for k, v in (options or {}).items():
+            r = r.option(k, v)
         try:
             return r.format(provider).load(path)
         except Exception as e:  # noqa: BLE001

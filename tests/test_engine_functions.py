@@ -550,3 +550,49 @@ def test_engine_sql_positional_args_reject_rewrites(spark):
             "FROM pos_args_t WHERE v > ? QUALIFY rn <= ?",
             args=[0, 1],
         )
+
+
+def test_explain_and_view_share_the_sql_dialect(spark):
+    """explain / estimate / create_view parse the same language as
+    Engine.sql — a QUALIFY query must work through every entry point,
+    and none of them may execute versioned DML."""
+    from ballista_mvp_spark.engine import Engine
+
+    spark.createDataFrame([(1, 5), (1, 9)], ["k", "v"]).createOrReplaceTempView(
+        "dialect_t"
+    )
+    eng = Engine(spark)
+    q = (
+        "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn "
+        "FROM dialect_t QUALIFY rn = 1"
+    )
+    assert "rn" in eng.explain(q)
+    assert eng.estimate(q)["size_in_bytes"] > 0
+    eng.create_view("dialect_v", q)
+    assert spark.table("dialect_v").count() == 1
+
+
+def test_analyze_table_rejects_non_identifier_names(spark):
+    import pytest
+
+    from ballista_mvp_spark.engine import Engine
+
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="invalid identifier"):
+        eng.analyze_table("t PARTITION (dt='2024') --")
+    with pytest.raises(ValueError, match="invalid identifier"):
+        eng.create_database("x` WITH DBPROPERTIES(a=1) --")
+
+
+def test_run_job_with_metrics_reports_per_run_deltas(spark):
+    """SQLMetrics accumulate on the cached executed plan: a second run
+    of the SAME DataFrame must report its own scan work, not twice the
+    first run's."""
+    from ballista_mvp_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_testdata(SF_SMALL)
+    df = spark.table("nation").select("n_nationkey")
+    _, _, m1 = eng.run_job_with_metrics(df)
+    _, _, m2 = eng.run_job_with_metrics(df)
+    assert m1.scan_rows == 25 and m2.scan_rows == 25  # not 50

@@ -191,3 +191,55 @@ def test_vacuum_retain_hours_sql(eng, spark, tmp_path):
     assert os.path.exists(orphan)
     removed = eng.sql("VACUUM docs RETAIN 1 VERSIONS RETAIN 0 HOURS").first()
     assert removed.files_removed >= 1 and not os.path.exists(orphan)
+
+
+def test_update_with_where_inside_set_literal(spark, tmp_path):
+    """The SET/WHERE boundary is found quote-aware: the word 'where'
+    inside a SET string literal must not split the statement."""
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(
+        spark.createDataFrame([(1, "x"), (2, "y")], ["id", "note"]), t
+    )
+    eng = Engine(spark)
+    eng.register_versioned("updlit", t)
+    eng.sql("UPDATE updlit SET note = 'a where b' WHERE id = 1")
+    got = {r.id: r.note for r in V.read_versioned(spark, t).collect()}
+    assert got == {1: "a where b", 2: "y"}
+
+
+def test_time_travel_not_rewritten_inside_string_literal(spark, tmp_path):
+    """A string literal mentioning '<table> VERSION AS OF n' passes
+    through untouched (no rewrite, no temp-view side effect)."""
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], ["id"]), t)
+    eng = Engine(spark)
+    eng.register_versioned("ttlit", t)
+    row = eng.sql("SELECT 'ttlit VERSION AS OF 1' AS note FROM ttlit").first()
+    assert row.note == "ttlit VERSION AS OF 1"
+    # outside a literal the rewrite still fires
+    assert eng.sql("SELECT count(*) AS n FROM ttlit VERSION AS OF 1").first().n == 1
+
+
+def test_vacuum_retain_hours_preserves_history_within_window(spark, tmp_path):
+    """VACUUM t RETAIN n HOURS keeps every version committed within the
+    window (Delta semantics) — previously it dropped all but the head
+    regardless of age."""
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], ["id"]), t)  # v1, just now
+    V.write_versioned(spark.createDataFrame([(2,)], ["id"]), t)  # v2
+    eng = Engine(spark)
+    eng.register_versioned("vr", t)
+    eng.sql("VACUUM vr RETAIN 24 HOURS")
+    assert V._versions(t) == [1, 2]  # both inside the window: kept
+    assert V.read_versioned(spark, t, version=1).count() == 1  # time travel alive
+    eng.sql("VACUUM vr RETAIN 1 VERSIONS")  # explicit keep_last still works
+    assert V._versions(t) == [2]
