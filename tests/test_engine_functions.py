@@ -596,3 +596,56 @@ def test_run_job_with_metrics_reports_per_run_deltas(spark):
     _, _, m1 = eng.run_job_with_metrics(df)
     _, _, m2 = eng.run_job_with_metrics(df)
     assert m1.scan_rows == 25 and m2.scan_rows == 25  # not 50
+
+
+def test_dialect_rewrites_cross_engine_fuzz(spark):
+    """Combinatorial cross-engine sweep of the QUALIFY / DISTINCT ON
+    dialect: every template combination (leading WITH or not, dialect
+    syntax in the main query or a CTE body, set operation before/after,
+    trailing ORDER BY/LIMIT or not) runs the SAME text through
+    Engine.sql (rewritten for Spark) and DuckDB (native) and must
+    value-match — the single-SQL-string cross-engine contract the
+    rewrites exist to uphold."""
+    import duckdb
+
+    from ballista_mvp_spark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 3, "c"), (2, 7, "d"), (3, 7, "e")],
+        ["k", "v", "tag"],
+    ).createOrReplaceTempView("fz")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW fz AS SELECT * FROM (VALUES (1,5,'a'),(1,9,'b'),"
+        "(2,3,'c'),(2,7,'d'),(3,7,'e')) t(k, v, tag)"
+    )
+    eng = Engine(spark)
+
+    core_q = (
+        "SELECT k, v, tag, row_number() OVER "
+        "(PARTITION BY k ORDER BY v DESC, tag) AS rn FROM fz QUALIFY rn = 1"
+    )
+    core_d = "SELECT DISTINCT ON (k) k, v, tag FROM fz ORDER BY k, v DESC, tag"
+    stmts = []
+    for core in (core_q, core_d):
+        stmts.append(core)
+        stmts.append(f"{core} LIMIT 2" if "ORDER BY k" in core else f"{core} ORDER BY k LIMIT 2")
+        # leading CTE, dialect in the MAIN query
+        stmts.append(f"WITH base AS (SELECT k, v, tag FROM fz) {core.replace('FROM fz', 'FROM base')}")
+        # dialect inside the CTE BODY
+        stmts.append(
+            f"WITH picked AS ({core}) SELECT k, v FROM picked ORDER BY k"
+        )
+    # set operation AFTER a QUALIFY
+    stmts.append(f"{core_q} UNION ALL SELECT 99, 99, 'z', 99")
+    # set operation BEFORE the QUALIFY (dialect in the second branch)
+    stmts.append(
+        "SELECT 0 AS k, 0 AS v, 'x' AS tag, 0 AS rn UNION ALL " + core_q
+    )
+    mismatches = []
+    for q in stmts:
+        got = sorted(tuple(r) for r in eng.sql(q).collect())
+        want = sorted(tuple(r) for r in con.execute(q).fetchall())
+        if got != want:
+            mismatches.append((q, got, want))
+    assert not mismatches, mismatches[0]
