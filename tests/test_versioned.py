@@ -1203,3 +1203,36 @@ def test_stream_abort_removes_task_receipt_files(spark, tmp_path):
     msg = VS._WroteFile(os.path.join("data", "commit-w-exec", "part-x.parquet"), 1)
     fresh.abort([msg], 7)
     assert not os.path.exists(staged)
+
+
+def test_interloper_append_between_plan_and_link_never_lost(spark, tmp_path, monkeypatch):
+    """The exact staggered interleaving the round-6 review flagged: a
+    commit lands WHILE a mutation's rewrite job runs (after the plan
+    read, before the manifest link). With the version pinned to the
+    planning head, the mutation's first link must FAIL and the retry
+    must re-plan on top of the interloper — its rows survive. (The
+    pre-fix code computed the version from a fresh listing and silently
+    linked OVER the interloper, dropping its committed rows.)"""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark.range(0, 10).toDF("id").coalesce(1), t,
+                      stats_cols=["id"])
+    orig = V._commit_rewrite
+    fired = {"done": False}
+
+    def commit_with_interloper(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            # interloper: lands AFTER the delete planned its untouched
+            # list against v1, BEFORE its manifest link
+            V.write_versioned(
+                spark.createDataFrame([(100,)], "id long"), t
+            )
+        return orig(*a, **k)
+
+    monkeypatch.setattr(V, "_commit_rewrite", commit_with_interloper)
+    V.mutate_with_retry(lambda: V.delete_versioned(spark, t, "id < 2"),
+                        retries=5)
+    ids = sorted(r.id for r in V.read_versioned(spark, t).collect())
+    assert ids == [2, 3, 4, 5, 6, 7, 8, 9, 100]  # interloper row SURVIVED
+    # history: v1 seed, v2 interloper, v3+ the (re-planned) delete
+    assert V._versions(t)[0:2] == [1, 2] and len(V._versions(t)) >= 3
