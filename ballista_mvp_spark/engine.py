@@ -71,6 +71,10 @@ _VSQL_UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_VSQL_INSERT = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _VSQL_MERGE = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(?:\((.+)\)|(\w+))\s+ON\s+(\w+)"
     r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
@@ -621,8 +625,9 @@ class Engine:
 
     # -- transaction-log SQL -------------------------------------------------
     def _sql_versioned(self, q: str) -> DataFrame | None:
-        """Dispatch DESCRIBE HISTORY / DELETE FROM / MERGE INTO / RESTORE
-        / VACUUM / OPTIMIZE over tables registered via :meth:`register_versioned`
+        """Dispatch DESCRIBE HISTORY / INSERT INTO|OVERWRITE / DELETE
+        FROM / UPDATE / MERGE INTO / RESTORE / VACUUM / OPTIMIZE over
+        tables registered via :meth:`register_versioned`
         (the Delta Lake SQL surface over sources/versioned.py). Returns
         None when the statement isn't one of ours — the caller falls
         through to Catalyst. After a mutation the registered view is
@@ -635,6 +640,33 @@ class Engine:
         def _path(name: str) -> str | None:
             return self._versioned.get(name.lower())
 
+        if (m := _VSQL_INSERT.match(q)) and (path := _path(m.group(2))):
+            # INSERT INTO <t> <query|VALUES ...> — completes the DML
+            # triad (DELETE/UPDATE/MERGE) with the append commit. SQL
+            # semantics: the source binds to the table schema BY
+            # POSITION with implicit casts (same as merge's align step);
+            # OVERWRITE truncates via an overwrite commit, previous
+            # versions stay time-travelable.
+            src_df = self.spark.sql(self._rewritten(m.group(3)))
+            tgt = _V.read_versioned(self.spark, path).schema
+            if len(src_df.columns) != len(tgt.fields):
+                raise ValueError(
+                    f"INSERT column count {len(src_df.columns)} != table "
+                    f"column count {len(tgt.fields)}"
+                )
+            aligned = src_df.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(src_df.columns, tgt.fields)
+                ]
+            )
+            mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+            v = _V.write_versioned(aligned, path, mode=mode)
+            self.register_versioned(m.group(2), path)
+            mm = _V._read_manifest(path, v)
+            return self.spark.createDataFrame(
+                [(v, mm["n_added"])], "version int, files_added int"
+            )
         if (m := _VSQL_HISTORY.match(q)) and (path := _path(m.group(1))):
             hist = _V.history(path)
             return self.spark.createDataFrame(

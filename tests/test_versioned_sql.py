@@ -243,3 +243,42 @@ def test_vacuum_retain_hours_preserves_history_within_window(spark, tmp_path):
     assert V.read_versioned(spark, t, version=1).count() == 1  # time travel alive
     eng.sql("VACUUM vr RETAIN 1 VERSIONS")  # explicit keep_last still works
     assert V._versions(t) == [2]
+
+
+def test_insert_into_versioned_table(spark, tmp_path):
+    """INSERT INTO / INSERT OVERWRITE complete the versioned DML triad:
+    positional schema binding with implicit casts, append vs truncating
+    overwrite commits, prior versions still time-travelable."""
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, note string"), t
+    )
+    eng = Engine(spark)
+    eng.register_versioned("ins_t", t)
+    out = eng.sql("INSERT INTO ins_t VALUES (2, 'b'), (3, 'c')").first()
+    assert out.version == 2
+    got = {r.id: r.note for r in eng.sql("SELECT * FROM ins_t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # SELECT-sourced insert with an implicit cast (int -> long)
+    spark.createDataFrame([(4, "d")], "id int, note string").createOrReplaceTempView(
+        "ins_src"
+    )
+    eng.sql("INSERT INTO ins_t SELECT id, note FROM ins_src")
+    assert eng.sql("SELECT count(*) AS n FROM ins_t").first().n == 4
+    # OVERWRITE truncates at the head; history stays travelable
+    eng.sql("INSERT OVERWRITE ins_t VALUES (9, 'z')")
+    assert [r.id for r in eng.sql("SELECT * FROM ins_t").collect()] == [9]
+    assert eng.sql("SELECT count(*) AS n FROM ins_t VERSION AS OF 2").first().n == 3
+    # column-count mismatch is a loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="column count"):
+        eng.sql("INSERT INTO ins_t VALUES (1)")
+    # unregistered tables fall through to Catalyst untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS plain_ins (id long) USING parquet")
+    eng.sql("INSERT INTO plain_ins VALUES (7)")
+    assert spark.table("plain_ins").count() >= 1
+    spark.sql("DROP TABLE plain_ins")
