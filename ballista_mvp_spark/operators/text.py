@@ -483,8 +483,12 @@ def dsir_logweights(
     cross-engine parity is not needed.
 
     Scale shape: one token explode feeds a map-side-combined groupBy
-    (corpus-scale shuffle #1, keyed on token); ranking to pick the
-    vocab runs on the vocabulary-sized count table; bucket counts,
+    (corpus-scale shuffle #1, keyed on token); vocab selection is an
+    orderBy(desc(count)).limit(vocab_size) — TakeOrderedAndProject,
+    per-partition top-k heaps, NEVER a global row_number window (which
+    would single-partition the 10⁸–10⁹-token distinct vocabulary of a
+    web corpus) — followed by a membership join of the vocab_size-row
+    winner set back onto the count table; bucket counts,
     totals, and log-ratios are ≤ vocab_size+1 rows and broadcast into
     the token→ratio lookup; scoring joins that lookup on the token key
     (shuffle #2 — an unbounded vocabulary is never broadcast) and the
@@ -494,8 +498,6 @@ def dsir_logweights(
     Output: (id_col, n_tokens, log_w) — log_w rounded to 6 decimals
     (sum order across partitions is nondeterministic at ~1e-12).
     """
-    from pyspark.sql import Window as W
-
     toks = df.select(
         F.col(id_col).alias("_id"),
         is_target.alias("_tgt"),
@@ -505,12 +507,14 @@ def dsir_logweights(
         F.count("*").alias("_c_raw"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_c_tgt"),
     )
-    ranked = counts.withColumn(
-        "_rk", F.row_number().over(W.orderBy(F.desc("_c_raw"), "_w"))
+    vocab = (
+        counts.orderBy(F.desc("_c_raw"), "_w")
+        .limit(vocab_size)
+        .select("_w", F.lit(True).alias("_in_v"))
     )
-    mapping = ranked.select(
+    mapping = counts.join(F.broadcast(vocab), "_w", "left").select(
         "_w",
-        F.when(F.col("_rk") <= vocab_size, F.col("_w"))
+        F.when(F.col("_in_v"), F.col("_w"))
         .otherwise(F.lit("<oov>"))
         .alias("_b"),
         "_c_raw",

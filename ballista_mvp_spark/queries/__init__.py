@@ -123,7 +123,8 @@ _missing5 = [n for n in _CERT_FIRST_ROUND5 if n not in ALL_QUERIES]
 assert not _missing5, f"_CERT_FIRST_ROUND5 names not in registry: {_missing5}"
 
 
-# ROUND-6 WINDOW (ACTIVE — re-cut at round-6 start per VERDICT r5
+# ROUND-6 WINDOW (historical record — CORRECTNESS_r06.json: 50/50
+# hash-green, all first-time certifications; re-cut at round-6 start per VERDICT r5
 # next-round #1: retire first-time-certification debt fastest. The
 # originally staged round-6 window spent 40 of its 50 slots on re-certs
 # while 95 oracle-backed queries still lacked a driver row; this window
@@ -157,17 +158,8 @@ assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
 _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
-# Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-6 window leads.
-_CERT_FIRST = _CERT_FIRST_ROUND6
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
-
-# ROUND-7 WINDOW (pre-staged; swap into _CERT_FIRST at round-7 start
-# AFTER CORRECTNESS_r06.json lands): the remaining 45 oracle-backed
+# ROUND-7 WINDOW (ACTIVE — swapped in at round-7 start per VERDICT r6
+# next-round #1, after CORRECTNESS_r06.json landed 50/50): the remaining 45 oracle-backed
 # queries that have never held a driver row — the 34 round-5 additions
 # that landed after the old round-7 freeze, the 10 late-round-4
 # additions, and the late text_gopher_funnel — padded to 50 with 5
@@ -204,6 +196,17 @@ _CERT_FIRST_ROUND7 = [
 assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
 _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
 assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
+
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-7 window leads.
+# After this window lands, EVERY oracle-backed registry query holds a
+# driver row; rounds 8-10 are re-certification under the final engine.
+_CERT_FIRST = _CERT_FIRST_ROUND7
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
 
 # ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
 # AFTER CORRECTNESS_r07.json lands): 50 re-certifications under the

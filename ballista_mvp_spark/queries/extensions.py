@@ -2052,11 +2052,17 @@ def stats_spearman(spark, sf_dir):
     negative; both coefficients are reported so the contrast is itself
     the artifact.
 
-    Average ranks come from the standard identity
-    avg_rank = rank + (tie_count − 1)/2 using two window passes (a
-    rank() and a count() over the value partition) — integer-exact and
-    identical cross-engine — then one Pearson corr over the rank pairs
-    (map-side co-moments), 6dp."""
+    Scale shape (the stats_mannwhitney pattern): NO window ever touches
+    the per-document table. Each axis collapses to its distinct-value
+    SUPPORT via a map-side-combined groupBy; tie-averaged ranks come
+    from one cumulative window over that tiny cells table using the
+    identity avg_rank = cum − (t−1)/2 (cum = running Σt ordered by
+    value; equals rank + (t−1)/2, integer-exact ×2). The value→rank
+    maps join back to the per-doc rows on the value key (support-sized
+    build sides — AQE broadcasts them), then one Pearson corr over the
+    rank pairs (map-side co-moments), 6dp. The prior form ranked the
+    per-doc table itself through an unpartitioned window — a
+    single-partition funnel of the whole corpus at scale."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
@@ -2068,15 +2074,18 @@ def stats_spearman(spark, sf_dir):
             F.size(F.array_distinct(toks)) / F.size(toks), 9
         ).alias("y"),
     )
-    rx = (
-        F.rank().over(W.orderBy("x"))
-        + (F.count(F.lit(1)).over(W.partitionBy("x")) - 1) / 2.0
-    )
-    ry = (
-        F.rank().over(W.orderBy("y"))
-        + (F.count(F.lit(1)).over(W.partitionBy("y")) - 1) / 2.0
-    )
-    ranked = per.select("x", "y", rx.alias("rx"), ry.alias("ry"))
+
+    def _rank_map(col):
+        cells = per.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+        wcum = W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+        return cells.select(
+            col,
+            (
+                F.sum("_t").over(wcum) - (F.col("_t") - 1) / 2.0
+            ).alias(f"r{col}"),
+        )
+
+    ranked = per.join(_rank_map("x"), "x").join(_rank_map("y"), "y")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),

@@ -2191,11 +2191,26 @@ def dedup_cross_source(spark, sf_dir):
     measures fuzzy n-gram containment; this counts verbatim reprints).
     One fingerprint→distinct-source collapse, then an in-cluster source
     self-join bounded by sources-per-cluster (≤ #sources, never corpus
-    fan-out). Only pairs with ≥1 shared cluster are emitted."""
+    fan-out). Only pairs with ≥1 shared cluster are emitted.
+
+    The corpus is augmented with a deterministic 'mirror' source — the
+    25 lowest-doc_id documents republished verbatim under a new source
+    label — so the matrix is NEVER vacuously empty: a 0=0 oracle match
+    on a corpus with no natural cross-source reprints would certify
+    nothing (the round-6 harness lesson). The mirror slice is
+    oracle-replayable (ORDER BY doc_id LIMIT 25 on both engines) and
+    any natural cross-source duplicates still surface alongside it."""
     docs = _t(spark, sf_dir, "documents")
-    fs = docs.select(
-        TX.fingerprint(F.col("text")).alias("fp"), "source"
-    ).distinct()
+    mirror = (
+        docs.orderBy("doc_id")
+        .limit(25)
+        .withColumn("source", F.lit("mirror"))
+    )
+    fs = (
+        docs.unionByName(mirror)
+        .select(TX.fingerprint(F.col("text")).alias("fp"), "source")
+        .distinct()
+    )
     a = fs.select("fp", F.col("source").alias("source_a"))
     b = fs.select("fp", F.col("source").alias("source_b"))
     return (
@@ -2208,10 +2223,16 @@ def dedup_cross_source(spark, sf_dir):
 
 
 DEDUP_CROSS_SOURCE_ORACLE = r"""
-WITH fs AS (
+WITH mirror AS (
+  SELECT text, 'mirror' AS source
+  FROM documents ORDER BY doc_id LIMIT 25),
+aug AS (
+  SELECT text, source FROM documents
+  UNION ALL SELECT text, source FROM mirror),
+fs AS (
   SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
          source
-  FROM documents)
+  FROM aug)
 SELECT a.source AS source_a, b.source AS source_b,
        count(*) AS n_shared_clusters
 FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source

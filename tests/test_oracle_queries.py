@@ -170,21 +170,16 @@ def test_round5_window_historical():
     assert never_certified <= set(_CERT_FIRST_ROUND5)
 
 
-def test_round6_window_active():
-    """The round-6 certification window (ACTIVE — re-cut at round-6 start
-    per VERDICT r5 next-round #1): EXACTLY the 50 round-5 additions, all
-    oracle-backed (a driver row can hash-certify), never driver-certified,
-    no overlap with any earlier window, leading the registry insertion
-    order so the driver's first-50 sample certifies them."""
+def test_round6_window_historical():
+    """The round-6 certification window (historical — CORRECTNESS_r06.json
+    certified all 50 hash-green): EXACTLY the 50 round-5 additions, all
+    oracle-backed, no overlap with any earlier window."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND6  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND6  # driver sees it
     assert len(_CERT_FIRST_ROUND6) == 50
     assert len(set(_CERT_FIRST_ROUND6)) == 50
     assert set(_CERT_FIRST_ROUND6) <= set(ALL_QUERIES)
@@ -214,19 +209,25 @@ def test_round6_window_active():
     assert set(_CERT_FIRST_ROUND6) == round5_additions
 
 
-def test_round7_window_prestage():
-    """The pre-staged round-7 certification window: the remaining 45
+def test_round7_window_active():
+    """The round-7 certification window (ACTIVE — swapped in at round-7
+    start per VERDICT r6 next-round #1): the remaining 45
     never-driver-certified oracle-backed queries (34 late-round-5 + 10
     late-round-4 + text_gopher_funnel) + 5 displaced re-certs — 50
-    unique oracle-backed names overlapping no earlier window. After it,
-    every oracle-backed registry query holds a driver row."""
+    unique oracle-backed names overlapping no earlier window, leading
+    the registry insertion order so the driver's first-50 sample
+    certifies them. After it, every oracle-backed registry query holds
+    a driver row."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
         _CERT_FIRST_ROUND7,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND7  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND7  # driver sees it
     assert len(_CERT_FIRST_ROUND7) == 50
     assert len(set(_CERT_FIRST_ROUND7)) == 50
     assert set(_CERT_FIRST_ROUND7) <= set(ALL_QUERIES)

@@ -233,6 +233,33 @@ def test_dsir_no_cartesian_and_broadcast_ratio(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+    # vocab selection must be a per-partition top-k heap, never a global
+    # row_number window single-partitioning the distinct-token table
+    # (10^8-10^9 rows on a web corpus)
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+
+
+def test_spearman_windows_only_on_support(spark):
+    """stats_spearman: the per-document table is NEVER ranked through a
+    window — the only Window nodes run over the distinct-value support
+    (each directly above its groupBy aggregate), and the value→rank maps
+    come back to the per-doc rows via broadcast joins."""
+    from ballista_mvp_spark.queries.extensions import stats_spearman
+
+    plan = _plan(stats_spearman(spark, SF_SMALL))
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window [" in l]
+    assert win_idx, "expected support-rank windows in the plan"
+    for i in win_idx:
+        below = "\n".join(lines[i + 1 : i + 5])
+        assert "HashAggregate" in below or "ObjectHashAggregate" in below, (
+            f"Window at plan line {i} is not fed by an aggregate "
+            f"(support table):\n{below}"
+        )
+    # the rank maps join back broadcast; the corpus side is never shuffled
+    # for the join
+    assert "BroadcastHashJoin" in plan
 
 
 def test_stats_histogram_broadcasts_bounds(spark):
