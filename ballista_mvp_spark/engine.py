@@ -641,25 +641,81 @@ class Engine:
             return self._versioned.get(name.lower())
 
         if (m := _VSQL_INSERT.match(q)) and (path := _path(m.group(2))):
-            # INSERT INTO <t> <query|VALUES ...> — completes the DML
-            # triad (DELETE/UPDATE/MERGE) with the append commit. SQL
-            # semantics: the source binds to the table schema BY
-            # POSITION with implicit casts (same as merge's align step);
-            # OVERWRITE truncates via an overwrite commit, previous
-            # versions stay time-travelable.
-            src_df = self.spark.sql(self._rewritten(m.group(3)))
+            # INSERT INTO <t> [(col, ...)] <query|VALUES ...> — completes
+            # the DML triad (DELETE/UPDATE/MERGE) with the append commit.
+            # SQL semantics: without a column list the source binds to
+            # the table schema BY POSITION with implicit casts (same as
+            # merge's align step); WITH a column list the source binds
+            # positionally to the NAMED columns and every unlisted
+            # column is NULL (standard INSERT semantics). OVERWRITE
+            # truncates via an overwrite commit, previous versions stay
+            # time-travelable.
+            tail, cols = m.group(3), None
+            stripped = tail.lstrip()
+            if stripped.startswith("("):
+                depth = 0
+                for i, ch in enumerate(stripped):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                else:
+                    i = -1
+                inner = stripped[1:i] if i > 0 else ""
+                rest = stripped[i + 1:].strip() if i > 0 else ""
+                names = [c.strip() for c in inner.split(",")]
+                # only a run of bare identifiers followed by a source is
+                # a column list — "(SELECT ...)" is a parenthesized query
+                if rest and all(
+                    re.fullmatch(r"[A-Za-z_]\w*", c) for c in names
+                ):
+                    cols, tail = [c.lower() for c in names], rest
+            src_df = self.spark.sql(self._rewritten(tail))
+            # positional rename sidesteps exotic source column names a
+            # bare-literal SELECT produces ("0.5" reads as a field path)
+            src_df = src_df.toDF(*[f"_c{i}" for i in range(len(src_df.columns))])
             tgt = _V.read_versioned(self.spark, path).schema
-            if len(src_df.columns) != len(tgt.fields):
-                raise ValueError(
-                    f"INSERT column count {len(src_df.columns)} != table "
-                    f"column count {len(tgt.fields)}"
+            if cols is not None:
+                tgt_names = {f.name.lower() for f in tgt.fields}
+                unknown = [c for c in cols if c not in tgt_names]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column list names not in table: {unknown}"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise ValueError(f"duplicate INSERT columns: {cols}")
+                if len(src_df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT source has {len(src_df.columns)} columns "
+                        f"but the column list names {len(cols)}"
+                    )
+                pos = {c: i for i, c in enumerate(cols)}
+                aligned = src_df.select(
+                    *[
+                        (
+                            F.col(src_df.columns[pos[f.name.lower()]])
+                            if f.name.lower() in pos
+                            else F.lit(None)
+                        )
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in tgt.fields
+                    ]
                 )
-            aligned = src_df.select(
-                *[
-                    F.col(c).cast(f.dataType).alias(f.name)
-                    for c, f in zip(src_df.columns, tgt.fields)
-                ]
-            )
+            else:
+                if len(src_df.columns) != len(tgt.fields):
+                    raise ValueError(
+                        f"INSERT column count {len(src_df.columns)} != table "
+                        f"column count {len(tgt.fields)}"
+                    )
+                aligned = src_df.select(
+                    *[
+                        F.col(c).cast(f.dataType).alias(f.name)
+                        for c, f in zip(src_df.columns, tgt.fields)
+                    ]
+                )
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
             v = _V.write_versioned(aligned, path, mode=mode)
             self.register_versioned(m.group(2), path)
@@ -722,16 +778,24 @@ class Engine:
                 window = float(m.group(3)) * 3600.0
                 kwargs["retain_seconds"] = window
                 # Delta's RETAIN protects HISTORY inside the window, not
-                # just uncommitted orphans: keep every manifest whose
-                # commit is younger than the window (time travel within
-                # the retention period survives the vacuum)
+                # just uncommitted orphans: keep every version >= the
+                # OLDEST young version number (time travel within the
+                # retention period survives the vacuum). Keeping by
+                # version number, not by counting young manifests —
+                # a count assumes mtime order matches version order,
+                # and a backup-restored old manifest with a fresh mtime
+                # would then let a version still inside the window drop
+                # while an older one is kept.
                 now = _time.time()
+                versions = _V._versions(path)
                 young = [
-                    v for v in _V._versions(path)
+                    v for v in versions
                     if now - _os.path.getmtime(_V._manifest_path(path, v))
                     < window
                 ]
-                keep = max(keep, len(young), 1)
+                if young and versions:
+                    keep = max(keep, versions[-1] - min(young) + 1)
+                keep = max(keep, 1)
             removed = _V.vacuum(path, keep_last=keep, **kwargs)
             return self.spark.createDataFrame(
                 [(removed,)], "files_removed int"

@@ -80,8 +80,11 @@ def analyze(df: DataFrame) -> dict:
     """ANALYZE (ExplainNode{analyze}, datafusion.proto:224-227 /
     AnalyzeNode): execute and report row count + the executed plan with
     runtime stats (AQE final plan). The action runs df's OWN
-    QueryExecution (collect) — df.count() would execute a DERIVED
-    aggregate plan and leave df's executed_plan un-run (isFinalPlan
-    false, no runtime stats)."""
-    n = len(df.collect())
+    QueryExecution — df.count() would execute a DERIVED aggregate plan
+    and leave df's executed_plan un-run (isFinalPlan false, no runtime
+    stats). Rows stream through toLocalIterator and are counted without
+    ever materializing the full result on the driver — ANALYZE of a
+    fact-table-sized result must not OOM the driver the way a collect()
+    would."""
+    n = sum(1 for _ in df.toLocalIterator())
     return {"rows": n, "executed_plan": executed_plan(df)}

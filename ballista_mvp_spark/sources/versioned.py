@@ -79,17 +79,59 @@ def _ledger_add(path: str, batch_ids: list) -> None:
     the exactly-once replay guard must keep seeing them, or a
     checkpoint-lagged restart after vacuum re-commits the batch. The
     ledger only ever grows (ids are tiny); os.replace keeps the update
-    atomic for readers."""
+    atomic for readers.
+
+    Writers are SERIALIZED: read-union-replace is a lost-update race
+    (two concurrent vacuums each drop different manifests; the replace
+    loser's ids vanish, re-opening the replay window the ledger exists
+    to close), so updates run under an O_EXCL lock file (stale locks
+    from a crashed holder are broken after 30 s) and, belt-and-braces,
+    the write is verified after the replace — if a racer clobbered it
+    anyway, the read-union-replace retries until every id is present."""
+    import time as _time
+
     ledger = os.path.join(path, _MANIFEST_DIR, _LEDGER)
-    ids = set()
-    if os.path.exists(ledger):
+    lock = ledger + ".lock"
+    want = set(batch_ids)
+
+    def _merged_write() -> set:
+        ids = set()
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                ids.update(json.load(fh))
+        ids.update(want)
+        tmp = ledger + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(ids), fh)
+        os.replace(tmp, ledger)
         with open(ledger) as fh:
-            ids.update(json.load(fh))
-    ids.update(batch_ids)
-    tmp = ledger + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(sorted(ids), fh)
-    os.replace(tmp, ledger)
+            return set(json.load(fh))
+
+    deadline = _time.monotonic() + 30.0
+    fd = None
+    while fd is None:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > 30.0:
+                    os.unlink(lock)  # break a crashed holder's stale lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between the open and the stat
+            if _time.monotonic() > deadline:
+                break  # proceed lockless; the verify loop still converges
+            _time.sleep(0.02)
+    try:
+        while not want <= _merged_write():
+            _time.sleep(0.01)
+    finally:
+        if fd is not None:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
 
 def committed_batch_ids(path: str) -> set:
@@ -440,14 +482,23 @@ def read_versioned(
         for pv in reversed([x for x in vs if x <= v]):
             pf = _read_manifest(path, pv)["files"]
             if pf:
-                return reader.parquet(os.path.join(path, pf[0])).limit(0)
+                # ALL files of the schema-carrying version, not just
+                # pf[0]: on a schema-evolved table mergeSchema must see
+                # the union of the evolved column set — limit(0) keeps
+                # this a footer-only read
+                return reader.parquet(
+                    *[os.path.join(path, f) for f in pf]
+                ).limit(0)
         raise FileNotFoundError(
             f"version {v} at {path} is empty and no earlier version "
             "carries a schema"
         )
     if not rel_files:
-        # every file pruned: empty result with the table's schema
-        return reader.parquet(os.path.join(path, m["files"][0])).limit(0)
+        # every file pruned: empty result with the table's FULL schema
+        # (all files — a single file may predate a schema evolution)
+        return reader.parquet(
+            *[os.path.join(path, f) for f in m["files"]]
+        ).limit(0)
     return reader.parquet(*[os.path.join(path, f) for f in rel_files])
 
 

@@ -282,3 +282,135 @@ def test_insert_into_versioned_table(spark, tmp_path):
     eng.sql("INSERT INTO plain_ins VALUES (7)")
     assert spark.table("plain_ins").count() >= 1
     spark.sql("DROP TABLE plain_ins")
+
+
+def test_insert_with_column_list(spark, tmp_path):
+    """INSERT INTO t (a, b) binds the source positionally to the NAMED
+    columns; unlisted columns become NULL (standard SQL). Previously the
+    column list was swallowed into the source text and died in an opaque
+    Catalyst parse error."""
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(
+        spark.createDataFrame(
+            [(1, "a", 1.5)], "id long, note string, score double"
+        ),
+        t,
+    )
+    eng = Engine(spark)
+    eng.register_versioned("cl_t", t)
+    # reordered column list + unlisted column -> NULL
+    eng.sql("INSERT INTO cl_t (note, id) VALUES ('b', 2)")
+    rows = {r.id: (r.note, r.score) for r in eng.sql("SELECT * FROM cl_t").collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", None)}
+    # SELECT-sourced with a column list
+    spark.createDataFrame([(3.5, 3)], "score double, id int").createOrReplaceTempView(
+        "cl_src"
+    )
+    eng.sql("INSERT INTO cl_t (score, id) SELECT score, id FROM cl_src")
+    got = eng.sql("SELECT note, score FROM cl_t WHERE id = 3").first()
+    assert got.note is None and got.score == 3.5
+    # loud errors: unknown name, arity mismatch, duplicate
+    with pytest.raises(ValueError, match="not in table"):
+        eng.sql("INSERT INTO cl_t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="names 2"):
+        eng.sql("INSERT INTO cl_t (id, note) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.sql("INSERT INTO cl_t (id, id) VALUES (1, 2)")
+    # a parenthesized QUERY source is not mistaken for a column list
+    eng.sql("INSERT INTO cl_t (SELECT 9L, 'q', 0.5)")
+    assert eng.sql("SELECT note FROM cl_t WHERE id = 9").first().note == "q"
+
+
+def test_vacuum_retain_hours_survives_mtime_skew(spark, tmp_path):
+    """RETAIN n HOURS keeps every version >= the OLDEST young version
+    NUMBER — an old manifest with a fresh mtime (backup restore, clock
+    skew) must not displace a genuinely-young version out of the kept
+    set."""
+    import os
+    import time
+
+    from ballista_mvp_spark.engine import Engine
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    for i in range(4):  # v1..v4
+        V.write_versioned(
+            spark.createDataFrame([(i,)], ["id"]), t,
+            mode="overwrite" if i == 0 else "append",
+        )
+    # age v2..v4 out of the window, then give v1 (the OLDEST) a fresh
+    # mtime as a restored-from-backup would
+    old = time.time() - 7200
+    for v in (2, 3, 4):
+        os.utime(V._manifest_path(t, v), (old, old))
+    eng = Engine(spark)
+    eng.register_versioned("sk_t", t)
+    eng.sql("VACUUM sk_t RETAIN 1 HOURS")
+    # keeping by version number: v1 young => everything >= v1 kept
+    assert V._versions(t) == [1, 2, 3, 4]
+
+
+def test_empty_version_schema_fallback_merges_evolved_schema(spark, tmp_path):
+    """A zero-file version on a schema-EVOLVED table reads back the
+    merged (union) schema of the nearest schema-carrying version —
+    previously only that version's FIRST file was consulted, dropping
+    later-added columns (the first file predates the evolution)."""
+    import json
+    import os
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], "id long"), t)
+    # schema evolution: append a file with an extra column — v2's file
+    # list is [v1-file (id), v2-file (id, extra)]
+    V.write_versioned(
+        spark.createDataFrame([(2, "x")], "id long, extra string"),
+        t,
+        mode="append",
+    )
+    # a zero-file head version (empty first stream batch shape)
+    m3 = {"version": 3, "op": "overwrite", "files": [],
+          "n_files": 0, "n_added": 0}
+    with open(V._manifest_path(t, 3), "w") as fh:
+        json.dump(m3, fh)
+    got = V.read_versioned(spark, t, merge_schema=True)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "extra"}
+
+
+def test_ledger_add_concurrent_writers_lose_no_ids(tmp_path):
+    """_ledger_add under concurrent writers: every id survives — the
+    unserialized read-modify-write lost the replace-loser's ids,
+    re-opening the exactly-once replay window."""
+    import json
+    import os
+    import threading
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, V._MANIFEST_DIR))
+    n_threads, per = 8, 10
+    errs = []
+
+    def work(k):
+        try:
+            for i in range(per):
+                V._ledger_add(path, [f"w{k}-b{i}"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(k,)) for k in range(n_threads)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    with open(os.path.join(path, V._MANIFEST_DIR, V._LEDGER)) as fh:
+        ids = set(json.load(fh))
+    want = {f"w{k}-b{i}" for k in range(n_threads) for i in range(per)}
+    assert ids == want
