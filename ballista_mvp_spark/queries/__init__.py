@@ -258,10 +258,10 @@ assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 # AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
 # that appear in NO other window (computed against rounds 4-9), plus
 # multimodal_meta (displaced from the old round-8 window by the re-cut),
-# padded to 50 with two headline bench members (a third driver row for
-# the queries the per-round bench times). After round 10, EVERY
-# oracle-backed registry query has a driver row from rounds 5-10 under
-# the final engine state. Validated by
+# plus the two round-7 deterministic ANN twins (sim_ann_lsh_det /
+# sim_ann_ivf_det — first-time certs, taking the former bench-filler
+# slots). After round 10, EVERY oracle-backed registry query has a
+# driver row from rounds 5-10 under the final engine state. Validated by
 # tests/test_oracle_queries.py::test_round10_window_prestage.
 _CERT_FIRST_ROUND10 = [
     "agg_regression", "agg_boolean", "agg_string",
@@ -281,8 +281,8 @@ _CERT_FIRST_ROUND10 = [
     "pipeline_chunk", "dedup_incremental", "profile_documents",
     # displaced from the old round-8 window by the re-cut
     "multimodal_meta",
-    # bench-member fillers
-    "tpch_q1", "dedup_exact",
+    # round-7 deterministic ANN twins (first-time certs)
+    "sim_ann_lsh_det", "sim_ann_ivf_det",
 ]
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]

@@ -3690,6 +3690,266 @@ def sim_ann_lsh(spark, sf_dir):
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
+def _ann_lsh_det_code(t: int) -> str:
+    return " + ".join(
+        "(CASE WHEN a%d_%d >= 0 THEN %d ELSE 0 END)" % (t, p, 1 << p)
+        for p in range(_EMB_DET_PLANES)
+    )
+
+
+def sim_ann_lsh_det(spark, sf_dir):
+    """Deterministic hyperplane-LSH ANN top-5 — the oracle-certified twin
+    of sim_ann_lsh with the dedup_embedding_det amplification shape (8
+    tables × 3 planes, OR across tables, seed family "annlsh"): every
+    vector gets an md5-Rademacher 3-bit sign code per table, a query's
+    candidates are the corpus vectors sharing any (table, code) bucket,
+    and candidates re-rank by EXACT cosine (rounded 6dp, id tiebreak —
+    the house determinism trick, so DuckDB replays bucket membership AND
+    the final ranking bit-for-bit). sim_ann_lsh keeps impl-defined
+    random planes (rows-only, recall pytest); this twin retires the last
+    ANN family whose correctness rested on pytest alone.
+
+    Scale shape: the 8-query code table broadcasts into the (table,
+    code) candidate join — the corpus never shuffles; ids-only travel
+    through the candidate distinct, vectors re-attach for the verify,
+    and the per-query top-5 window runs over candidate-bounded groups
+    (WindowGroupLimit prunes map-side)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dots = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                "round(0 %s, 9)"
+                % _rademacher_terms(f"annlsh:{t}:{p}", "element_at(embedding, {k})")
+            ).alias(f"a{t}_{p}")
+            for t in range(_EMB_DET_TABLES)
+            for p in range(_EMB_DET_PLANES)
+        ],
+    )
+    codes = dots.select(
+        "vec_id",
+        *[
+            F.expr(_ann_lsh_det_code(t)).alias(f"c{t}")
+            for t in range(_EMB_DET_TABLES)
+        ],
+    )
+    lng = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"c{t}").alias("code"))
+                    for t in range(_EMB_DET_TABLES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.t").alias("t"), F.col("x.code").alias("code"))
+    qcodes = lng.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "t", "code"
+    )
+    cand = (
+        lng.join(F.broadcast(qcodes), ["t", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    scored = (
+        cand.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_ANN_LSH_DET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT vec_id,
+%s
+  FROM e),
+codes AS (
+  SELECT vec_id,
+%s
+  FROM dots),
+lng AS (
+%s),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM lng q JOIN lng c ON q.t = c.t AND q.code = c.code
+  WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
+  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+            JOIN e en ON en.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+""" % (
+    ",\n".join(
+        "         round(0 %s, 9) AS a%d_%d"
+        % (_rademacher_terms(f"annlsh:{t}:{p}", "emb[{k}]"), t, p)
+        for t in range(_EMB_DET_TABLES)
+        for p in range(_EMB_DET_PLANES)
+    ),
+    ",\n".join(
+        "         %s AS c%d" % (_ann_lsh_det_code(t), t)
+        for t in range(_EMB_DET_TABLES)
+    ),
+    " UNION ALL\n".join(
+        "  SELECT vec_id, %d AS t, c%d AS code FROM codes" % (t, t)
+        for t in range(_EMB_DET_TABLES)
+    ),
+)
+
+
+_ANN_IVF_DET_PLANES, _ANN_IVF_DET_PROBE = 4, 4
+
+
+def sim_ann_ivf_det(spark, sf_dir):
+    """Deterministic IVF ANN top-5 — the oracle-certified twin of
+    sim_ann_ivf with a SQL-replayable coarse quantizer: the 16 cells are
+    the sign codes of 4 md5-Rademacher hyperplanes (seed family
+    "annivf"), each cell's centroid is its member mean (64 per-dim avgs,
+    rounded 9dp on both engines), a query probes its 4 nearest centroids
+    by rounded cosine (cell-id tiebreak), and probed-cell members
+    re-rank by EXACT cosine. The genuine IVF shape — coarse assign →
+    centroid probe → in-cell verify — with every stage value-checked
+    cross-engine; sim_ann_ivf keeps the k-means quantizer (rows-only,
+    recall pytest).
+
+    Scale shape: the cell assignment is a scan-side expression (no
+    shuffle), centroids are one 16-group map-side-combined aggregate,
+    the probe is a broadcast of 16 centroids against 8 queries, and
+    candidates come from a broadcast of the 32 (query, cell) probes
+    into the corpus's cell column — the corpus is never shuffled."""
+    cell_sql = " + ".join(
+        "(CASE WHEN round(0 %s, 9) >= 0 THEN %d ELSE 0 END)"
+        % (
+            _rademacher_terms(f"annivf:{p}", "element_at(embedding, {k})"),
+            1 << p,
+        )
+        for p in range(_ANN_IVF_DET_PLANES)
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cells = emb.select("vec_id", "embedding", F.expr(cell_sql).alias("cell"))
+    cent = (
+        cells.groupBy("cell")
+        .agg(
+            *[
+                F.round(F.avg(F.element_at(F.col("embedding"), i)), 9).alias(
+                    f"m{i}"
+                )
+                for i in range(1, 65)
+            ]
+        )
+        .select(
+            "cell", F.array(*[f"m{i}" for i in range(1, 65)]).alias("cv")
+        )
+    )
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wprobe = W.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cent_sim"),
+        )
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= _ANN_IVF_DET_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("qv"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_ANN_IVF_DET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cells AS (
+  SELECT vec_id, emb,
+         %s AS cell
+  FROM e),
+cent AS (
+  SELECT cell, list_value(%s) AS cv
+  FROM cells GROUP BY cell),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, cent.cv), 6) DESC,
+                      cent.cell) AS pr
+    FROM q CROSS JOIN cent)
+  WHERE pr <= %d),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, c.emb), 6) AS cos_sim
+  FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+""" % (
+    " + ".join(
+        "(CASE WHEN round(0 %s, 9) >= 0 THEN %d ELSE 0 END)"
+        % (_rademacher_terms(f"annivf:{p}", "emb[{k}]"), 1 << p)
+        for p in range(_ANN_IVF_DET_PLANES)
+    ),
+    ", ".join("round(avg(emb[%d]), 9)" % i for i in range(1, 65)),
+    _ANN_IVF_DET_PROBE,
+)
+
+
 # -- text analysis -----------------------------------------------------------
 
 
@@ -4835,9 +5095,11 @@ QUERIES = {
     "sim_outliers": sim_outliers,
     "sim_quantize": sim_quantize,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_lsh_det": sim_ann_lsh_det,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_det": sim_ann_ivf_det,
     "text_tokens": text_tokens,
     "text_tokens_cjk": text_tokens_cjk,
     "text_quality": text_quality,
@@ -4919,6 +5181,8 @@ ORACLES = {
     "scd2_merge_customers": SCD2_ORACLE,
     "scd2_point_in_time": SCD2_PIT_ORACLE,
     "sim_topk": SIM_TOPK_ORACLE,
+    "sim_ann_lsh_det": SIM_ANN_LSH_DET_ORACLE,
+    "sim_ann_ivf_det": SIM_ANN_IVF_DET_ORACLE,
     "sim_hybrid_rrf": SIM_HYBRID_RRF_ORACLE,
     "sim_maxsim": SIM_MAXSIM_ORACLE,
     "sim_outliers": SIM_OUTLIERS_ORACLE,

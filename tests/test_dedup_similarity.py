@@ -420,3 +420,28 @@ def test_cosine_zero_vector_yields_zero_not_divide_error(spark):
     assert ortho and all(s == 0.0 for s in ortho)
     same = {(r.query_id, r.neighbor_id): r.cos_sim for r in out}
     assert same[(1, 3)] is not None
+
+
+def test_ann_det_twins_recall_and_plan(spark):
+    """The deterministic ANN twins (md5-Rademacher buckets / cells +
+    exact re-rank) keep useful recall vs brute force AND compile to the
+    broadcast shape: the corpus side is never shuffled for the candidate
+    join, and no cartesian appears (the 16-centroid probe broadcast is a
+    bounded nested-loop by construction)."""
+    from ballista_mvp_spark.queries.extensions import (
+        sim_ann_ivf_det,
+        sim_ann_lsh_det,
+        sim_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    for fn, floor in ((sim_ann_lsh_det, 0.3), (sim_ann_ivf_det, 0.3)):
+        df = fn(spark, SF_SMALL)
+        approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, f"{fn.__name__} recall {recall:.2f}"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan

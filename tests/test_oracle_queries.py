@@ -311,8 +311,9 @@ def test_round9_window_prestage():
 
 def test_round10_window_prestage():
     """The pre-staged round-10 certification window: every oracle-backed
-    query outside windows 4-9, padded with two bench members — after
-    it, all oracle-backed queries hold a rounds-5-10 driver row."""
+    query outside windows 4-9 (including the round-7 deterministic ANN
+    twins) — after it, all oracle-backed queries hold a rounds-5-10
+    driver row."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
@@ -329,8 +330,9 @@ def test_round10_window_prestage():
     used = (set(_CERT_FIRST_ROUND4) | set(_CERT_FIRST_ROUND5)
             | set(_CERT_FIRST_ROUND6) | set(_CERT_FIRST_ROUND7)
             | set(_CERT_FIRST_ROUND8) | set(_CERT_FIRST_ROUND9))
-    fillers = {"tpch_q1", "dedup_exact"}
-    assert set(_CERT_FIRST_ROUND10) - used == set(_CERT_FIRST_ROUND10) - fillers
+    # every member is a first-time cert: no overlap with windows 4-9
+    assert not set(_CERT_FIRST_ROUND10) & used
+    assert {"sim_ann_lsh_det", "sim_ann_ivf_det"} <= set(_CERT_FIRST_ROUND10)
     # completeness: windows 4-10 + rows-only = the whole registry
     leftover = set(ALL_ORACLES) - used - set(_CERT_FIRST_ROUND10)
     assert not leftover, f"oracle-backed queries in no window: {leftover}"
