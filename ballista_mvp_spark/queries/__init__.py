@@ -279,10 +279,11 @@ _CERT_FIRST_ROUND10 = [
     "dedup_clusters", "pipeline_mixture", "pipeline_quota",
     "pipeline_shuffle", "pipeline_funnel", "pipeline_budget",
     "pipeline_chunk", "dedup_incremental", "profile_documents",
-    # displaced from the old round-8 window by the re-cut
-    "multimodal_meta",
-    # round-7 deterministic ANN twins (first-time certs)
-    "sim_ann_lsh_det", "sim_ann_ivf_det",
+    # round-7 deterministic ANN twins (first-time certs; multimodal_meta
+    # yielded its slot to sim_ann_pq_det — it already holds an r2
+    # hash-green driver row, while the twins would otherwise never be
+    # driver-certified)
+    "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det",
 ]
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]

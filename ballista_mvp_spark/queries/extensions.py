@@ -3826,6 +3826,30 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 _ANN_IVF_DET_PLANES, _ANN_IVF_DET_PROBE = 4, 4
+_PQ_DET_M, _PQ_DET_DSUB, _PQ_DET_PLANES, _PQ_DET_RERANK = 8, 8, 4, 50
+
+
+def _pq_det_plane(seed: str, elem_fmt: str, mi: int) -> str:
+    """±element chain for one md5-seeded Rademacher plane over subspace
+    mi's 8 dims (elements mi*8+1 .. mi*8+8) — same one-generator-two-
+    engines scheme as _rademacher_terms."""
+    import hashlib
+
+    parts = []
+    for j in range(_PQ_DET_DSUB):
+        h = int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:15], 16)
+        parts.append(
+            ("+ " if h & 1 else "- ") + elem_fmt.format(k=mi * _PQ_DET_DSUB + j + 1)
+        )
+    return " ".join(parts)
+
+
+def _pq_det_code(mi: int, elem_fmt: str) -> str:
+    return " + ".join(
+        "(CASE WHEN round(0 %s, 9) >= 0 THEN %d ELSE 0 END)"
+        % (_pq_det_plane(f"annpq:{mi}:{p}", elem_fmt, mi), 1 << p)
+        for p in range(_PQ_DET_PLANES)
+    )
 
 
 def sim_ann_ivf_det(spark, sf_dir):
@@ -3908,6 +3932,186 @@ def sim_ann_ivf_det(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+def sim_ann_pq_det(spark, sf_dir):
+    """Deterministic PQ-ADC ANN top-5 — the oracle-certified twin of
+    sim_ann_ivfpq's PQ leg with a SQL-replayable sub-quantizer: each of
+    the 8 8-dim subspaces quantizes by the sign code of 4 md5-Rademacher
+    planes (16 codewords/subspace, seed family "annpq"), codewords are
+    the member means (rounded 9dp both engines), a query precomputes its
+    128-entry subspace-distance table (squared L2 to every codeword),
+    candidates score by ADC — the SUM of 8 table lookups, never a 64-dim
+    dot — and the approximate top-50 re-ranks by exact cosine (rounded
+    6dp, id tiebreaks throughout). The full PQ mechanics (encode →
+    distance table → ADC → recall-repair re-rank) are value-checked
+    cross-engine; sim_ann_ivfpq keeps the k-means codebooks (rows-only,
+    recall pytest).
+
+    Scale shape: the encode is scan-side sign arithmetic (no shuffle,
+    no codebook join); the 128-codeword table and the 8×128-row query
+    LUT broadcast; the ADC is one groupBy(query, vec) over 8 rows per
+    (query, vector) — at 10⁹ vectors the scan carries 8 small ints per
+    vector, the PQ memory story. Window top-k cuts are per-query,
+    WindowGroupLimit-prunable."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(_pq_det_code(mi, "element_at(embedding, {k})")).alias(
+                f"k{mi}"
+            )
+            for mi in range(_PQ_DET_M)
+        ],
+    )
+    lng = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("mi"),
+                        F.col(f"k{mi}").alias("code"),
+                        F.slice(
+                            F.col("embedding"), mi * _PQ_DET_DSUB + 1, _PQ_DET_DSUB
+                        ).alias("sub"),
+                    )
+                    for mi in range(_PQ_DET_M)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id",
+        F.col("x.mi").alias("mi"),
+        F.col("x.code").alias("code"),
+        F.col("x.sub").alias("sub"),
+    )
+    cent = lng.groupBy("mi", "code").agg(
+        *[
+            F.round(F.avg(F.element_at(F.col("sub"), j)), 9).alias(f"m{j}")
+            for j in range(1, _PQ_DET_DSUB + 1)
+        ]
+    ).select(
+        "mi",
+        "code",
+        F.array(*[f"m{j}" for j in range(1, _PQ_DET_DSUB + 1)]).alias("cv"),
+    )
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    lut = qv.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "mi",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("qv"),
+                        F.col("mi") * _PQ_DET_DSUB + 1,
+                        F.lit(_PQ_DET_DSUB),
+                    ),
+                    F.col("cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        ).alias("qd"),
+    )
+    adc = (
+        lng.select("vec_id", "mi", "code")
+        .join(F.broadcast(lut), ["mi", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_d"))
+    )
+    wa = W.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    approx = (
+        adc.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= _PQ_DET_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        approx.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_ANN_PQ_DET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+lng AS (
+%s),
+cent AS (
+  SELECT mi, code, list_value(%s) AS cv
+  FROM lng GROUP BY mi, code),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 8),
+lut AS (
+  SELECT q.query_id, cent.mi, cent.code,
+         round(list_aggregate(list_transform(generate_series(1, %d),
+             j -> (q.qv[cent.mi * %d + j] - cent.cv[j])
+                  * (q.qv[cent.mi * %d + j] - cent.cv[j])), 'sum'), 9) AS qd
+  FROM q CROSS JOIN cent),
+adc AS (
+  SELECT l.query_id, c.vec_id, round(sum(l.qd), 6) AS adc_d
+  FROM lng c JOIN lut l ON c.mi = l.mi AND c.code = l.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id),
+approx AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d ASC, vec_id ASC) AS rk
+    FROM adc)
+  WHERE rk <= %d),
+scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
+  FROM approx a JOIN e eq ON eq.vec_id = a.query_id
+                JOIN e en ON en.vec_id = a.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+""" % (
+    " UNION ALL\n".join(
+        "  SELECT vec_id, %d AS mi, %s AS code,\n"
+        "         list_slice(emb, %d, %d) AS sub FROM e"
+        % (
+            mi,
+            _pq_det_code(mi, "emb[{k}]"),
+            mi * _PQ_DET_DSUB + 1,
+            (mi + 1) * _PQ_DET_DSUB,
+        )
+        for mi in range(_PQ_DET_M)
+    ),
+    ", ".join(
+        "round(avg(sub[%d]), 9)" % j for j in range(1, _PQ_DET_DSUB + 1)
+    ),
+    _PQ_DET_DSUB,
+    _PQ_DET_DSUB,
+    _PQ_DET_DSUB,
+    _PQ_DET_RERANK,
+)
 
 
 SIM_ANN_IVF_DET_ORACLE = """
@@ -5100,6 +5304,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_det": sim_ann_ivf_det,
+    "sim_ann_pq_det": sim_ann_pq_det,
     "text_tokens": text_tokens,
     "text_tokens_cjk": text_tokens_cjk,
     "text_quality": text_quality,
@@ -5183,6 +5388,7 @@ ORACLES = {
     "sim_topk": SIM_TOPK_ORACLE,
     "sim_ann_lsh_det": SIM_ANN_LSH_DET_ORACLE,
     "sim_ann_ivf_det": SIM_ANN_IVF_DET_ORACLE,
+    "sim_ann_pq_det": SIM_ANN_PQ_DET_ORACLE,
     "sim_hybrid_rrf": SIM_HYBRID_RRF_ORACLE,
     "sim_maxsim": SIM_MAXSIM_ORACLE,
     "sim_outliers": SIM_OUTLIERS_ORACLE,

@@ -431,13 +431,18 @@ def test_ann_det_twins_recall_and_plan(spark):
     from ballista_mvp_spark.queries.extensions import (
         sim_ann_ivf_det,
         sim_ann_lsh_det,
+        sim_ann_pq_det,
         sim_topk,
     )
 
     exact = {
         (r.query_id, r.neighbor_id) for r in sim_topk(spark, SF_SMALL).collect()
     }
-    for fn, floor in ((sim_ann_lsh_det, 0.3), (sim_ann_ivf_det, 0.3)):
+    for fn, floor in (
+        (sim_ann_lsh_det, 0.3),
+        (sim_ann_ivf_det, 0.3),
+        (sim_ann_pq_det, 0.3),
+    ):
         df = fn(spark, SF_SMALL)
         approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
         recall = len(exact & approx) / len(exact)

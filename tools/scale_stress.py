@@ -403,6 +403,93 @@ def _skew_stress(spark, mults) -> None:
         conf.set("spark.sql.autoBroadcastJoinThreshold", bj0)
 
 
+def _stats_stress(spark, mults) -> None:
+    """Measured scale datapoints for the round-5 stats family (VERDICT
+    r6 #7): the KS / Mann-Whitney / Spearman shapes all collapse the
+    corpus to the distinct-value SUPPORT via a map-side-combined groupBy
+    before any window runs, so wall time should scale with the SCAN, and
+    the single-partition window cost stays bounded by the support. Each
+    tier synthesizes m × 1M rows (value support pinned at ~3000 for the
+    two-sample tests, ~5000/10000 for the spearman x/y axes), runs the
+    exact query shapes (queries/extensions.py), and records corpus rows,
+    support rows, the support/corpus ratio, and wall seconds."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    for m in mults:
+        n = m * 1_000_000
+        base = spark.range(n).select(
+            "id",
+            (F.pmod(F.xxhash64("id"), F.lit(3000)) + 50).alias("n_chars"),
+            F.when(F.pmod(F.col("id"), F.lit(2)) == 0, "src0")
+            .otherwise("src1")
+            .alias("source"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5000)).alias("x"),
+            F.round(
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)) / 10000.0, 9
+            ).alias("y"),
+        )
+
+        def timed(label, thunk):
+            t0 = time.perf_counter()
+            out = thunk()
+            dt = time.perf_counter() - t0
+            print(f"x{m:<4} rows={n:<10} {label:<18} {out}  {dt:6.2f}s",
+                  flush=True)
+
+        def ks():
+            cells = base.groupBy("n_chars").agg(
+                F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+                F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+            )
+            wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+            ecdf = cells.select(
+                (F.sum("ca").over(wcum) / F.sum("ca").over(W.partitionBy())).alias("fa"),
+                (F.sum("cb").over(wcum) / F.sum("cb").over(W.partitionBy())).alias("fb"),
+            )
+            d = ecdf.agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("d")).first().d
+            s = cells.count()
+            return f"support={s} ({s/n:.2e} of corpus) ks_d={d}"
+
+        def mw():
+            cells = base.groupBy("n_chars").agg(
+                F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+                F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+            )
+            wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+            t = F.col("ca") + F.col("cb")
+            ranked = cells.select("ca", t.alias("t"), F.sum(t).over(wcum).alias("cum"))
+            agg = ranked.agg(
+                F.sum(F.col("ca") * (2 * F.col("cum") - F.col("t") + 1)).alias("ra2"),
+                F.sum("ca").alias("na"),
+                F.sum(F.col("t") - F.col("ca")).alias("nb"),
+            ).first()
+            u_a = (agg.ra2 - agg.na * (agg.na + 1)) / 2.0
+            s = cells.count()
+            return f"support={s} ({s/n:.2e} of corpus) u_a={u_a:.3e}"
+
+        def spearman():
+            per = base.select("x", "y")
+
+            def rank_map(col):
+                cells = per.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+                wcum = W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+                return cells.select(
+                    col,
+                    (F.sum("_t").over(wcum) - (F.col("_t") - 1) / 2.0).alias(f"r{col}"),
+                )
+
+            ranked = per.join(rank_map("x"), "x").join(rank_map("y"), "y")
+            rho = ranked.agg(F.round(F.corr("rx", "ry"), 6).alias("r")).first().r
+            sx = per.select("x").distinct().count()
+            sy = per.select("y").distinct().count()
+            return f"support_x={sx} support_y={sy} ({(sx+sy)/n:.2e}) rho={rho}"
+
+        timed("stats_ks_test", ks)
+        timed("stats_mannwhitney", mw)
+        timed("stats_spearman", spearman)
+
+
 def _mutate_stress(spark, sf_dir, mults) -> None:
     """Fixed-size MERGE/DELETE cost vs table size: with key-clustered
     files + manifest min/max stats, a constant-size mutation must
@@ -466,6 +553,7 @@ def main() -> None:
     do_components = "--components" in args
     do_graph = "--graph" in args
     do_skew = "--skew" in args
+    do_stats = "--stats" in args
     do_mutate = "--mutate" in args
     only = None
     if "--only" in args:
@@ -476,7 +564,7 @@ def main() -> None:
         int(a)
         for a in args
         if a not in ("--ann", "--index", "--components", "--mutate",
-                     "--graph", "--skew")
+                     "--graph", "--skew", "--stats")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
     if do_mutate:
@@ -490,6 +578,9 @@ def main() -> None:
         return
     if do_skew:
         _skew_stress(spark, mults)
+        return
+    if do_stats:
+        _stats_stress(spark, mults)
         return
     if do_index:
         _index_stress(spark, sf_dir, mults)
