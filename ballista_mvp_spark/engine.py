@@ -71,8 +71,10 @@ _VSQL_UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
+# \s* before the tail: "INSERT INTO t(a, b) VALUES ..." (no space before
+# the column list) is the most common SQL spacing and must dispatch too
 _VSQL_INSERT = re.compile(
-    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.+?)\s*;?\s*$",
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*(.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _VSQL_MERGE = re.compile(
@@ -666,11 +668,25 @@ class Engine:
                 inner = stripped[1:i] if i > 0 else ""
                 rest = stripped[i + 1:].strip() if i > 0 else ""
                 names = [c.strip() for c in inner.split(",")]
-                # only a run of bare identifiers followed by a source is
-                # a column list — "(SELECT ...)" is a parenthesized query
-                if rest and all(
-                    re.fullmatch(r"[A-Za-z_]\w*", c) for c in names
-                ):
+                # a parenthesized group FOLLOWED BY a source keyword is a
+                # column list ("(SELECT ...)" alone, or "(SELECT...) UNION
+                # ..." is a parenthesized query and passes through)
+                in_list_position = bool(
+                    rest
+                    and re.match(r"(?i)^(VALUES\b|SELECT\b|WITH\b|TABLE\b|\()", rest)
+                )
+                if in_list_position:
+                    bad = [
+                        c for c in names
+                        if not re.fullmatch(r"[A-Za-z_]\w*", c)
+                    ]
+                    if bad:
+                        # loud, not an opaque Catalyst parse error on the
+                        # swallowed list (quoted/qualified identifiers)
+                        raise ValueError(
+                            "unsupported INSERT column-list entries "
+                            f"(bare identifiers only): {bad}"
+                        )
                     cols, tail = [c.lower() for c in names], rest
             src_df = self.spark.sql(self._rewritten(tail))
             # positional rename sidesteps exotic source column names a

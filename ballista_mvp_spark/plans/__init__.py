@@ -82,9 +82,14 @@ def analyze(df: DataFrame) -> dict:
     runtime stats (AQE final plan). The action runs df's OWN
     QueryExecution — df.count() would execute a DERIVED aggregate plan
     and leave df's executed_plan un-run (isFinalPlan false, no runtime
-    stats). Rows stream through toLocalIterator and are counted without
-    ever materializing the full result on the driver — ANALYZE of a
-    fact-table-sized result must not OOM the driver the way a collect()
-    would."""
-    n = sum(1 for _ in df.toLocalIterator())
+    stats). The count runs entirely JVM-side against that plan's RDD
+    (executedPlan().execute().count()): no row ever crosses to Python,
+    so a fact-table-sized ANALYZE neither OOMs the driver (collect)
+    nor crawls through the single Py4J socket (toLocalIterator). The
+    Py4J path is private API, so a streamed Python count remains as
+    the fallback."""
+    try:
+        n = df._jdf.queryExecution().executedPlan().execute().count()
+    except Exception:
+        n = sum(1 for _ in df.toLocalIterator())
     return {"rows": n, "executed_plan": executed_plan(df)}

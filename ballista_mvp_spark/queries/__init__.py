@@ -199,8 +199,10 @@ assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
 
 # Active window: the driver certifies the FIRST 50 registry entries in
 # insertion order — reorder the registry so the round-7 window leads.
-# After this window lands, EVERY oracle-backed registry query holds a
-# driver row; rounds 8-10 are re-certification under the final engine.
+# After this window lands, every oracle-backed query that existed at
+# round-7 start holds a driver row; the three round-7 deterministic ANN
+# twins (added mid-round) are first-time certs in the round-10 window,
+# and rounds 8-9 are re-certification under the final engine.
 _CERT_FIRST = _CERT_FIRST_ROUND7
 _first = set(_CERT_FIRST)
 ALL_QUERIES = {
@@ -257,11 +259,12 @@ assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 # ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
 # AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
 # that appear in NO other window (computed against rounds 4-9), plus
-# multimodal_meta (displaced from the old round-8 window by the re-cut),
-# plus the two round-7 deterministic ANN twins (sim_ann_lsh_det /
-# sim_ann_ivf_det — first-time certs, taking the former bench-filler
-# slots). After round 10, EVERY oracle-backed registry query has a
-# driver row from rounds 5-10 under the final engine state. Validated by
+# the three round-7 deterministic ANN twins (sim_ann_lsh_det /
+# sim_ann_ivf_det / sim_ann_pq_det — first-time certs; they take the
+# former bench-filler slots and multimodal_meta's, which already holds
+# an r2 hash-green row). After round 10, EVERY oracle-backed registry
+# query has a driver row (multimodal_meta's from round 2, all others
+# from rounds 4-10). Validated by
 # tests/test_oracle_queries.py::test_round10_window_prestage.
 _CERT_FIRST_ROUND10 = [
     "agg_regression", "agg_boolean", "agg_string",

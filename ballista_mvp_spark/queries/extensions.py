@@ -473,29 +473,40 @@ def dedup_embedding_exact(spark, sf_dir):
     return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy("a", "b")
 
 
-def _rademacher_terms(seed: str, elem_fmt: str) -> str:
+def _rademacher_terms(
+    seed: str, elem_fmt: str, dims: int = 64, offset: int = 0
+) -> str:
     """±element term chain for one md5-seeded Rademacher hyperplane:
     sign(seed, i) = parity of the same 60-bit md5 integer both engines
     can compute, materialized here as inline +/- literals so the Spark
     and DuckDB expressions are textually derived from ONE generator and
-    the dot product evaluates left-to-right identically in both."""
+    the dot product evaluates left-to-right identically in both.
+    ``dims``/``offset`` carve a subspace plane (elements offset+1 ..
+    offset+dims) for the PQ twins — ONE generator for every det query,
+    so the sign scheme can never drift between families."""
     import hashlib
 
     parts = []
-    for i in range(64):
+    for i in range(dims):
         h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
-        parts.append(("+ " if h & 1 else "- ") + elem_fmt.format(k=i + 1))
+        parts.append(("+ " if h & 1 else "- ") + elem_fmt.format(k=offset + i + 1))
     return " ".join(parts)
+
+
+def _sign_code(t: int, prefix: str, planes: int) -> str:
+    """P-bit bucket id from the P plane-dot sign bits (columns
+    ``{prefix}{t}_{p}``) — shared by every det LSH family."""
+    return " + ".join(
+        "(CASE WHEN %s%d_%d >= 0 THEN %d ELSE 0 END)" % (prefix, t, p, 1 << p)
+        for p in range(planes)
+    )
 
 
 _EMB_DET_TABLES, _EMB_DET_PLANES = 8, 3
 
 
 def _emb_det_code(t: int) -> str:
-    return " + ".join(
-        "(CASE WHEN d%d_%d >= 0 THEN %d ELSE 0 END)" % (t, p, 1 << p)
-        for p in range(_EMB_DET_PLANES)
-    )
+    return _sign_code(t, "d", _EMB_DET_PLANES)
 
 
 def dedup_embedding_det(spark, sf_dir):
@@ -3690,29 +3701,36 @@ def sim_ann_lsh(spark, sf_dir):
     return S.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
+_ANN_LSH_DET_TABLES, _ANN_LSH_DET_PLANES = 8, 4
+
+
 def _ann_lsh_det_code(t: int) -> str:
-    return " + ".join(
-        "(CASE WHEN a%d_%d >= 0 THEN %d ELSE 0 END)" % (t, p, 1 << p)
-        for p in range(_EMB_DET_PLANES)
-    )
+    return _sign_code(t, "a", _ANN_LSH_DET_PLANES)
 
 
 def sim_ann_lsh_det(spark, sf_dir):
     """Deterministic hyperplane-LSH ANN top-5 — the oracle-certified twin
-    of sim_ann_lsh with the dedup_embedding_det amplification shape (8
-    tables × 3 planes, OR across tables, seed family "annlsh"): every
-    vector gets an md5-Rademacher 3-bit sign code per table, a query's
-    candidates are the corpus vectors sharing any (table, code) bucket,
-    and candidates re-rank by EXACT cosine (rounded 6dp, id tiebreak —
-    the house determinism trick, so DuckDB replays bucket membership AND
-    the final ranking bit-for-bit). sim_ann_lsh keeps impl-defined
-    random planes (rows-only, recall pytest); this twin retires the last
-    ANN family whose correctness rested on pytest alone.
+    of sim_ann_lsh (8 tables × 4 planes, OR across tables, seed family
+    "annlsh"): every vector gets an md5-Rademacher 4-bit sign code per
+    table, a query's candidates are the corpus vectors sharing any
+    (table, code) bucket, and candidates re-rank by EXACT cosine
+    (rounded 6dp, id tiebreak — the house determinism trick, so DuckDB
+    replays bucket membership AND the final ranking bit-for-bit).
+    sim_ann_lsh keeps impl-defined random planes (rows-only, recall
+    pytest); this twin retires the last ANN family whose correctness
+    rested on pytest alone.
 
-    Scale shape: the 8-query code table broadcasts into the (table,
-    code) candidate join — the corpus never shuffles; ids-only travel
-    through the candidate distinct, vectors re-attach for the verify,
-    and the per-query top-5 window runs over candidate-bounded groups
+    Scale shape, stated honestly: a random vector collides with
+    ≈ (1 − (1 − 2⁻ᴾ)ᵀ)·N corpus vectors (P=4, T=8 → ~40%), while NEAR
+    vectors collide with cosine-dependent probability 1−(1−((1−θ/π))ᴾ)ᵀ
+    — the LSH contrast that makes the verify candidate-bounded in
+    practice; P is the corpus-scale knob (planes grow ~log N to hold
+    the candidate fraction). The 8-query code table broadcasts into the
+    (table, code) candidate join, so the corpus is never shuffled to
+    FIND candidates; ids-only travel through the candidate distinct,
+    and the verify re-attaches vectors via one keyed equi-join on the
+    candidate ids (a shuffle proportional to candidates, not corpus²).
+    The per-query top-5 window runs over candidate-bounded groups
     (WindowGroupLimit prunes map-side)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -3724,15 +3742,15 @@ def sim_ann_lsh_det(spark, sf_dir):
                 "round(0 %s, 9)"
                 % _rademacher_terms(f"annlsh:{t}:{p}", "element_at(embedding, {k})")
             ).alias(f"a{t}_{p}")
-            for t in range(_EMB_DET_TABLES)
-            for p in range(_EMB_DET_PLANES)
+            for t in range(_ANN_LSH_DET_TABLES)
+            for p in range(_ANN_LSH_DET_PLANES)
         ],
     )
     codes = dots.select(
         "vec_id",
         *[
             F.expr(_ann_lsh_det_code(t)).alias(f"c{t}")
-            for t in range(_EMB_DET_TABLES)
+            for t in range(_ANN_LSH_DET_TABLES)
         ],
     )
     lng = codes.select(
@@ -3741,7 +3759,7 @@ def sim_ann_lsh_det(spark, sf_dir):
             F.array(
                 *[
                     F.struct(F.lit(t).alias("t"), F.col(f"c{t}").alias("code"))
-                    for t in range(_EMB_DET_TABLES)
+                    for t in range(_ANN_LSH_DET_TABLES)
                 ]
             )
         ).alias("x"),
@@ -3811,16 +3829,16 @@ WHERE rank <= 5 ORDER BY query_id, rank
     ",\n".join(
         "         round(0 %s, 9) AS a%d_%d"
         % (_rademacher_terms(f"annlsh:{t}:{p}", "emb[{k}]"), t, p)
-        for t in range(_EMB_DET_TABLES)
-        for p in range(_EMB_DET_PLANES)
+        for t in range(_ANN_LSH_DET_TABLES)
+        for p in range(_ANN_LSH_DET_PLANES)
     ),
     ",\n".join(
         "         %s AS c%d" % (_ann_lsh_det_code(t), t)
-        for t in range(_EMB_DET_TABLES)
+        for t in range(_ANN_LSH_DET_TABLES)
     ),
     " UNION ALL\n".join(
         "  SELECT vec_id, %d AS t, c%d AS code FROM codes" % (t, t)
-        for t in range(_EMB_DET_TABLES)
+        for t in range(_ANN_LSH_DET_TABLES)
     ),
 )
 
@@ -3829,25 +3847,23 @@ _ANN_IVF_DET_PLANES, _ANN_IVF_DET_PROBE = 4, 4
 _PQ_DET_M, _PQ_DET_DSUB, _PQ_DET_PLANES, _PQ_DET_RERANK = 8, 8, 4, 50
 
 
-def _pq_det_plane(seed: str, elem_fmt: str, mi: int) -> str:
-    """±element chain for one md5-seeded Rademacher plane over subspace
-    mi's 8 dims (elements mi*8+1 .. mi*8+8) — same one-generator-two-
-    engines scheme as _rademacher_terms."""
-    import hashlib
-
-    parts = []
-    for j in range(_PQ_DET_DSUB):
-        h = int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:15], 16)
-        parts.append(
-            ("+ " if h & 1 else "- ") + elem_fmt.format(k=mi * _PQ_DET_DSUB + j + 1)
-        )
-    return " ".join(parts)
-
-
 def _pq_det_code(mi: int, elem_fmt: str) -> str:
+    """P-bit sub-quantizer code for subspace mi: sign bits of
+    _PQ_DET_PLANES md5-Rademacher planes carved over the subspace's
+    dims via _rademacher_terms(dims, offset) — the ONE shared sign
+    generator, inlined (no intermediate columns, the encode is pure
+    scan-side arithmetic)."""
     return " + ".join(
         "(CASE WHEN round(0 %s, 9) >= 0 THEN %d ELSE 0 END)"
-        % (_pq_det_plane(f"annpq:{mi}:{p}", elem_fmt, mi), 1 << p)
+        % (
+            _rademacher_terms(
+                f"annpq:{mi}:{p}",
+                elem_fmt,
+                dims=_PQ_DET_DSUB,
+                offset=mi * _PQ_DET_DSUB,
+            ),
+            1 << p,
+        )
         for p in range(_PQ_DET_PLANES)
     )
 

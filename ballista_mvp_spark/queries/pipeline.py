@@ -2194,12 +2194,16 @@ def dedup_cross_source(spark, sf_dir):
     fan-out). Only pairs with ≥1 shared cluster are emitted.
 
     The corpus is augmented with a deterministic 'mirror' source — the
-    25 lowest-doc_id documents republished verbatim under a new source
-    label — so the matrix is NEVER vacuously empty: a 0=0 oracle match
-    on a corpus with no natural cross-source reprints would certify
-    nothing (the round-6 harness lesson). The mirror slice is
-    oracle-replayable (ORDER BY doc_id LIMIT 25 on both engines) and
-    any natural cross-source duplicates still surface alongside it."""
+    25 lowest-doc_id documents republished verbatim under the reserved
+    label 'mirror' — a PLANTED POSITIVE CONTROL, clearly labeled in the
+    output: rows with source_b = 'mirror' prove the detector fires (a
+    0=0 oracle match on a corpus with no natural reprints would certify
+    nothing — the round-6 harness lesson), and consumers read the raw
+    cross-source matrix by filtering source_b != 'mirror'. The control
+    slice is oracle-replayable (ORDER BY doc_id LIMIT 25 on both
+    engines); natural cross-source duplicates surface alongside it,
+    unchanged. The reusable operator (operators/dedup.py) plants
+    nothing — the control lives only in this registry artifact."""
     docs = _t(spark, sf_dir, "documents")
     mirror = (
         docs.orderBy("doc_id")

@@ -84,54 +84,31 @@ def _ledger_add(path: str, batch_ids: list) -> None:
     Writers are SERIALIZED: read-union-replace is a lost-update race
     (two concurrent vacuums each drop different manifests; the replace
     loser's ids vanish, re-opening the replay window the ledger exists
-    to close), so updates run under an O_EXCL lock file (stale locks
-    from a crashed holder are broken after 30 s) and, belt-and-braces,
-    the write is verified after the replace — if a racer clobbered it
-    anyway, the read-union-replace retries until every id is present."""
-    import time as _time
+    to close). Updates hold an advisory flock(LOCK_EX) on a persistent
+    sidecar — the kernel releases it when the holder dies, so there is
+    no stale-lock state and no break-the-lock race (an O_EXCL + mtime
+    scheme has both: two waiters can each unlink the other's fresh lock,
+    and a timed-out writer going lockless can lose a concurrent writer's
+    ids FOREVER — its verify read only covers its own). The read happens
+    INSIDE the lock, so the union always starts from the latest state."""
+    import fcntl
 
     ledger = os.path.join(path, _MANIFEST_DIR, _LEDGER)
     lock = ledger + ".lock"
-    want = set(batch_ids)
-
-    def _merged_write() -> set:
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
         ids = set()
         if os.path.exists(ledger):
             with open(ledger) as fh:
                 ids.update(json.load(fh))
-        ids.update(want)
+        ids.update(batch_ids)
         tmp = ledger + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(sorted(ids), fh)
-        os.replace(tmp, ledger)
-        with open(ledger) as fh:
-            return set(json.load(fh))
-
-    deadline = _time.monotonic() + 30.0
-    fd = None
-    while fd is None:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                if _time.time() - os.path.getmtime(lock) > 30.0:
-                    os.unlink(lock)  # break a crashed holder's stale lock
-                    continue
-            except FileNotFoundError:
-                continue  # holder released between the open and the stat
-            if _time.monotonic() > deadline:
-                break  # proceed lockless; the verify loop still converges
-            _time.sleep(0.02)
-    try:
-        while not want <= _merged_write():
-            _time.sleep(0.01)
+        os.replace(tmp, ledger)  # atomic for lockless readers
     finally:
-        if fd is not None:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+        os.close(fd)  # releases the flock
 
 
 def committed_batch_ids(path: str) -> set:

@@ -312,6 +312,14 @@ def test_insert_with_column_list(spark, tmp_path):
     eng.sql("INSERT INTO cl_t (score, id) SELECT score, id FROM cl_src")
     got = eng.sql("SELECT note, score FROM cl_t WHERE id = 3").first()
     assert got.note is None and got.score == 3.5
+    # the most common SQL spacing — no space before the column list —
+    # must dispatch too (the \s+ regex silently fell through to Catalyst)
+    eng.sql("INSERT INTO cl_t(note, id) VALUES ('ns', 4)")
+    assert eng.sql("SELECT note FROM cl_t WHERE id = 4").first().note == "ns"
+    # quoted/qualified identifiers in list position: loud, not an opaque
+    # Catalyst parse error on the swallowed list
+    with pytest.raises(ValueError, match="bare identifiers"):
+        eng.sql("INSERT INTO cl_t (`my col`, id) VALUES (1, 2)")
     # loud errors: unknown name, arity mismatch, duplicate
     with pytest.raises(ValueError, match="not in table"):
         eng.sql("INSERT INTO cl_t (nope) VALUES (1)")
