@@ -306,9 +306,18 @@ def test_cross_source_catches_planted_mirrors(spark, tmp_path):
         (r.source_a, r.source_b): r.n_shared_clusters
         for r in dedup_cross_source(spark, str(tmp_path)).collect()
     }
+    # the raw cross-source matrix (planted 'mirror' control filtered out):
     # the fox cluster spans A/B/C -> all three pairs, one cluster each;
     # the same-source dup (rows 4,5) must NOT create a pair
-    assert got == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1, ("srcB", "srcC"): 1}
+    real = {k: v for k, v in got.items() if "mirror" not in k}
+    assert real == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1, ("srcB", "srcC"): 1}
+    # the planted positive control: 'mirror' republishes every doc (all 6
+    # are in the 25-lowest-doc_id slice), so it shares srcA's 2 distinct
+    # fingerprints, srcB's 2, srcC's 1 — proof the detector fires even on
+    # a corpus with no natural reprints ('mirror' < 'src*' lexically)
+    assert {k: v for k, v in got.items() if "mirror" in k} == {
+        ("mirror", "srcA"): 2, ("mirror", "srcB"): 2, ("mirror", "srcC"): 1
+    }
 
 
 def test_js_divergence_zero_for_identical_and_matches_python(spark, tmp_path):
