@@ -85,6 +85,43 @@ _VSQL_MERGE = re.compile(
 )
 
 
+def _parse_insert_column_list(tail: str) -> tuple[list[str] | None, str]:
+    """Split an INSERT tail into (column list | None, source text). A
+    leading parenthesized group FOLLOWED BY a source keyword (VALUES /
+    SELECT / WITH / TABLE / another paren) is a column list;
+    "(SELECT ...)" alone — or "(SELECT ...) UNION ..." — is a
+    parenthesized query and passes through untouched. Non-bare
+    identifiers in list position raise a clear error instead of dying
+    later in an opaque Catalyst parse of the swallowed list."""
+    stripped = tail.lstrip()
+    if not stripped.startswith("("):
+        return None, tail
+    depth = 0
+    for i, ch in enumerate(stripped):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return None, tail
+    inner = stripped[1:i]
+    rest = stripped[i + 1:].strip()
+    if not rest or not re.match(
+        r"(?i)^(VALUES\b|SELECT\b|WITH\b|TABLE\b|\()", rest
+    ):
+        return None, tail
+    names = [c.strip() for c in inner.split(",")]
+    bad = [c for c in names if not re.fullmatch(r"[A-Za-z_]\w*", c)]
+    if bad:
+        raise ValueError(
+            "unsupported INSERT column-list entries "
+            f"(bare identifiers only): {bad}"
+        )
+    return [c.lower() for c in names], rest
+
+
 def _split_assignments(text: str) -> dict[str, str]:
     """Split an UPDATE SET list on top-level commas only (commas inside
     function calls / CASE arms / string literals don't separate
@@ -652,42 +689,7 @@ class Engine:
             # column is NULL (standard INSERT semantics). OVERWRITE
             # truncates via an overwrite commit, previous versions stay
             # time-travelable.
-            tail, cols = m.group(3), None
-            stripped = tail.lstrip()
-            if stripped.startswith("("):
-                depth = 0
-                for i, ch in enumerate(stripped):
-                    if ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                else:
-                    i = -1
-                inner = stripped[1:i] if i > 0 else ""
-                rest = stripped[i + 1:].strip() if i > 0 else ""
-                names = [c.strip() for c in inner.split(",")]
-                # a parenthesized group FOLLOWED BY a source keyword is a
-                # column list ("(SELECT ...)" alone, or "(SELECT...) UNION
-                # ..." is a parenthesized query and passes through)
-                in_list_position = bool(
-                    rest
-                    and re.match(r"(?i)^(VALUES\b|SELECT\b|WITH\b|TABLE\b|\()", rest)
-                )
-                if in_list_position:
-                    bad = [
-                        c for c in names
-                        if not re.fullmatch(r"[A-Za-z_]\w*", c)
-                    ]
-                    if bad:
-                        # loud, not an opaque Catalyst parse error on the
-                        # swallowed list (quoted/qualified identifiers)
-                        raise ValueError(
-                            "unsupported INSERT column-list entries "
-                            f"(bare identifiers only): {bad}"
-                        )
-                    cols, tail = [c.lower() for c in names], rest
+            cols, tail = _parse_insert_column_list(m.group(3))
             src_df = self.spark.sql(self._rewritten(tail))
             # positional rename sidesteps exotic source column names a
             # bare-literal SELECT produces ("0.5" reads as a field path)

@@ -632,3 +632,58 @@ def test_percentile_vector_matches_numpy_linear(spark):
     got = df.agg(F.percentile("v", F.lit(ps)).alias("q")).collect()[0].q
     want = np.percentile(xs, [p * 100 for p in ps], method="linear")
     assert np.allclose(got, want, rtol=0, atol=1e-9)
+
+
+# -- SQL micro-parser properties (engine.py) ---------------------------------
+
+_sql_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+# literal body: anything without a quote, with '' escapes injected
+_lit_body = st.text(
+    alphabet=st.characters(blacklist_characters="'"), max_size=12
+)
+
+
+@given(
+    cols=st.lists(_sql_ident, min_size=1, max_size=5, unique=True),
+    lits=st.lists(_lit_body, min_size=1, max_size=5),
+)
+@settings(max_examples=50, deadline=None)
+def test_split_assignments_roundtrips_any_literal(cols, lits):
+    """For ANY assignment list col = '<literal>' (commas, parens, '=',
+    CASE keywords inside the literal; '' escapes), _split_assignments
+    recovers exactly the written pairs — the property that makes quoted
+    UPDATE SET parsing safe for arbitrary user strings."""
+    from ballista_mvp_spark.engine import _split_assignments
+
+    n = min(len(cols), len(lits))
+    cols, lits = cols[:n], lits[:n]
+    # embed hostile substrings and '' escaping into the literals
+    quoted = ["'" + (b + ",)=(' '").replace("' '", "''") + "'" for b in lits]
+    text = ", ".join(f"{c} = {q}" for c, q in zip(cols, quoted))
+    got = _split_assignments(text)
+    assert got == {c: q for c, q in zip(cols, quoted)}
+
+
+@given(
+    cols=st.lists(_sql_ident, min_size=1, max_size=4, unique=True),
+    pad=st.sampled_from(["", " ", "  "]),
+    vals=st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=4),
+)
+@settings(max_examples=50, deadline=None)
+def test_insert_column_list_parse_is_exact(cols, pad, vals):
+    """The INSERT column-list scanner (the REAL one from engine.py)
+    recovers exactly the written identifier list and leaves exactly the
+    source text, for any identifiers, spacing, and VALUES arity — and
+    never mistakes a parenthesized SELECT for a column list."""
+    from ballista_mvp_spark.engine import _parse_insert_column_list as parse
+
+    n = min(len(cols), len(vals))
+    cols, vals = cols[:n], vals[:n]
+    src = "VALUES (" + ", ".join(str(v) for v in vals) + ")"
+    tail = f"({pad}{', '.join(cols)}{pad}) {src}"
+    got_cols, got_rest = parse(tail)
+    assert got_cols == [c.lower() for c in cols]
+    assert got_rest == src
+    # a parenthesized SELECT is NEVER a column list (nothing follows it)
+    got_cols2, got_rest2 = parse(f"(SELECT {', '.join(str(v) for v in vals)})")
+    assert got_cols2 is None

@@ -422,3 +422,42 @@ def test_ledger_add_concurrent_writers_lose_no_ids(tmp_path):
         ids = set(json.load(fh))
     want = {f"w{k}-b{i}" for k in range(n_threads) for i in range(per)}
     assert ids == want
+
+
+def test_ledger_add_concurrent_processes_lose_no_ids(tmp_path):
+    """Cross-PROCESS _ledger_add race: flock is an OS-level lock, so the
+    guarantee must hold for separate interpreter processes (two
+    concurrent vacuums in different jobs), not just threads sharing the
+    GIL. Every id from every process must survive."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, V._MANIFEST_DIR))
+    n_procs, per = 6, 8
+    script = (
+        "import sys; sys.path.insert(0, {root!r});"
+        "from ballista_mvp_spark.sources import versioned as V;"
+        "k = int(sys.argv[1]);"
+        "[V._ledger_add({path!r}, ['p%d-b%d' % (k, i)]) for i in range({per})]"
+    ).format(
+        root=os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(V.__file__)))
+        ),
+        path=path,
+        per=per,
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(k)])
+        for k in range(n_procs)
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    with open(os.path.join(path, V._MANIFEST_DIR, V._LEDGER)) as fh:
+        ids = set(json.load(fh))
+    want = {f"p{k}-b{i}" for k in range(n_procs) for i in range(per)}
+    assert ids == want
