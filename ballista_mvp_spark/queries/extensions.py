@@ -5124,9 +5124,13 @@ def text_zipf(spark, sf_dir):
     """Zipf-law fit of the corpus token-frequency distribution: slope/R²
     of log(count) over log(rank) for the top-200 terms — the
     distribution-health statistic (a slope far from −1 flags boilerplate
-    or truncation artifacts in a crawl). One token explode + count, a
-    window rank over the slim (term, count) table, and a single
-    regression aggregate."""
+    or truncation artifacts in a crawl). One token explode + count; the
+    top-200 cut is an orderBy().limit() — TakeOrderedAndProject
+    (per-partition heaps), NEVER a global row_number over the full
+    distinct-term table (10⁸–10⁹ terms on a web crawl through one
+    partition — the dsir-vocab defect class); the rank window then runs
+    over the 200 surviving rows. Same values: the limit and the rank
+    share one total order (count desc, term)."""
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -5135,9 +5139,13 @@ def text_zipf(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
-    ranked = counts.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "term"))
-    ).filter(F.col("rk") <= 200)
+    ranked = (
+        counts.orderBy(F.col("n").desc(), "term")
+        .limit(200)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "term"))
+        )
+    )
     return ranked.agg(
         F.round(F.regr_slope(F.log("n"), F.log("rk")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rk")), 6).alias("r2"),

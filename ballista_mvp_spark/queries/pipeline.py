@@ -1614,8 +1614,17 @@ def pipeline_balanced_bins(spark, sf_dir):
     sequential; round-robin over the descending order is the standard
     distributed stand-in and is within a max-doc-length of balanced).
     Output is the per-bin manifest: doc count, token total, and the
-    spread vs the ideal equal share. The only corpus-scale op is one
-    global sort by a 12-byte key."""
+    spread vs the ideal equal share.
+
+    Scale shape: the global rank in (n_tok desc, doc_id) order is
+    assembled DISTRIBUTED, never through a single-partition window over
+    the corpus (the stats_spearman defect class): one groupBy collapses
+    to the token-count SUPPORT, a cumulative window over that tiny
+    table yields each count's global offset (#docs with a larger
+    count), a broadcast join carries the offset back, and the
+    within-count tie rank is a window PARTITIONED by n_tok — global
+    rank = offset + tie rank, integer-exact and identical to the
+    single-window form."""
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -1624,8 +1633,19 @@ def pipeline_balanced_bins(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tok"),
     )
-    w = W.orderBy(F.col("n_tok").desc(), "doc_id")
-    binned = d.withColumn("bin", (F.row_number().over(w) - 1) % n_bins)
+    cells = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("_t"))
+    wcum = W.orderBy(F.col("n_tok").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = cells.select(
+        "n_tok", F.coalesce(F.sum("_t").over(wcum), F.lit(0)).alias("_off")
+    )
+    win = W.partitionBy("n_tok").orderBy("doc_id")
+    binned = (
+        d.join(F.broadcast(offsets), "n_tok")
+        .withColumn(
+            "bin",
+            (F.col("_off") + F.row_number().over(win) - 1) % n_bins,
+        )
+    )
     per_bin = binned.groupBy("bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )

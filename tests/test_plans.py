@@ -262,6 +262,41 @@ def test_spearman_windows_only_on_support(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_zipf_top200_is_take_ordered(spark):
+    """text_zipf's top-200 cut must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global row_number over the full
+    distinct-term table (the dsir-vocab defect class)."""
+    from ballista_mvp_spark.queries.extensions import text_zipf
+
+    plan = _plan(text_zipf(spark, SF_SMALL))
+    assert "TakeOrdered" in plan
+    # the only Window runs over the 200 surviving rows, above the cut
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window [" in l:
+            below = "\n".join(lines[i + 1 : i + 6])
+            assert "TakeOrdered" in below, below
+
+
+def test_balanced_bins_no_corpus_window(spark):
+    """pipeline_balanced_bins assembles the global (n_tok desc, doc_id)
+    rank distributed: every single-partition exchange in the plan sits
+    above an aggregate (the token-count support / final reduces), never
+    above the per-document table, and the tie-rank window is PARTITIONED
+    by n_tok."""
+    from ballista_mvp_spark.queries.pipeline import pipeline_balanced_bins
+
+    plan = _plan(pipeline_balanced_bins(spark, SF_SMALL))
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "HashAggregate" in below or "ObjectHashAggregate" in below, (
+                f"single-partition funnel over a non-aggregated input:\n{below}"
+            )
+    assert "BroadcastHashJoin" in plan  # support offsets join back broadcast
+
+
 def test_stats_histogram_broadcasts_bounds(spark):
     """stats_histogram: the 7 percentile cut points reach every row via a
     broadcast (1-row table), never a shuffle of the fact side."""
