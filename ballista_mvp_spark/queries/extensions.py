@@ -527,9 +527,11 @@ def dedup_embedding_det(spark, sf_dir):
     Python generator into both engines — left-to-right IEEE addition,
     identical doubles (rounded 9dp before the sign regardless). Zero
     shuffles until the (table, code) equi-join; ids-only travel through
-    the join and vectors re-attach by broadcast for the verify, so at
-    100 TB the shuffle carries 8 × (int, int) per vector and the verify
-    stays candidate-bounded."""
+    the join and vectors re-attach for the verify via keyed equi-joins
+    (shuffles proportional to candidates — never a pinned broadcast of
+    the corpus-scale vector table), so at 100 TB the bucket shuffle
+    carries 8 × (int, int) per vector and the verify stays
+    candidate-bounded."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -572,11 +574,15 @@ def dedup_embedding_det(spark, sf_dir):
         .groupBy(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_tables"))
     )
+    # keyed equi-joins, NOT pinned broadcasts: va/vb are corpus-scale
+    # projections (a pinned broadcast of 10⁹×64 doubles cannot exist);
+    # the joins shuffle proportionally to candidates + ids, and AQE
+    # still picks broadcast at small scale on its own
     va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (
-        pairs.join(F.broadcast(va), "a")
-        .join(F.broadcast(vb), "b")
+        pairs.join(va, "a")
+        .join(vb, "b")
         .select(
             "a",
             "b",
