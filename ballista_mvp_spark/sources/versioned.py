@@ -1006,6 +1006,21 @@ def vacuum(path: str, keep_last: int = 1, retain_seconds: float = 86400.0) -> in
         _ledger_add(path, dropped_ids)
     for v in drop:
         os.remove(_manifest_path(path, v))
+    # stale .tmp-* manifests: a writer that crashed between writing its
+    # temp manifest and the hard-link leaves one behind forever (reads
+    # ignore them, but they accumulate). Same in-flight ambiguity as
+    # uncommitted data dirs — only age separates a crash leftover from a
+    # commit linking RIGHT NOW — so the same retention guard applies.
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    for f in os.listdir(mdir):
+        if f.startswith(".tmp-") and f.endswith(".json"):
+            fp = os.path.join(mdir, f)
+            try:
+                if now - os.path.getmtime(fp) >= retain_seconds:
+                    os.remove(fp)
+                    removed += 1
+            except OSError:
+                continue  # the racing writer linked/removed it itself
     return removed
 
 

@@ -461,3 +461,31 @@ def test_ledger_add_concurrent_processes_lose_no_ids(tmp_path):
         ids = set(json.load(fh))
     want = {f"p{k}-b{i}" for k in range(n_procs) for i in range(per)}
     assert ids == want
+
+
+def test_vacuum_reclaims_stale_tmp_manifests(spark, tmp_path):
+    """A writer crashed between writing its .tmp manifest and the
+    hard-link leaves the tmp behind; vacuum reclaims it once it is past
+    the retention window, and never touches a FRESH one (which may be a
+    commit linking right now)."""
+    import json
+    import os
+    import time
+
+    from ballista_mvp_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    V.write_versioned(spark.createDataFrame([(1,)], ["id"]), t)
+    mdir = os.path.join(t, V._MANIFEST_DIR)
+    stale = os.path.join(mdir, ".tmp-deadbeef-v9.json")
+    fresh = os.path.join(mdir, ".tmp-cafebabe-v9.json")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            json.dump({"version": 9, "files": []}, fh)
+    old = time.time() - 7 * 86400
+    os.utime(stale, (old, old))
+    V.vacuum(t, keep_last=1)  # default 24h retention
+    assert not os.path.exists(stale)   # crash leftover reclaimed
+    assert os.path.exists(fresh)       # possible in-flight commit kept
+    # reads were never affected either way
+    assert V.read_versioned(spark, t).count() == 1
