@@ -138,14 +138,24 @@ def detect_stale_hours(spark: SparkSession, path: str, raw: DataFrame) -> list[s
         .groupBy("hour")
         .agg(F.sum("n").alias("roll_n"))
     )
+    # null-hour partition (null-ts rows): a plain full join never matches
+    # null keys, so an in-sync null partition would read as stale on BOTH
+    # sides forever — join null-safe and coalesce the key back together
     stale = (
-        raw_counts.join(roll_counts, "hour", "full")
+        raw_counts.join(
+            roll_counts,
+            raw_counts["hour"].eqNullSafe(roll_counts["hour"]),
+            "full",
+        )
         .filter(
             F.col("roll_n").isNull()
             | F.col("raw_n").isNull()
             | (F.col("raw_n") != F.col("roll_n"))
         )
-        .select("hour")
+        .select(F.coalesce(raw_counts["hour"], roll_counts["hour"]).alias("hour"))
         .collect()
     )
-    return sorted(r["hour"] for r in stale)
+    hours = [r["hour"] for r in stale]
+    non_null = [h for h in hours if h is not None]
+    # None sorts last, matching refresh_rollup's touched-key convention
+    return sorted(non_null) + ([None] if len(non_null) < len(hours) else [])

@@ -149,3 +149,41 @@ def test_refresh_handles_null_ts_partition(spark, tmp_path):
     assert touched[-1] is None and touched[0] == "2024-01-01 03:00:00"
     got = spark.read.parquet(path)
     assert got.filter(F.col("hour").isNull()).count() > 0  # null partition real
+
+
+def test_detect_stale_handles_null_ts_partition(spark, tmp_path):
+    """Audit over a corpus with a null-ts partition: an IN-SYNC null-hour
+    partition must NOT be flagged (plain full joins never match null
+    keys — the audit joins null-safe), a stale one must be flagged as
+    None without the str/None sort crash, and refresh must clear it."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators import rollup as R
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double, user_id long"
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+            "user_id",
+        )
+
+    raw = _mk(
+        [
+            ("2024-01-01 03:10:00", "click", 1.0, 10),
+            (None, "click", 2.0, 11),
+            (None, "view", 3.0, 12),
+        ]
+    )
+    path = str(tmp_path / "roll")
+    R.materialize_rollup(raw, path)
+    # in sync (null partition included): nothing stale
+    assert R.detect_stale_hours(spark, path, raw=raw) == []
+    # two more null-ts rows arrive: ONLY the null partition is stale
+    raw2 = raw.unionByName(_mk([(None, "click", 4.0, 13)]))
+    assert R.detect_stale_hours(spark, path, raw=raw2) == [None]
+    # detect-and-repair: refresh the flagged partition, audit goes green
+    R.refresh_rollup(spark, path, raw=raw2, delta=raw2.filter(F.col("ts").isNull()))
+    assert R.detect_stale_hours(spark, path, raw=raw2) == []
