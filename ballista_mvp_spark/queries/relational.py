@@ -453,15 +453,26 @@ INTERSECT SELECT s_nationkey FROM supplier ORDER BY nkey
 
 
 def except_op(spark, sf_dir):
-    """EXCEPT — lowered to LEFTANTI by DataFusion (SURVEY.md §2.4)."""
-    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
-    return J.except_(n, s).orderBy("nkey")
+    """EXCEPT — lowered to LEFTANTI by DataFusion (SURVEY.md §2.4).
+
+    Slice: customers who placed orders but never one with status 'F'.
+    The previous nation-minus-supplier-nations slice was EMPTY at every
+    test scale (all 25 nations have suppliers), so its hash match was
+    the vacuous 0=0 green the round-6 verdict flagged for
+    dedup_cross_source; this slice is non-empty by measurement at both
+    sweep scales (71 rows at sf0.01, 510 at sf0.1)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("ckey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("ckey")
+    )
+    return J.except_(a, b).orderBy("ckey")
 
 
 EXCEPT_ORACLE = """
-SELECT n_nationkey AS nkey FROM nation
-EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey
+SELECT o_custkey AS ckey FROM orders
+EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY ckey
 """
 
 

