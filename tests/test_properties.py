@@ -687,3 +687,146 @@ def test_insert_column_list_parse_is_exact(cols, pad, vals):
     # a parenthesized SELECT is NEVER a column list (nothing follows it)
     got_cols2, got_rest2 = parse(f"(SELECT {', '.join(str(v) for v in vals)})")
     assert got_cols2 is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_weighted_percentile_matches_python_reference(spark, rows, q):
+    """weighted_percentile (the APPROX_PERCENTILE_CONT_WITH_WEIGHT exact
+    shim) must equal the spec for ANY multiset and quantile: the
+    smallest value whose cumulative weight — in (value, weight) order —
+    reaches q x total weight. The Python reference reproduces the same
+    float comparison (long cum >= double q*total) so boundary behavior
+    is bit-identical, not approximately equal."""
+    from ballista_mvp_spark.operators.aggregates import weighted_percentile
+
+    df = spark.createDataFrame(rows, "g int, v int, w int")
+    got = {
+        r["g"]: r["wpct"]
+        for r in weighted_percentile(df, ["g"], "v", "w", q).collect()
+    }
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0
+        want = None
+        for v, w in vw:
+            cum += w
+            if cum >= q * total:
+                want = v
+                break
+        assert got[g] == want, (g, q, vw, got[g], want)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=4),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_merge_matches_python_model(spark, batches):
+    """Folding ANY sequence of update batches through scd2_merge must
+    match the obvious Python type-2 model: per key one open row whose
+    attr is the latest observed value, closed rows exactly the
+    (old_attr, since, until) intervals of every change, nothing lost or
+    duplicated across merges."""
+    from ballista_mvp_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [], "key int, attr int, valid_from int, valid_to int"
+    )
+    open_model: dict[int, tuple[int, int]] = {}
+    closed_model: list[tuple[int, int, int, int]] = []
+    for i, batch in enumerate(batches):
+        ts = i + 1
+        updates = spark.createDataFrame(batch, "key int, attr int")
+        current = scd2_merge(
+            current, updates, "key", ["attr"], F.lit(ts)
+        ).localCheckpoint(eager=True)
+        for k, a in batch:
+            if k in open_model and open_model[k][0] != a:
+                attr0, since = open_model.pop(k)
+                closed_model.append((k, attr0, since, ts))
+            if k not in open_model:
+                open_model[k] = (a, ts)
+    rows = current.collect()
+    got_open = {
+        r["key"]: (r["attr"], r["valid_from"])
+        for r in rows
+        if r["valid_to"] is None
+    }
+    got_closed = sorted(
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in rows
+        if r["valid_to"] is not None
+    )
+    assert got_open == open_model
+    assert got_closed == sorted(closed_model)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salt=st.sampled_from([1, 3, 16]),
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_for_any_frame(spark, rows, n_salt):
+    """Two-stage salted aggregation must be value-identical to the plain
+    one-stage groupBy for ANY frame and salt width — sum/count/min/max
+    are algebraic, so the (keys, salt) partial + keys merge is exact,
+    never approximate."""
+    from ballista_mvp_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    aggs = {
+        "s": ("sum", "v"),
+        "n": ("count", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(df, ["k"], aggs, n_salt=n_salt).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
