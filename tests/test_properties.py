@@ -830,3 +830,87 @@ def test_salted_agg_equals_plain_for_any_frame(spark, rows, n_salt):
         .collect()
     }
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    n_salt=st.sampled_from([1, 4]),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_for_any_frames(spark, left, right, n_salt):
+    """The hot-key salted inner equi-join must return exactly the plain
+    join's row multiset for ANY pair of frames (duplicates included —
+    the explode x salt-match must neither drop nor duplicate pairs)."""
+    from ballista_mvp_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame(left, "k int, v int")
+    r = spark.createDataFrame(right, "k2 int, w int")
+    got = sorted(
+        (x["k"], x["v"], x["w"])
+        for x in salted_join(l, r, "k", "k2", n_salt=n_salt).collect()
+    )
+    want = sorted(
+        (x["k"], x["v"], x["w"])
+        for x in l.join(r, l["k"] == r["k2"]).collect()
+    )
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_null_split_left_join_equals_plain_for_any_frames(spark, left, right):
+    """Routing null-key rows around the join must be row-identical to the
+    plain LEFT OUTER join for ANY null mix — including all-null and
+    no-null frames (the split's two degenerate branches)."""
+    from ballista_mvp_spark.operators.skew import null_split_left_join
+
+    def _key(t):
+        return tuple((x is None, x if x is not None else 0) for x in t)
+
+    l = spark.createDataFrame(left, "k int, v int")
+    r = spark.createDataFrame(right, "k int, w int")
+    got = sorted(
+        (
+            (x["k"], x["v"], x["w"])
+            for x in null_split_left_join(l, r, "k").collect()
+        ),
+        key=_key,
+    )
+    want = sorted(
+        ((x["k"], x["v"], x["w"]) for x in l.join(r, "k", "left").collect()),
+        key=_key,
+    )
+    assert got == want
