@@ -545,6 +545,65 @@ def _mutate_stress(spark, sf_dir, mults) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _stream_stress(spark, sf_dir, mults) -> None:
+    """Per-micro-batch sink cost vs ACCUMULATED table size: feed the
+    events table through streaming/run_incremental_sink as K equal
+    time-ordered chunks (one chunk per invocation, one shared
+    checkpoint) and time every batch. The sink's contract is
+    O(batch + touched hour partitions) per batch — never O(table) — so
+    per-batch wall time must stay ~flat from the first chunk (empty
+    table) to the last (full rollup materialized: the dynamic partition
+    overwrite rewrites only the hours the chunk touched). A growing
+    trend would mean the sink re-reads or rewrites the accumulated
+    table. Per-batch constant overhead (stream start + checkpoint
+    commit, ~seconds) is included and reported as-is; the TREND is the
+    signal."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ballista_mvp_spark.streaming import run_incremental_sink
+
+    n_batches = max(mults) if mults else 8
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp()
+    try:
+        staged = os.path.join(d, "staged")
+        (
+            ev.withColumn(
+                "_c", F.ntile(n_batches).over(W.orderBy("ts", "event_id"))
+            )
+            .write.partitionBy("_c")
+            .parquet(staged)
+        )
+        src_dir = os.path.join(d, "src")
+        os.makedirs(src_dir)
+        schema = ev.schema
+        out = os.path.join(d, "rollup")
+        ckpt = os.path.join(d, "ckpt")
+        for i in range(1, n_batches + 1):
+            files = glob.glob(f"{staged}/_c={i}/*.parquet")
+            batch_rows = spark.read.parquet(f"{staged}/_c={i}").count()
+            for j, f in enumerate(files):
+                shutil.copy(f, os.path.join(src_dir, f"chunk{i}_{j}.parquet"))
+            source = spark.readStream.schema(schema).parquet(src_dir)
+            t0 = time.perf_counter()
+            run_incremental_sink(spark, sf_dir, out, ckpt, source=source)
+            dt = time.perf_counter() - t0
+            tbl = spark.read.parquet(out)
+            n_rows = tbl.count()
+            n_parts = tbl.select("hour").distinct().count()
+            print(
+                f"batch {i:>2}/{n_batches} rows_in={batch_rows:<7} "
+                f"{dt:6.2f}s | table: rows={n_rows:<6} hours={n_parts}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = sys.argv[1:]
@@ -555,6 +614,7 @@ def main() -> None:
     do_skew = "--skew" in args
     do_stats = "--stats" in args
     do_mutate = "--mutate" in args
+    do_stream = "--stream" in args
     only = None
     if "--only" in args:
         i = args.index("--only")
@@ -564,9 +624,12 @@ def main() -> None:
         int(a)
         for a in args
         if a not in ("--ann", "--index", "--components", "--mutate",
-                     "--graph", "--skew", "--stats")
+                     "--graph", "--skew", "--stats", "--stream")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_stream:
+        _stream_stress(spark, sf_dir, mults)
+        return
     if do_mutate:
         _mutate_stress(spark, sf_dir, mults)
         return
