@@ -604,6 +604,46 @@ def _stream_stress(spark, sf_dir, mults) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _media_stress(spark, sf_dir, mults) -> None:
+    """Multimodal path cost vs corpus size: the three payload-touching
+    stages — featurize (mapInPandas), featurize_arrow (mapInArrow), and
+    phash_dup_pairs (pandas_udf signature + Hamming band join) — over
+    the documents-derived media table replicated N×. The claims under
+    measurement: both featurize paths are partition-local scans (linear
+    wall growth, no shuffle), and the phash pair stage shuffles 16-byte
+    (id, signature) rows — payload bytes never move, so its cost tracks
+    the signature/candidate tables, not payload volume. The pair COUNT
+    is also reported: it measures the fake byte-stat signature's
+    selectivity, not the join (see SCALE.md Multimodal for the honest
+    reading)."""
+    from ballista_mvp_spark.operators import multimodal as M
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for m in mults:
+        docs = replicate(base, m).withColumn("source", F.lit("s"))
+        media = M.media_from_documents(docs).localCheckpoint(eager=True)
+        n = media.count()
+        mb = (
+            media.agg(F.sum(F.col("meta.n_bytes")).alias("b")).collect()[0]["b"]
+            / 1e6
+        )
+        t0 = time.perf_counter()
+        M.featurize(media).count()
+        tp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        M.featurize_arrow(media).count()
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pairs = M.phash_dup_pairs(media, max_hamming=3).count()
+        th = time.perf_counter() - t0
+        print(
+            f"x{m:<3} media={n:<7} payload={mb:7.1f}MB "
+            f"featurize(pandas) {tp:6.2f}s | featurize(arrow) {ta:6.2f}s | "
+            f"phash pairs={pairs:<6} {th:6.2f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = sys.argv[1:]
@@ -615,6 +655,7 @@ def main() -> None:
     do_stats = "--stats" in args
     do_mutate = "--mutate" in args
     do_stream = "--stream" in args
+    do_media = "--media" in args
     only = None
     if "--only" in args:
         i = args.index("--only")
@@ -624,9 +665,12 @@ def main() -> None:
         int(a)
         for a in args
         if a not in ("--ann", "--index", "--components", "--mutate",
-                     "--graph", "--skew", "--stats", "--stream")
+                     "--graph", "--skew", "--stats", "--stream", "--media")
     ] or [1, 5, 20]
     spark = build_session("scale-stress")
+    if do_media:
+        _media_stress(spark, sf_dir, mults)
+        return
     if do_stream:
         _stream_stress(spark, sf_dir, mults)
         return
