@@ -552,12 +552,26 @@ def simhash_pairs(
     return hamming_band_pairs(base, max_hamming)
 
 
-def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def hamming_band_pairs(
+    sigs: DataFrame, max_hamming: int = 8, max_bucket: int | None = None
+) -> DataFrame:
     """(_id, sh) 64-bit signatures → (a, b, hamming ≤ max_hamming) pairs
     via 4×16-bit band exact-match (pigeonhole banding) — the shared
     pairing stage of SimHash text dedup and perceptual-hash media dedup.
     Shuffles (band, chunk, id, sh) rows only; candidates verify with one
-    codegen'd bit_count."""
+    codegen'd bit_count.
+
+    ``max_bucket`` (opt-in, the minhash_lsh_pairs discipline): drop
+    (band, chunk) buckets with more members before the self-join. A
+    well-mixed 64-bit signature never produces such buckets below
+    ~2¹⁶-docs-per-chunk density, but a LOW-ENTROPY signature source
+    (measured: the byte-stat stand-in hash over ASCII text concentrates
+    into few effective bits — 443k "pairs" from 100k docs,
+    tools/scale_stress.py --media) turns one hot bucket into a
+    quadratic self-join; pairs from such buckets are signature
+    collisions, not near-dups. Default None preserves exact historical
+    results (the *_det oracle twins replay this function). Use
+    signature_entropy() as the pre-flight check."""
     banded = sigs.select(
         "_id",
         "sh",
@@ -573,6 +587,14 @@ def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
             )
         ).alias("_b"),
     ).select("_id", "sh", F.col("_b.band").alias("band"), F.col("_b.chunk").alias("chunk"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "chunk")
+        )
+        banded = banded.join(ok, ["band", "chunk"])
     left = banded.select("band", "chunk", F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
     right = banded.select("band", "chunk", F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -585,6 +607,50 @@ def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
     return pairs.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def signature_entropy(sigs: DataFrame) -> dict:
+    """Pre-flight health check for ANY banded pair stage over (_id, sh)
+    64-bit signatures: a degenerate signature source (too few effective
+    bits) makes banding quadratic no matter the scheme (measured:
+    tools/scale_stress.py --media; SCALE.md Multimodal). Returns
+    {n, n_distinct, distinct_ratio, max_bucket, max_bucket_share} where
+    max_bucket is the largest (band, 16-bit chunk) bucket the pair
+    stage would self-join. Healthy: distinct_ratio near 1 and
+    max_bucket_share ≪ 1%. All aggregates are map-side-combined counts;
+    only 3 scalars reach the driver — run it at full corpus scale
+    BEFORE committing to the O(bucket²) pair stage."""
+    n = sigs.count()
+    nd = sigs.select("sh").distinct().count()
+    chunks = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b")
+    )
+    mx = (
+        chunks.groupBy("_b.band", "_b.chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("m"))
+        .collect()[0]["m"]
+        or 0
+    )
+    return {
+        "n": n,
+        "n_distinct": nd,
+        "distinct_ratio": round(nd / n, 6) if n else 1.0,
+        "max_bucket": mx,
+        "max_bucket_share": round(mx / n, 6) if n else 0.0,
+    }
 
 
 def keep_survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
