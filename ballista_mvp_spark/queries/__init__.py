@@ -291,3 +291,14 @@ _CERT_FIRST_ROUND10 = [
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
 assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}"
+
+# ROUND-11 / ROUND-12 WINDOWS (pre-staged; swap in at each round's start
+# after the previous CORRECTNESS lands): with every oracle-backed query
+# driver-certified after round 10, later rounds re-certify earlier
+# windows under the then-final engine — the rounds-8/9 treadmill
+# continued. Round 11 re-proves the round-5 window verbatim, round 12
+# the round-6 window; both contained zero rows-only slots by
+# construction (the round-4 lesson), so they re-stage unchanged.
+# Validated by tests/test_oracle_queries.py::test_round11_12_window_prestage.
+_CERT_FIRST_ROUND11 = list(_CERT_FIRST_ROUND5)
+_CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)

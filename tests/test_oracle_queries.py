@@ -343,3 +343,22 @@ def test_round10_window_prestage():
     assert leftover <= {"multimodal_meta"}, (
         f"oracle-backed queries in no window: {leftover}"
     )
+
+
+def test_round11_12_window_prestage():
+    """The pre-staged round-11/12 re-certification windows: the round-5
+    and round-6 windows verbatim (50 unique oracle-backed entries each,
+    no rows-only member) — the post-round-10 treadmill that re-proves
+    every earlier driver row under the then-final engine."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND5,
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND11,
+        _CERT_FIRST_ROUND12,
+    )
+
+    assert _CERT_FIRST_ROUND11 == _CERT_FIRST_ROUND5
+    assert _CERT_FIRST_ROUND12 == _CERT_FIRST_ROUND6
+    for w in (_CERT_FIRST_ROUND11, _CERT_FIRST_ROUND12):
+        assert len(w) == 50 and len(set(w)) == 50
+        assert set(w) <= set(ALL_ORACLES)
