@@ -296,9 +296,16 @@ assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}
 # after the previous CORRECTNESS lands): with every oracle-backed query
 # driver-certified after round 10, later rounds re-certify earlier
 # windows under the then-final engine — the rounds-8/9 treadmill
-# continued. Round 11 re-proves the round-5 window verbatim, round 12
-# the round-6 window; both contained zero rows-only slots by
-# construction (the round-4 lesson), so they re-stage unchanged.
-# Validated by tests/test_oracle_queries.py::test_round11_12_window_prestage.
-_CERT_FIRST_ROUND11 = list(_CERT_FIRST_ROUND5)
+# continued. Round 11 re-proves the round-5 window with ONE slot
+# swapped: dedup_signature_health (added post-staging in round 7 — a
+# first-time cert outranks a re-cert) takes tpch_q13's slot (q13
+# already holds r1 + r5 driver rows and stays eligible for rounds
+# 13+). Round 12 re-proves the round-6 window verbatim. Both source
+# windows contained zero rows-only slots by construction (the round-4
+# lesson). Validated by
+# tests/test_oracle_queries.py::test_round11_12_window_prestage.
+_CERT_FIRST_ROUND11 = [
+    "dedup_signature_health" if n == "tpch_q13" else n
+    for n in _CERT_FIRST_ROUND5
+]
 _CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)

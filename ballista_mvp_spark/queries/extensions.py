@@ -446,6 +446,99 @@ GROUP BY hamming ORDER BY hamming
 """ % _SIMHASH_DET_FP
 
 
+def dedup_signature_health(spark, sf_dir):
+    """Signature-entropy pre-flight (operators/dedup.signature_entropy)
+    as a certified corpus artifact: BEFORE committing to any banded
+    O(bucket²) pair stage, measure whether the signature source has
+    enough effective bits — a degenerate signature makes EVERY banding
+    scheme quadratic (measured: the byte-stat media stand-in hash
+    produced 443k collision pairs from 100k docs,
+    tools/scale_stress.py --media; SCALE.md Multimodal). One row:
+    corpus size, distinct fingerprints, distinct_ratio, the largest
+    (band, value) bucket the pair join would self-join, and its corpus
+    share — computed over dedup_simhash_det's deterministic 60-bit
+    fingerprints (the same portable md5 hash on both engines, so DuckDB
+    rebuilds identical signatures AND identical band buckets;
+    bucket-size arithmetic is integer-exact).
+
+    Scale shape: one distinct-token shuffle, one doc-keyed 60-sum
+    map-side-combined aggregate, one (band, value) count — everything
+    after tokenization is integers; the output is 5 scalars, so this
+    runs at full corpus scale for the cost of one token pass."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)").alias(
+                "h"
+            ),
+        )
+    )
+    sig = toks.groupBy("doc_id").agg(F.expr(_SIMHASH_DET_FP).alias("fp"))
+    base = sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+    bands = sig.select(
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("j"), "fp"
+    ).select("j", F.expr("(fp >> (15 * j)) & 32767").alias("bv"))
+    mx = (
+        bands.groupBy("j", "bv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("max_band_bucket"))
+    )
+    return (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            "n_docs",
+            "n_distinct_fp",
+            F.round(F.col("n_distinct_fp") / F.col("n_docs"), 6).alias(
+                "distinct_ratio"
+            ),
+            "max_band_bucket",
+            F.round(F.col("max_band_bucket") / F.col("n_docs"), 6).alias(
+                "max_bucket_share"
+            ),
+        )
+    )
+
+
+DEDUP_SIGNATURE_HEALTH_ORACLE = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+toks AS (SELECT DISTINCT doc_id, tok FROM toks0),
+hs AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM toks),
+sig AS (SELECT doc_id, %s AS fp FROM hs GROUP BY doc_id),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+  FROM sig),
+bands AS (
+  SELECT j, (fp >> (15 * j)) & 32767 AS bv
+  FROM sig, range(0, 4) t(j)),
+mx AS (
+  SELECT CAST(max(n) AS BIGINT) AS max_band_bucket FROM (
+    SELECT count(*) AS n FROM bands GROUP BY j, bv))
+SELECT n_docs, n_distinct_fp,
+       round(n_distinct_fp * 1.0 / n_docs, 6) AS distinct_ratio,
+       max_band_bucket,
+       round(max_band_bucket * 1.0 / n_docs, 6) AS max_bucket_share
+FROM base, mx
+""" % _SIMHASH_DET_FP
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) blocked by
     hyperplane-LSH bucket (operators/similarity.lsh_cosine_dup_pairs) —
@@ -5375,6 +5468,7 @@ QUERIES = {
     "sim_silhouette": sim_silhouette,
     "dedup_minhash_det": dedup_minhash_det,
     "dedup_simhash_det": dedup_simhash_det,
+    "dedup_signature_health": dedup_signature_health,
     "dedup_embedding_det": dedup_embedding_det,
     "sketch_cms_det": sketch_cms_det,
     "sketch_hll_det": sketch_hll_det,
@@ -5463,6 +5557,7 @@ ORACLES = {
     "sim_silhouette": SIM_SILHOUETTE_ORACLE,
     "dedup_minhash_det": DEDUP_MINHASH_DET_ORACLE,
     "dedup_simhash_det": DEDUP_SIMHASH_DET_ORACLE,
+    "dedup_signature_health": DEDUP_SIGNATURE_HEALTH_ORACLE,
     "dedup_embedding_det": DEDUP_EMBEDDING_DET_ORACLE,
     "sketch_cms_det": SKETCH_CMS_DET_ORACLE,
     "sketch_hll_det": SKETCH_HLL_DET_ORACLE,

@@ -336,20 +336,26 @@ def test_round10_window_prestage():
         "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det"
     } <= set(_CERT_FIRST_ROUND10)
     # completeness: windows 4-10 + rows-only = the whole registry.
-    # multimodal_meta is the ONE allowed absentee: it already holds an
-    # r2 hash-green driver row (CORRECTNESS_r02.json) and yielded its
-    # round-10 slot to the first-time sim_ann_pq_det certification.
+    # Allowed absentees: multimodal_meta (already holds an r2 hash-green
+    # driver row, CORRECTNESS_r02.json; yielded its round-10 slot to the
+    # first-time sim_ann_pq_det certification) and
+    # dedup_signature_health (added after the round-10 staging froze —
+    # its first-time cert is slotted in the ROUND-11 window,
+    # test_round11_12_window_prestage).
     leftover = set(ALL_ORACLES) - used - set(_CERT_FIRST_ROUND10)
-    assert leftover <= {"multimodal_meta"}, (
+    assert leftover <= {"multimodal_meta", "dedup_signature_health"}, (
         f"oracle-backed queries in no window: {leftover}"
     )
 
 
 def test_round11_12_window_prestage():
     """The pre-staged round-11/12 re-certification windows: the round-5
-    and round-6 windows verbatim (50 unique oracle-backed entries each,
-    no rows-only member) — the post-round-10 treadmill that re-proves
-    every earlier driver row under the then-final engine."""
+    window with exactly one slot swapped (dedup_signature_health, the
+    post-staging round-7 addition, displaces the twice-proven tpch_q13
+    — a first-time cert outranks a re-cert) and the round-6 window
+    verbatim (50 unique oracle-backed entries each, no rows-only
+    member) — the post-round-10 treadmill that re-proves every earlier
+    driver row under the then-final engine."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -357,7 +363,10 @@ def test_round11_12_window_prestage():
         _CERT_FIRST_ROUND12,
     )
 
-    assert _CERT_FIRST_ROUND11 == _CERT_FIRST_ROUND5
+    assert set(_CERT_FIRST_ROUND11) - set(_CERT_FIRST_ROUND5) == {
+        "dedup_signature_health"
+    }
+    assert set(_CERT_FIRST_ROUND5) - set(_CERT_FIRST_ROUND11) == {"tpch_q13"}
     assert _CERT_FIRST_ROUND12 == _CERT_FIRST_ROUND6
     for w in (_CERT_FIRST_ROUND11, _CERT_FIRST_ROUND12):
         assert len(w) == 50 and len(set(w)) == 50
