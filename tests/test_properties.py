@@ -914,3 +914,45 @@ def test_null_split_left_join_equals_plain_for_any_frames(spark, left, right):
         key=_key,
     )
     assert got == want
+
+
+@given(
+    lts=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=20
+    ),
+    rts=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=0, max_size=20
+    ),
+    bounds=st.sampled_from([(0, 60), (-30, 30), (5, 7), (-90, -10), (0, 0)]),
+    bucket=st.sampled_from([None, 1, 7, 64]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_python_reference(spark, lts, rts, bounds, bucket):
+    """range_join (bucketed equi-join + residual) must return exactly the
+    pairs with r.ts in [l.ts+lower, l.ts+upper] for ANY timestamps,
+    bound signs (negative windows, zero-width), and bucket width —
+    the +2 bucket slack and the µs-exact residual must neither leak
+    out-of-range pairs nor drop boundary-inclusive ones."""
+    from ballista_mvp_spark.operators.asof import range_join
+
+    lower, upper = bounds
+    l = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "lid int, lt_s long"
+    ).select("lid", F.timestamp_seconds("lt_s").alias("lt"))
+    r = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(rts)], "rid int, rt_s long"
+    ).select("rid", F.timestamp_seconds("rt_s").alias("rt"))
+    got = sorted(
+        (x["lid"], x["rid"])
+        for x in range_join(
+            l, r, F.col("lt"), F.col("rt"), lower, upper,
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, lt in enumerate(lts)
+        for j, rt in enumerate(rts)
+        if lt + lower <= rt <= lt + upper
+    )
+    assert got == want, (bounds, bucket, got, want)
