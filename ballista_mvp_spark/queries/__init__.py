@@ -158,8 +158,8 @@ assert len(_CERT_FIRST_ROUND6) == 50, len(_CERT_FIRST_ROUND6)
 _missing6 = [n for n in _CERT_FIRST_ROUND6 if n not in ALL_QUERIES]
 assert not _missing6, f"_CERT_FIRST_ROUND6 names not in registry: {_missing6}"
 
-# ROUND-7 WINDOW (ACTIVE — swapped in at round-7 start per VERDICT r6
-# next-round #1, after CORRECTNESS_r06.json landed 50/50): the remaining 45 oracle-backed
+# ROUND-7 WINDOW (historical record — CORRECTNESS_r07.json: 50/50
+# hash-green, 45 first-time certifications): the remaining 45 oracle-backed
 # queries that have never held a driver row — the 34 round-5 additions
 # that landed after the old round-7 freeze, the 10 late-round-4
 # additions, and the late text_gopher_funnel — padded to 50 with 5
@@ -197,25 +197,24 @@ assert len(_CERT_FIRST_ROUND7) == 50, len(_CERT_FIRST_ROUND7)
 _missing7 = [n for n in _CERT_FIRST_ROUND7 if n not in ALL_QUERIES]
 assert not _missing7, f"_CERT_FIRST_ROUND7 names not in registry: {_missing7}"
 
-# Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-7 window leads.
-# After this window lands, every oracle-backed query that existed at
-# round-7 start holds a driver row; the three round-7 deterministic ANN
-# twins (added mid-round) are first-time certs in the round-10 window,
-# and rounds 8-9 are re-certification under the final engine.
-_CERT_FIRST = _CERT_FIRST_ROUND7
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
-
-# ROUND-8 WINDOW (pre-staged; swap into _CERT_FIRST at round-8 start
-# AFTER CORRECTNESS_r07.json lands): 50 re-certifications under the
-# final engine — the 40 r1/r2 family reps from the originally staged
-# round-6 window + 10 of the r1-r3 reps displaced by the re-cut.
-# Validated by tests/test_oracle_queries.py::test_round8_window_prestage.
+# ROUND-8 WINDOW (ACTIVE — swapped in at round-8 start per VERDICT r7
+# next-round #1, after CORRECTNESS_r07.json landed 50/50): re-cut to
+# front-load the 4 never-driver-certified oracle-backed queries (the
+# three round-7 deterministic ANN twins + dedup_signature_health —
+# all strict-sweep-green at both scales, previously parked in the
+# round-10/11 windows), then 46 re-certifications under the final
+# engine — the r1/r2 family reps from the originally staged round-6
+# window + r1-r3 reps displaced by earlier re-cuts. The 4 displaced
+# re-certs (fn_url / window_ntile / window_running_total /
+# events_topk_users — the members with the FRESHEST existing rows, all
+# r3) rotate into the freed round-10 twin slots and round-11's freed
+# dedup_signature_health slot. Validated by
+# tests/test_oracle_queries.py::test_round8_window_active.
 _CERT_FIRST_ROUND8 = [
+    # first-time certifications (VERDICT r7 #1: retire certification
+    # debt fastest — these 4 had no driver row after 7 rounds)
+    "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det",
+    "dedup_signature_health",
     # relational core reps (r1 rows, re-proven)
     "projection", "filter_pred", "limit_offset", "sort_nulls", "sort_topk",
     "join_semi", "join_anti", "join_full", "join_nullsafe", "join_residual",
@@ -232,14 +231,26 @@ _CERT_FIRST_ROUND8 = [
     "dedup_ngram_jaccard", "dedup_containment", "dedup_spans",
     "udaf_apply_in_pandas", "udf_pandas_scalar",
     # r1-r3 reps displaced from the old round-8 window
-    "fn_url", "window_ntile", "window_running_total",
-    "streaming_tumbling", "streaming_sessionize", "events_topk_users",
+    "streaming_tumbling", "streaming_sessionize",
     "text_gopher", "text_decontaminate", "pipeline_pack",
     "pipeline_leakage",
 ]
 assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]
 assert not _missing8, f"_CERT_FIRST_ROUND8 names not in registry: {_missing8}"
+
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-8 window leads.
+# After this window lands, EVERY oracle-backed registry query holds a
+# driver row (the round-10 completeness debt is fully retired two
+# rounds early); rounds 9-12 are re-certification under the final
+# engine.
+_CERT_FIRST = _CERT_FIRST_ROUND8
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
 
 # ROUND-9 WINDOW (pre-staged; swap into _CERT_FIRST at round-9 start
 # AFTER CORRECTNESS_r08.json lands): re-certification of the ENTIRE
@@ -259,12 +270,12 @@ assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 # ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
 # AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
 # that appear in NO other window (computed against rounds 4-9), plus
-# the three round-7 deterministic ANN twins (sim_ann_lsh_det /
-# sim_ann_ivf_det / sim_ann_pq_det — first-time certs; they take the
-# former bench-filler slots and multimodal_meta's, which already holds
-# an r2 hash-green row). After round 10, EVERY oracle-backed registry
-# query has a driver row (multimodal_meta's from round 2, all others
-# from rounds 4-10). Validated by
+# three of the r3-row re-certs displaced by the round-8 re-cut (fn_url
+# / window_ntile / window_running_total — they take the slots freed
+# when the ANN det twins moved forward into round 8). After round 10,
+# every oracle-backed query outside the windows holds an earlier
+# driver row (multimodal_meta from round 2; events_topk_users from
+# round 3, re-certified round 11). Validated by
 # tests/test_oracle_queries.py::test_round10_window_prestage.
 _CERT_FIRST_ROUND10 = [
     "agg_regression", "agg_boolean", "agg_string",
@@ -282,11 +293,10 @@ _CERT_FIRST_ROUND10 = [
     "dedup_clusters", "pipeline_mixture", "pipeline_quota",
     "pipeline_shuffle", "pipeline_funnel", "pipeline_budget",
     "pipeline_chunk", "dedup_incremental", "profile_documents",
-    # round-7 deterministic ANN twins (first-time certs; multimodal_meta
-    # yielded its slot to sim_ann_pq_det — it already holds an r2
-    # hash-green driver row, while the twins would otherwise never be
-    # driver-certified)
-    "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det",
+    # r3-row re-certs displaced by the round-8 re-cut (multimodal_meta
+    # already yielded its slot in the original staging — it holds an r2
+    # hash-green driver row)
+    "fn_url", "window_ntile", "window_running_total",
 ]
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
@@ -297,15 +307,15 @@ assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}
 # driver-certified after round 10, later rounds re-certify earlier
 # windows under the then-final engine — the rounds-8/9 treadmill
 # continued. Round 11 re-proves the round-5 window with ONE slot
-# swapped: dedup_signature_health (added post-staging in round 7 — a
-# first-time cert outranks a re-cert) takes tpch_q13's slot (q13
-# already holds r1 + r5 driver rows and stays eligible for rounds
-# 13+). Round 12 re-proves the round-6 window verbatim. Both source
-# windows contained zero rows-only slots by construction (the round-4
-# lesson). Validated by
+# swapped: events_topk_users (its re-cert slot was displaced by the
+# round-8 re-cut when dedup_signature_health moved forward) takes
+# tpch_q13's slot (q13 already holds r1 + r5 driver rows and stays
+# eligible for rounds 13+). Round 12 re-proves the round-6 window
+# verbatim. Both source windows contained zero rows-only slots by
+# construction (the round-4 lesson). Validated by
 # tests/test_oracle_queries.py::test_round11_12_window_prestage.
 _CERT_FIRST_ROUND11 = [
-    "dedup_signature_health" if n == "tpch_q13" else n
+    "events_topk_users" if n == "tpch_q13" else n
     for n in _CERT_FIRST_ROUND5
 ]
 _CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)

@@ -209,25 +209,20 @@ def test_round6_window_historical():
     assert set(_CERT_FIRST_ROUND6) == round5_additions
 
 
-def test_round7_window_active():
-    """The round-7 certification window (ACTIVE — swapped in at round-7
-    start per VERDICT r6 next-round #1): the remaining 45
-    never-driver-certified oracle-backed queries (34 late-round-5 + 10
-    late-round-4 + text_gopher_funnel) + 5 displaced re-certs — 50
-    unique oracle-backed names overlapping no earlier window, leading
-    the registry insertion order so the driver's first-50 sample
-    certifies them. After it, every oracle-backed registry query holds
-    a driver row."""
+def test_round7_window_historical():
+    """The round-7 certification window (historical —
+    CORRECTNESS_r07.json: 50/50 hash-green, 45 first-time
+    certifications): the remaining 45 never-driver-certified
+    oracle-backed queries (34 late-round-5 + 10 late-round-4 +
+    text_gopher_funnel) + 5 displaced re-certs — 50 unique
+    oracle-backed names overlapping no earlier window."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
         _CERT_FIRST_ROUND7,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND7  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND7  # driver sees it
     assert len(_CERT_FIRST_ROUND7) == 50
     assert len(set(_CERT_FIRST_ROUND7)) == 50
     assert set(_CERT_FIRST_ROUND7) <= set(ALL_QUERIES)
@@ -262,12 +257,16 @@ def test_round7_window_active():
     )
 
 
-def test_round8_window_prestage():
-    """The pre-staged round-8 certification window: 50 unique
-    oracle-backed re-certifications (the 40 r1/r2 family reps from the
-    originally staged round-6 window + 10 displaced r1-r3 reps),
-    overlapping no other window."""
+def test_round8_window_active():
+    """The round-8 certification window (ACTIVE — swapped in at round-8
+    start per VERDICT r7 next-round #1): re-cut to front-load the 4
+    never-driver-certified oracle-backed queries (3 ANN det twins +
+    dedup_signature_health) ahead of 46 re-certifications, leading the
+    registry insertion order so the driver's first-50 sample certifies
+    them. After it, EVERY oracle-backed registry query holds a driver
+    row."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -275,6 +274,13 @@ def test_round8_window_prestage():
         _CERT_FIRST_ROUND8,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND8  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND8  # driver sees it
+    # the 4 first-time certs lead the window (VERDICT r7 #1)
+    assert _CERT_FIRST_ROUND8[:4] == [
+        "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det",
+        "dedup_signature_health",
+    ]
     assert len(_CERT_FIRST_ROUND8) == 50
     assert len(set(_CERT_FIRST_ROUND8)) == 50
     assert set(_CERT_FIRST_ROUND8) <= set(ALL_QUERIES)
@@ -311,9 +317,10 @@ def test_round9_window_prestage():
 
 def test_round10_window_prestage():
     """The pre-staged round-10 certification window: every oracle-backed
-    query outside windows 4-9 (including the round-7 deterministic ANN
-    twins) — after it, all oracle-backed queries hold a rounds-5-10
-    driver row."""
+    query outside windows 4-9, plus three r3-row re-certs displaced by
+    the round-8 re-cut — after it, all oracle-backed queries hold a
+    rounds-5-10 driver row (multimodal_meta r2, events_topk_users
+    r3/r11 excepted — both already hash-green)."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
@@ -330,32 +337,33 @@ def test_round10_window_prestage():
     used = (set(_CERT_FIRST_ROUND4) | set(_CERT_FIRST_ROUND5)
             | set(_CERT_FIRST_ROUND6) | set(_CERT_FIRST_ROUND7)
             | set(_CERT_FIRST_ROUND8) | set(_CERT_FIRST_ROUND9))
-    # every member is a first-time cert: no overlap with windows 4-9
+    # no overlap with windows 4-9
     assert not set(_CERT_FIRST_ROUND10) & used
+    # the displaced round-8 re-certs landed here
     assert {
-        "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det"
+        "fn_url", "window_ntile", "window_running_total"
     } <= set(_CERT_FIRST_ROUND10)
     # completeness: windows 4-10 + rows-only = the whole registry.
     # Allowed absentees: multimodal_meta (already holds an r2 hash-green
-    # driver row, CORRECTNESS_r02.json; yielded its round-10 slot to the
-    # first-time sim_ann_pq_det certification) and
-    # dedup_signature_health (added after the round-10 staging froze —
-    # its first-time cert is slotted in the ROUND-11 window,
+    # driver row, CORRECTNESS_r02.json; yielded its round-10 slot in the
+    # original staging) and events_topk_users (r3 hash-green driver
+    # row; its re-cert slot was displaced by the round-8 re-cut and
+    # rotates into the ROUND-11 window,
     # test_round11_12_window_prestage).
     leftover = set(ALL_ORACLES) - used - set(_CERT_FIRST_ROUND10)
-    assert leftover <= {"multimodal_meta", "dedup_signature_health"}, (
+    assert leftover <= {"multimodal_meta", "events_topk_users"}, (
         f"oracle-backed queries in no window: {leftover}"
     )
 
 
 def test_round11_12_window_prestage():
     """The pre-staged round-11/12 re-certification windows: the round-5
-    window with exactly one slot swapped (dedup_signature_health, the
-    post-staging round-7 addition, displaces the twice-proven tpch_q13
-    — a first-time cert outranks a re-cert) and the round-6 window
-    verbatim (50 unique oracle-backed entries each, no rows-only
-    member) — the post-round-10 treadmill that re-proves every earlier
-    driver row under the then-final engine."""
+    window with exactly one slot swapped (events_topk_users, whose
+    re-cert slot was displaced by the round-8 re-cut, displaces the
+    twice-proven tpch_q13) and the round-6 window verbatim (50 unique
+    oracle-backed entries each, no rows-only member) — the
+    post-round-10 treadmill that re-proves every earlier driver row
+    under the then-final engine."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -364,7 +372,7 @@ def test_round11_12_window_prestage():
     )
 
     assert set(_CERT_FIRST_ROUND11) - set(_CERT_FIRST_ROUND5) == {
-        "dedup_signature_health"
+        "events_topk_users"
     }
     assert set(_CERT_FIRST_ROUND5) - set(_CERT_FIRST_ROUND11) == {"tpch_q13"}
     assert _CERT_FIRST_ROUND12 == _CERT_FIRST_ROUND6
