@@ -186,9 +186,14 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     broken by term ascending → fully deterministic.
 
     Plan: the only corpus-scale shuffle is the (doc, term) count. Document
-    frequency aggregates that table by term (vocabulary-sized — broadcast
-    back), and the corpus row count is a broadcast 1-row aggregate, NOT a
-    collected scalar — no driver round-trip, the whole plan is one DAG."""
+    frequency aggregates that table by term; the join back is keyed on
+    `term` with NO broadcast pin — the vocabulary is unbounded (10^8-10^9
+    distinct tokens on a web corpus; a pinned broadcast OOMs the driver),
+    so AQE picks the strategy: it still broadcasts when the vocabulary is
+    actually small, and falls back to a token-keyed shuffle join when it
+    isn't (same discipline as dsir_logweights, operators/text.py). The
+    corpus row count is a broadcast 1-row aggregate, NOT a collected
+    scalar — no driver round-trip, the whole plan is one DAG."""
     tf = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("_id", "term")
@@ -197,7 +202,7 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     nd = df.agg(F.count("*").alias("_nd"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
         .withColumn("score", F.round(F.col("tf") * F.log((F.col("_nd") + 1) / (F.col("df_t") + 1)), 6))
     )

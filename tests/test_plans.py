@@ -240,6 +240,31 @@ def test_dsir_no_cartesian_and_broadcast_ratio(spark):
     assert "Window" not in plan
 
 
+def test_tfidf_no_broadcast_pin_on_vocabulary(spark):
+    """tfidf_topk: the document-frequency table is vocabulary-sized
+    (10^8-10^9 distinct tokens on a web corpus) and must NEVER carry a
+    pinned broadcast hint — the join back to the (doc, term) counts is
+    keyed on `term` and AQE picks the strategy (it still broadcasts
+    when the vocab is actually small; the assertion is on the LOGICAL
+    plan's hints, not the physical choice). The only legitimate pin is
+    the 1-row corpus-count cross join. Mirrors
+    test_dsir_no_cartesian_and_broadcast_ratio (VERDICT r7 #2)."""
+    from ballista_mvp_spark.operators import pipeline as P
+    from ballista_mvp_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = P.tfidf_topk(docs, "doc_id", "text", k=3)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one broadcast pin survives: the 1-row count on the Cross join
+    pinned = [l for l in opt.splitlines() if "strategy=broadcast" in l]
+    assert len(pinned) == 1 and "Join Cross" in pinned[0], pinned
+    # the vocabulary join is keyed on term and carries NO hint
+    vocab_joins = [l for l in opt.splitlines() if "Join Inner" in l and "term" in l]
+    assert vocab_joins and all("Hint" not in l and "hint" not in l for l in vocab_joins), vocab_joins
+    # and nothing degenerates to a cartesian
+    assert "CartesianProduct" not in _plan(df)
+
+
 def test_spearman_windows_only_on_support(spark):
     """stats_spearman: the per-document table is NEVER ranked through a
     window — the only Window nodes run over the distinct-value support
