@@ -357,7 +357,7 @@ def incremental_minhash_dedup(
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket)
     )
-    cb = cb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    cb = cb.join(hot.select("band", "bh"), ["band", "bh"], "left_anti")
     cand = (
         _bands(bhs)
         .withColumnRenamed("_id", "batch_id")
@@ -409,7 +409,7 @@ def _shingle_index(
     sizes = arr.select("_id", F.size("_sh").alias("sz"))
     sh = arr.select("_id", F.explode("_sh").alias("s"))
     hot = sh.groupBy("s").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_shingle_freq)
-    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.join(hot, "s", "left_anti")
     return sh, sizes
 
 
@@ -561,17 +561,22 @@ def hamming_band_pairs(
     Shuffles (band, chunk, id, sh) rows only; candidates verify with one
     codegen'd bit_count.
 
-    ``max_bucket`` (opt-in, the minhash_lsh_pairs discipline): drop
-    (band, chunk) buckets with more members before the self-join. A
-    well-mixed 64-bit signature never produces such buckets below
-    ~2¹⁶-docs-per-chunk density, but a LOW-ENTROPY signature source
-    (measured: the byte-stat stand-in hash over ASCII text concentrates
-    into few effective bits — 443k "pairs" from 100k docs,
-    tools/scale_stress.py --media) turns one hot bucket into a
-    quadratic self-join; pairs from such buckets are signature
-    collisions, not near-dups. Default None preserves exact historical
-    results (the *_det oracle twins replay this function). Use
-    signature_entropy() as the pre-flight check."""
+    **Contract at scale: run signature_entropy() on the same sigs frame
+    FIRST, and pass ``max_bucket`` (or fix the signature source) when
+    it reports low distinct_ratio or a large max_bucket_share.** This
+    is a requirement, not a suggestion: with ``max_bucket=None`` a
+    degenerate-signature corpus silently goes quadratic — a
+    LOW-ENTROPY signature source (measured: the byte-stat stand-in
+    hash over ASCII text concentrates into few effective bits — 443k
+    "pairs" from 100k docs, tools/scale_stress.py --media; SCALE.md
+    Multimodal) turns one hot (band, chunk) bucket into a quadratic
+    self-join, and pairs from such buckets are signature collisions,
+    not near-dups. A well-mixed 64-bit signature never produces such
+    buckets below ~2¹⁶-docs-per-chunk density. The default stays None
+    only because the *_det oracle twins replay this function and must
+    keep byte-identical historical results; the pre-flight costs one
+    token-pass-scale scan of map-side-combined counts (3 scalars to
+    the driver) vs the unbounded O(bucket²) blowup it prevents."""
     banded = sigs.select(
         "_id",
         "sh",
@@ -617,9 +622,13 @@ def signature_entropy(sigs: DataFrame) -> dict:
     {n, n_distinct, distinct_ratio, max_bucket, max_bucket_share} where
     max_bucket is the largest (band, 16-bit chunk) bucket the pair
     stage would self-join. Healthy: distinct_ratio near 1 and
-    max_bucket_share ≪ 1%. All aggregates are map-side-combined counts;
-    only 3 scalars reach the driver — run it at full corpus scale
-    BEFORE committing to the O(bucket²) pair stage."""
+    max_bucket_share ≪ 1%. **Gate callers must check n first**: an
+    EMPTY sigs frame reports the "healthy" sentinels
+    (distinct_ratio=1.0, max_bucket_share=0.0), so a pre-flight that
+    ignores n=0 would wave through an upstream bug that produced zero
+    signatures. All aggregates are map-side-combined counts; only 3
+    scalars reach the driver — run it at full corpus scale BEFORE
+    committing to the O(bucket²) pair stage."""
     n = sigs.count()
     nd = sigs.select("sh").distinct().count()
     chunks = sigs.select(
@@ -945,7 +954,7 @@ def substring_dup_spans(
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_window_freq)
     )
-    wins = wins.join(F.broadcast(hot), "h", "left_anti")
+    wins = wins.join(hot, "h", "left_anti")
     a = wins.select(F.col("_id").alias("a"), F.col("pos").alias("ai"), "h")
     b = wins.select(F.col("_id").alias("b"), "h")
     matched = (
@@ -996,7 +1005,7 @@ def fuzzy_pairs(
     hot = (
         d.groupBy("_blk").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_block)
     )
-    d = d.join(F.broadcast(hot), "_blk", "left_anti")
+    d = d.join(hot, "_blk", "left_anti")
     a = d.select(F.col("_id").alias("a"), F.col("_tn").alias("_ta"), "_blk")
     b = d.select(F.col("_id").alias("b"), F.col("_tn").alias("_tb"), "_blk")
     return (

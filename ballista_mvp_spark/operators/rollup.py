@@ -118,10 +118,15 @@ def reaggregate_rollup(hourly: DataFrame, granularity: str = "day") -> DataFrame
     )
 
 
-def detect_stale_hours(spark: SparkSession, path: str, raw: DataFrame) -> list[str]:
+def detect_stale_hours(
+    spark: SparkSession, path: str, raw: DataFrame
+) -> list[str | None]:
     """Audit the materialized rollup against raw: an hour is STALE when
     its raw row count disagrees with the rollup's `n` total (covers
     late-arriving rows, reprocessed files, and hours missing entirely).
+    Returns stale hour keys sorted ascending; a stale NULL-hour
+    partition (null-ts rows) is reported as a trailing ``None`` element,
+    matching refresh_rollup's touched-key convention.
     Cost: one map-side-combined count per side on the hour key — no
     joins over facts, no value comparison needed (any row change moves
     the count; a same-count value corruption is what the shard-manifest

@@ -342,7 +342,7 @@ def lsh_cosine_dup_pairs(
     bucketed = bucketed.persist()
     bucket_sizes = bucketed.groupBy("tbl", "bucket").agg(F.count("*").alias("_n"))
     bucketed = bucketed.join(
-        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)), ["tbl", "bucket"], "left_anti"
+        bucket_sizes.filter(F.col("_n") > max_bucket), ["tbl", "bucket"], "left_anti"
     )
     pairs = (
         bucketed.select("tbl", "bucket", F.col("_id").alias("a"))

@@ -591,7 +591,7 @@ def bm25_topk(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(F.broadcast(dft), "term")
+        tf.join(dft, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(w_term), 6).alias("bm25"))

@@ -5269,8 +5269,9 @@ def text_bigram_lm(spark, sf_dir):
     """Corpus bigram language-model table: P(w2|w1) = c(w1,w2)/c(w1) for
     the 30 most frequent bigrams. One token explode feeds BOTH counts
     (bigrams via token + lead(token) window per doc — the (doc)-keyed
-    window shuffle is the only corpus-scale shuffle; unigram counts are
-    vocabulary-sized and broadcast back). Top-30 compiles to
+    window shuffle is the only corpus-scale shuffle; the unigram
+    denominator joins back KEYED on w1 with no broadcast pin — the
+    vocabulary is unbounded, AQE picks the strategy). Top-30 compiles to
     TakeOrderedAndProject. The corpus statistic behind n-gram LM scoring
     and perplexity-style quality filters."""
     from pyspark.sql import Window as W
@@ -5295,7 +5296,7 @@ def text_bigram_lm(spark, sf_dir):
         .agg(F.count("*").alias("c1"))
     )
     return (
-        bi.join(F.broadcast(deno), "w")
+        bi.join(deno, "w")
         .select(
             F.col("w").alias("w1"),
             "w2",

@@ -746,17 +746,21 @@ def q11(spark, sf_dir):
         .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
     total = rev.agg(
-        (F.sum(F.round(F.col("part_value") * 100).cast("long")) / 100.0).alias("tot"),
+        # carry the corpus total as LONG CENTS end-to-end: a double
+        # round-trip (sum/100.0 then round(tot*100)) is exact only below
+        # 2^53 total cents, and the DuckDB leg sums cents directly — at
+        # extreme scale the two could diverge at the threshold boundary
+        F.sum(F.round(F.col("part_value") * 100).cast("long")).alias("tot_cents"),
         F.count(F.lit(1)).alias("nparts"),
     )
     return (
         rev.join(F.broadcast(total))
-        # integer-cents comparison: part_value*100 and tot*100 are exact
-        # longs on both engines, so 2x-average is a deterministic
+        # integer-cents comparison: part_value*100 and tot_cents are
+        # exact longs on both engines, so 2x-average is a deterministic
         # integer predicate (never a float ratio at the boundary)
         .filter(
             F.round(F.col("part_value") * 100).cast("long") * F.col("nparts")
-            > F.round(F.col("tot") * 100).cast("long") * 2
+            > F.col("tot_cents") * 2
         )
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")

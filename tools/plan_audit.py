@@ -1,0 +1,280 @@
+"""Full-registry plan-hygiene audit — the three classic 100 TB plan
+killers, checked mechanically over every registry query's plan.
+
+Audits (per query, compiled at sf0.001):
+
+A. **Pinned broadcast on an unbounded frame.** Every broadcast HINT in
+   the optimized logical plan (``leftHint=/rightHint=(strategy=broadcast)``)
+   is classified by its hinted subtree:
+   - ``one_row_agg``   — a global (no-grouping-key) aggregate: 1 row, fine.
+   - ``limited``       — a Limit/TakeOrdered bounds the subtree: k rows, fine.
+   - ``vocab_scale``   — the subtree groups an EXPLODED column (an
+     Aggregate WITH grouping keys sitting above a Generate) with no
+     Limit in between: vocabulary-sized (10^8-10^9 distinct tokens on a
+     web corpus) → **FLAGGED**. This is the hardened definition from
+     VERDICT r7 #3: the round-7 ad-hoc audit counted tfidf's
+     document-frequency table as dimension-sized; anything derived by
+     grouping an exploded token/term/shingle column is unbounded.
+   - ``dimension``     — everything else (base dims like nation/region,
+     filtered ≤k query sets). Listed for adjudication, not flagged.
+
+B. **CartesianProduct** anywhere in the executed plan → flagged.
+   (BroadcastNestedLoopJoin from tiny-build crossJoins is allowed; the
+   round-7 sweep adjudicated all 40 as 1-row/≤8-row builds.)
+
+C. **Exchange SinglePartition** whose child is not an aggregate
+   (partial → final funnel over support-sized input) → flagged, except
+   the declared global-NTILE surface (window_ntile, SURVEY §2.6).
+
+Usage::
+
+    python tools/plan_audit.py [sf_dir]          # default sf0.001
+    python tools/plan_audit.py sf_dir name ...   # subset by prefix
+
+Exit status 1 iff any query is flagged. Output: one line per flag, a
+per-class pin census, and a summary line.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from dataclasses import dataclass, field
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+UNIT = 3  # treeString indents in 3-char units (':- ', '+- ', ':  ', '   ')
+
+
+@dataclass
+class Node:
+    text: str
+    depth: int
+    idx: int
+    children: list["Node"] = field(default_factory=list)
+
+
+def parse_tree(plan: str) -> list[Node]:
+    """Parse a Spark treeString into a node list with child links.
+
+    Returns nodes in line order; nodes[0] is the root. A node line
+    consumes zero or more ':  '/'   ' continuation units then a ':- ' or
+    '+- ' branch marker; any other line is a CONTINUATION of the
+    previous node (expressions can embed literal newlines — e.g. a
+    whitespace-class regex in a tokenizer split) and folds into it."""
+    nodes: list[Node] = []
+    stack: list[Node] = []
+    for raw in plan.splitlines():
+        if not raw.strip():
+            continue
+        s, depth, is_node = raw, 0, False
+        while len(s) >= UNIT and s[:UNIT] in (":  ", "   "):
+            depth += 1
+            s = s[UNIT:]
+        if len(s) >= UNIT and s[:UNIT] in (":- ", "+- "):
+            depth += 1
+            s = s[UNIT:]
+            is_node = True
+        if not nodes:
+            n = Node(text=raw.strip(), depth=0, idx=0)
+            nodes.append(n)
+            stack.append(n)
+            continue
+        if not is_node:
+            nodes[-1].text += " " + raw.strip()
+            continue
+        n = Node(text=s.strip(), depth=depth, idx=len(nodes))
+        nodes.append(n)
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if stack:
+            stack[-1].children.append(n)
+        stack.append(n)
+    return nodes
+
+
+def _subtree(n: Node) -> list[Node]:
+    out = [n]
+    for c in n.children:
+        out.extend(_subtree(c))
+    return out
+
+
+_AGG_RE = re.compile(r"^(Aggregate|HashAggregate|ObjectHashAggregate|SortAggregate)\b")
+_LIMIT_RE = re.compile(r"^(GlobalLimit|LocalLimit|TakeOrdered|CollectLimit|Limit)\b")
+_GEN_RE = re.compile(r"^Generate\b")
+
+
+def _agg_has_grouping_keys(text: str) -> bool:
+    """Logical ``Aggregate [keys], [exprs]`` has two bracket lists; a
+    global aggregate (``Aggregate [count(1) AS c#1L]``) has one."""
+    return bool(re.match(r"Aggregate \[[^\]]*\], \[", text))
+
+
+def classify_pin(hinted: Node) -> str:
+    """Classify the frame under a broadcast hint (see module doc)."""
+    if _agg_has_grouping_keys(hinted.text) is False and hinted.text.startswith("Aggregate "):
+        return "one_row_agg"
+    # walk: any grouping Aggregate above a Generate, with no Limit on the
+    # path from the hint root down to that Aggregate → vocabulary-sized
+    def walk(n: Node, limited: bool) -> str | None:
+        if _LIMIT_RE.match(n.text):
+            limited = True
+        if n.text.startswith("Aggregate "):
+            if not _agg_has_grouping_keys(n.text):
+                # global agg bounds everything below it to 1 row
+                return None
+            if not limited and any(
+                _GEN_RE.match(d.text) for d in _subtree(n)[1:]
+            ):
+                return "vocab_scale"
+        for c in n.children:
+            r = walk(c, limited)
+            if r:
+                return r
+        return None
+
+    flagged = walk(hinted, False)
+    if flagged:
+        return flagged
+    if any(_LIMIT_RE.match(d.text) for d in _subtree(hinted)):
+        return "limited"
+    return "dimension"
+
+
+# Adjudicated vocab_scale pins: the structural heuristic sees "grouping
+# above an explode" but the grouping KEY's domain is bounded by
+# construction, so the pinned frame cannot grow with the corpus. Each
+# entry names the query and the bound. Anything NOT listed here that
+# classifies vocab_scale is a defect.
+ADJUDICATED_VOCAB_PINS: dict[str, str] = {
+    "sketch_cms": "CMS cell table ≤ depth×width rows (constants)",
+    "sketch_cms_det": "CMS cell table ≤ depth×width rows (constants)",
+    "text_dsir": (
+        "ratio table grouped on _b, whose domain is the Limit-bounded "
+        "top-V vocab + the <oov> sentinel — ≤ V+1 rows"
+    ),
+    "text_langid_ngram": (
+        "trigram profile is rank-filtered to top_n per language — "
+        "≤ top_n × n_languages rows"
+    ),
+    "text_overlap_matrix": (
+        "per-group shingle totals — ≤ n_groups rows (sources, tens)"
+    ),
+    "sim_ann_pq_det": (
+        "PQ centroid/LUT tables ≤ m_subspaces × 2^code_bits rows "
+        "(constants); query side ≤ 8 rows by vec_id filter"
+    ),
+}
+
+_HINT_RE = re.compile(r"(left|right)Hint=\([^)]*strategy=broadcast[^)]*\)")
+
+
+def broadcast_pin_findings(opt_plan: str) -> list[tuple[str, str]]:
+    """All broadcast pins in an optimized logical plan →
+    [(classification, join-line)]. ``vocab_scale`` entries are defects."""
+    nodes = parse_tree(opt_plan)
+    out = []
+    for n in nodes:
+        for m in _HINT_RE.finditer(n.text):
+            side = m.group(1)
+            kids = n.children
+            if len(kids) < 2:
+                continue
+            hinted = kids[0] if side == "left" else kids[1]
+            out.append((classify_pin(hinted), n.text[:140]))
+    return out
+
+
+_NARROW_RE = re.compile(r"^(\*\(\d+\) )?(Project|Filter|ColumnarToRow|InputAdapter)\b")
+
+
+def single_partition_findings(exec_plan: str) -> list[str]:
+    """Exchange SinglePartition nodes not fed by an aggregate (a
+    partial→final funnel over support-sized input). Narrow row-wise ops
+    (Project/Filter, codegen wrappers) between the exchange and the
+    aggregate are skipped — they don't change cardinality class."""
+    nodes = parse_tree(exec_plan)
+    bad = []
+    for n in nodes:
+        if "Exchange SinglePartition" not in n.text:
+            continue
+
+        def feeds_aggregate(node: Node) -> bool:
+            for c in node.children:
+                if re.search(r"(Hash|ObjectHash|Sort)Aggregate", c.text):
+                    return True
+                if _NARROW_RE.match(c.text) and feeds_aggregate(c):
+                    return True
+            return False
+
+        if not feeds_aggregate(n):
+            bad.append(n.children[0].text[:120] if n.children else n.text[:120])
+    return bad
+
+
+def audit_query(df) -> dict:
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    ex = qe.executedPlan().toString()
+    pins = broadcast_pin_findings(opt)
+    return {
+        "vocab_pins": [p for p in pins if p[0] == "vocab_scale"],
+        "pins": pins,
+        "cartesian": "CartesianProduct" in ex,
+        "bad_single_partition": single_partition_findings(ex),
+    }
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    prefixes = sys.argv[2:]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ballista_mvp_spark.queries import ALL_QUERIES
+
+    names = [
+        n for n in ALL_QUERIES
+        if not prefixes or any(n.startswith(p) for p in prefixes)
+    ]
+    flags = 0
+    census: dict[str, int] = {}
+    for name in names:
+        try:
+            res = audit_query(ALL_QUERIES[name](spark, sf_dir))
+        except Exception as e:  # compile failure is itself a finding
+            print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:140]}")
+            flags += 1
+            continue
+        for cls, line in res["pins"]:
+            census[cls] = census.get(cls, 0) + 1
+        bad = []
+        if res["vocab_pins"]:
+            if name in ADJUDICATED_VOCAB_PINS:
+                print(f"[ADJ ] {name}: {ADJUDICATED_VOCAB_PINS[name]}")
+            else:
+                bad.append(f"vocab-scale broadcast pin: {res['vocab_pins']}")
+        if res["cartesian"]:
+            bad.append("CartesianProduct in executed plan")
+        sp = [s for s in res["bad_single_partition"] if name != "window_ntile"]
+        if sp:
+            bad.append(f"SinglePartition not above an aggregate: {sp}")
+        if bad:
+            flags += 1
+            for b in bad:
+                print(f"[FLAG] {name}: {b}")
+    print(f"pin census: {census}")
+    print(f"{flags} flagged / {len(names)} queries")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
