@@ -636,10 +636,24 @@ def _media_stress(spark, sf_dir, mults) -> None:
         t0 = time.perf_counter()
         pairs = M.phash_dup_pairs(media, max_hamming=3).count()
         th = time.perf_counter() - t0
+        # the signature_entropy pre-flight contract: its cost (one
+        # map-side-combined count pass over the sigs, 3 driver scalars)
+        # vs the quadratic pair stage it gates
+        from ballista_mvp_spark.operators.dedup import signature_entropy
+
+        sigs = M.perceptual_hash(media).persist()
+        sigs.count()  # materialize outside the timed window
+        t0 = time.perf_counter()
+        ent = signature_entropy(sigs)
+        te = time.perf_counter() - t0
+        sigs.unpersist()
         print(
             f"x{m:<3} media={n:<7} payload={mb:7.1f}MB "
             f"featurize(pandas) {tp:6.2f}s | featurize(arrow) {ta:6.2f}s | "
-            f"phash pairs={pairs:<6} {th:6.2f}s",
+            f"phash pairs={pairs:<6} {th:6.2f}s | "
+            f"entropy pre-flight {te:5.2f}s "
+            f"(distinct_ratio={ent['distinct_ratio']}, "
+            f"max_bucket_share={ent['max_bucket_share']})",
             flush=True,
         )
 
