@@ -559,8 +559,8 @@ def graph_assortativity(spark, sf_dir):
     dx = deg.select(F.col("node").alias("src"), F.col("degree").alias("dx"))
     dy = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dy"))
     return (
-        edges.join(F.broadcast(dx), "src")
-        .join(F.broadcast(dy), "dst")
+        edges.join(dx, "src")
+        .join(dy, "dst")
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
             F.round(F.avg("dx"), 6).alias("avg_src_degree"),

@@ -1464,7 +1464,7 @@ def market_supplier_scorecard(spark, sf_dir):
         F.round(F.avg("l_discount"), 6).alias("avg_discount"),
     )
     joined = per.join(
-        F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+        s.select("s_suppkey", "s_name", "s_nationkey"),
         per["l_suppkey"] == s["s_suppkey"],
     ).join(F.broadcast(n.select("n_nationkey", "n_name")),
            F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1537,7 +1537,7 @@ def customer_churn(spark, sf_dir):
     )
     return (
         flagged.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             flagged["o_custkey"] == c["c_custkey"],
         )
         .groupBy("c_mktsegment")

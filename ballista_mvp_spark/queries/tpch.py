@@ -88,7 +88,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -292,7 +292,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
@@ -521,7 +521,7 @@ def q17(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     avg_qty = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(_cents_sum(F.col("l_extendedprice")) / 7.0, 4).alias("avg_yearly"))
@@ -552,7 +552,7 @@ def q19(spark, sf_dir):
            & (F.col("l_quantity").between(20, 40)))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -625,8 +625,8 @@ def q2(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     pair_cost = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         # min is order-independent and IEEE-exact → float-equality safe
         # across engines (unlike avg)
@@ -637,8 +637,8 @@ def q2(spark, sf_dir):
         F.col("supply_cost") == F.col("mn")
     )
     return (
-        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part.select("p_partkey", "p_name")), best.l_partkey == F.col("p_partkey"))
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(part.select("p_partkey", "p_name"), best.l_partkey == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.round("supply_cost", 6).alias("supply_cost"),
@@ -690,7 +690,7 @@ def q9(spark, sf_dir):
         - F.lit(0.2) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -741,7 +741,7 @@ def q11(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     rev = (
-        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
@@ -798,7 +798,7 @@ def q11_spec(spark, sf_dir, fraction: float | None = None):
     )
     li = _t(spark, sf_dir, "lineitem")
     rev = (
-        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
@@ -854,8 +854,8 @@ def q16(spark, sf_dir):
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -894,7 +894,7 @@ def q20(spark, sf_dir):
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
     pair = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -909,7 +909,7 @@ def q20(spark, sf_dir):
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        supp.join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -978,7 +978,7 @@ def q21(spark, sf_dir):
         )
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        waiting.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

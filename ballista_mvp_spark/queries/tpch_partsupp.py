@@ -78,8 +78,8 @@ def q2_partsupp(spark, sf_dir):
     )
     ps = partsupp(spark, sf_dir)
     eligible = (
-        ps.join(F.broadcast(part.select("p_partkey", "p_name")), ps.ps_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(part.select("p_partkey", "p_name"), ps.ps_partkey == F.col("p_partkey"))
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
     )
     w = Window.partitionBy("ps_partkey")
     best = eligible.withColumn(
@@ -140,7 +140,7 @@ def q9_partsupp(spark, sf_dir):
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -187,7 +187,7 @@ def q11_partsupp(spark, sf_dir):
     )
     ps = partsupp(spark, sf_dir)
     val = (
-        ps.join(F.broadcast(supp.select("s_suppkey")), ps.ps_suppkey == F.col("s_suppkey"))
+        ps.join(supp.select("s_suppkey"), ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(
             F.sum(F.col("ps_supplycost_cents").cast("long") * F.col("ps_availqty")).alias(
@@ -238,8 +238,8 @@ def q16_partsupp(spark, sf_dir):
     )
     ps = partsupp(spark, sf_dir)
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(bad_supp, ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -273,7 +273,7 @@ def q20_partsupp(spark, sf_dir):
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
     ps = partsupp(spark, sf_dir)
     qualifying = (
-        ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        ps.join(part.select("p_partkey"), ps.ps_partkey == F.col("p_partkey"))
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
@@ -291,7 +291,7 @@ def q20_partsupp(spark, sf_dir):
     )
     return (
         supp.join(
-            F.broadcast(qualifying), supp.s_suppkey == qualifying.ps_suppkey, "left_semi"
+            qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi"
         )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")

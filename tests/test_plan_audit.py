@@ -105,16 +105,22 @@ def test_registry_tfidf_bigram_bm25_unpinned(spark):
     assert not res["vocab_pins"], res["pins"]
 
 
-def test_adjudicated_vocab_pins_documented():
-    """Every adjudicated vocab-scale pin names a registry query and a
-    concrete bound; no free passes."""
-    from plan_audit import ADJUDICATED_VOCAB_PINS
+def test_adjudicated_pins_documented():
+    """Every adjudicated pin (vocab-scale, SF-scaled-base, keyed-agg)
+    names a registry query and a concrete bound; no free passes."""
+    from plan_audit import (
+        ADJUDICATED_KEYED_AGG_PINS,
+        ADJUDICATED_SCALED_PINS,
+        ADJUDICATED_VOCAB_PINS,
+    )
 
     from ballista_mvp_spark.queries import ALL_QUERIES
 
-    for name, reason in ADJUDICATED_VOCAB_PINS.items():
-        assert name in ALL_QUERIES, name
-        assert len(reason) > 20, (name, reason)
+    for d in (ADJUDICATED_VOCAB_PINS, ADJUDICATED_SCALED_PINS,
+              ADJUDICATED_KEYED_AGG_PINS):
+        for name, reason in d.items():
+            assert name in ALL_QUERIES, name
+            assert len(reason) > 20, (name, reason)
 
 
 def test_dsir_ratio_pin_is_adjudicated(spark):

@@ -112,32 +112,47 @@ def _agg_has_grouping_keys(text: str) -> bool:
     return bool(re.match(r"Aggregate \[[^\]]*\], \[", text))
 
 
+# Distinctive leading columns of the SF-SCALED base tables (cardinality
+# grows with data volume). nation (25 rows) and region (5) are spec-fixed
+# and excluded — pins on them are correct at any scale.
+_SCALED_SCAN_RE = re.compile(
+    r"^Relation \[?(c_custkey|o_orderkey|l_orderkey|p_partkey|ps_partkey|"
+    r"s_suppkey|event_id|user_id|doc_id|vec_id)\b"
+)
+
+
 def classify_pin(hinted: Node) -> str:
-    """Classify the frame under a broadcast hint (see module doc)."""
+    """Classify the frame under a broadcast hint (see module doc).
+
+    Precedence: vocab_scale (grouped explode, unbounded key domain) >
+    sf_scaled_base (an SF-scaled base-table scan reaches the hint with
+    no bounding node — the frame grows with the corpus, so the pin
+    OOMs at 100 TB even though it wins a single-node bench) >
+    keyed_agg_scaled (a keyed aggregate over an SF-scaled scan — the
+    key domain decides; requires adjudication) > limited > dimension."""
     if _agg_has_grouping_keys(hinted.text) is False and hinted.text.startswith("Aggregate "):
         return "one_row_agg"
-    # walk: any grouping Aggregate above a Generate, with no Limit on the
-    # path from the hint root down to that Aggregate → vocabulary-sized
-    def walk(n: Node, limited: bool) -> str | None:
+
+    found: set[str] = set()
+
+    def walk(n: Node, limited: bool, keyed_agg: bool) -> None:
         if _LIMIT_RE.match(n.text):
             limited = True
         if n.text.startswith("Aggregate "):
             if not _agg_has_grouping_keys(n.text):
-                # global agg bounds everything below it to 1 row
-                return None
-            if not limited and any(
-                _GEN_RE.match(d.text) for d in _subtree(n)[1:]
-            ):
-                return "vocab_scale"
+                return  # global agg bounds everything below to 1 row
+            if not limited and any(_GEN_RE.match(d.text) for d in _subtree(n)[1:]):
+                found.add("vocab_scale")
+            keyed_agg = True
+        if not limited and _SCALED_SCAN_RE.match(n.text):
+            found.add("keyed_agg_scaled" if keyed_agg else "sf_scaled_base")
         for c in n.children:
-            r = walk(c, limited)
-            if r:
-                return r
-        return None
+            walk(c, limited, keyed_agg)
 
-    flagged = walk(hinted, False)
-    if flagged:
-        return flagged
+    walk(hinted, False, False)
+    for cls in ("vocab_scale", "sf_scaled_base", "keyed_agg_scaled"):
+        if cls in found:
+            return cls
     if any(_LIMIT_RE.match(d.text) for d in _subtree(hinted)):
         return "limited"
     return "dimension"
@@ -165,6 +180,79 @@ ADJUDICATED_VOCAB_PINS: dict[str, str] = {
     "sim_ann_pq_det": (
         "PQ centroid/LUT tables ≤ m_subspaces × 2^code_bits rows "
         "(constants); query side ≤ 8 rows by vec_id filter"
+    ),
+}
+
+# Adjudicated sf_scaled_base pins: the hinted frame scans an SF-scaled
+# base table unbounded — allowed only with a concrete reason. (The
+# classifier cannot see Filter selectivity, so k-row vec_id slices of
+# embeddings land here.)
+_QUERY_SIDE = (
+    "pinned side is the QUERY SET — a vec_id pushdown filter bounds it "
+    "to k rows (≤8); the corpus side is never pinned"
+)
+ADJUDICATED_SCALED_PINS: dict[str, str] = {
+    "sim_topk": _QUERY_SIDE,
+    "sim_hybrid_rrf": _QUERY_SIDE,
+    "sim_maxsim": _QUERY_SIDE,
+    "sim_knn_eval": _QUERY_SIDE,
+    "sim_ann_lsh": _QUERY_SIDE + " (bucket-probe join)",
+    "sim_ann_ivf": _QUERY_SIDE + " (cell-probe join)",
+    "sim_ann_lsh_det": _QUERY_SIDE + " (deterministic twin, bucket-probe)",
+    "sim_ann_ivf_det": _QUERY_SIDE + " (deterministic twin, cell-probe; "
+    "the Cross pin is the 2-row sign-centroid table)",
+    "sim_ann_pq_det": _QUERY_SIDE + " (deterministic twin, LUT probe)",
+    "join_inner": (
+        "the §2.4 COLLECT_LEFT partition-mode surface itself — "
+        "demonstrates the explicit broadcast hint API (J.join "
+        "broadcast_right=True), mirroring the reference's COLLECT_LEFT "
+        "mode; the AUTO path is certified by every unpinned join"
+    ),
+}
+
+# Adjudicated keyed_agg_scaled pins: the hinted frame is a keyed
+# aggregate over an SF-scaled scan; bounded iff the KEY DOMAIN is fixed.
+_PRIORITY_KEYED = (
+    "pinned side keyed on o_orderpriority — 5 values by spec"
+)
+_TYPE_KEYED = "pinned side keyed on event_type — fixed small event vocabulary"
+ADJUDICATED_KEYED_AGG_PINS: dict[str, str] = {
+    "stats_mad": _PRIORITY_KEYED,
+    "stats_levene": _PRIORITY_KEYED,
+    "stats_outlier_iqr": _PRIORITY_KEYED,
+    "events_anomaly": _TYPE_KEYED,
+    "events_changepoint": _TYPE_KEYED,
+    "events_seasonality": _TYPE_KEYED + " × 7 weekdays",
+    "events_markov_eval": _TYPE_KEYED + " (src_type)",
+    "events_cohort_matrix": (
+        "pinned side keyed on cohort_week — calendar-bounded "
+        "(~52 rows/year of data; grows with TIME, not volume)"
+    ),
+    "text_langid_confusion": (
+        "pinned side keyed on lang — fixed language set"
+    ),
+    "pipeline_balanced_bins": (
+        "pinned side is the token-count SUPPORT table (distinct n_tok "
+        "values ≤ max document length — the stats_spearman support "
+        "pattern, plan-asserted in tests/test_plans.py)"
+    ),
+    "pipeline_budget": (
+        "pinned side is the chunk prefix table of the distributed "
+        "prefix sum — corpus/chunk rows (4096-doc chunks: ~25k rows "
+        "per 100M docs, the documented pack_sequences trade; raise "
+        "chunk for larger corpora)"
+    ),
+    "pipeline_pack": (
+        "pinned side is the chunk prefix table of the distributed "
+        "prefix sum — corpus/chunk rows (see pipeline_budget)"
+    ),
+    "sim_ann_ivf_det": (
+        "pinned side keyed on cell — sign-code cells, ≤ 2^n_planes "
+        "rows (constant)"
+    ),
+    "pipeline_rebalance": (
+        "pinned side keyed on lang — per-stratum thresholds, "
+        "≤ n_languages rows"
     ),
 }
 
@@ -262,6 +350,18 @@ def main() -> int:
                 print(f"[ADJ ] {name}: {ADJUDICATED_VOCAB_PINS[name]}")
             else:
                 bad.append(f"vocab-scale broadcast pin: {res['vocab_pins']}")
+        scaled = [p for p in res["pins"] if p[0] == "sf_scaled_base"]
+        if scaled:
+            if name in ADJUDICATED_SCALED_PINS:
+                print(f"[ADJ ] {name}: {ADJUDICATED_SCALED_PINS[name]}")
+            else:
+                bad.append(f"SF-scaled base-table broadcast pin: {scaled}")
+        keyed = [p for p in res["pins"] if p[0] == "keyed_agg_scaled"]
+        if keyed:
+            if name in ADJUDICATED_KEYED_AGG_PINS:
+                print(f"[ADJ ] {name}: {ADJUDICATED_KEYED_AGG_PINS[name]}")
+            else:
+                bad.append(f"keyed-agg-over-scaled-scan broadcast pin: {keyed}")
         if res["cartesian"]:
             bad.append("CartesianProduct in executed plan")
         sp = [s for s in res["bad_single_partition"] if name != "window_ntile"]
