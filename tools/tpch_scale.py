@@ -64,7 +64,73 @@ def build_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
             )
 
 
+def grow_dim(spark, sf_dir: str, out_dir: str, mult: int) -> None:
+    """Inverse stress (round-8 unpin verification): grow the
+    FORMERLY-PINNED join side (customer) ×mult with DISJOINT custkeys —
+    new customers match no orders, so inner-join results are unchanged
+    by construction — and copy every other table as-is. At small mult
+    the un-hinted q3 still plans BroadcastHashJoin (size estimate under
+    the threshold); past it, the SAME code degrades to a shuffle join
+    instead of forcing an ever-larger broadcast. That graceful flip IS
+    the behavior the removed pins used to break."""
+    copies = spark.range(mult).select(F.col("id").alias("_copy"))
+    shift = F.col("_copy") * F.lit(KEY_SHIFT)
+    c = load_table(spark, sf_dir, "customer")
+    (
+        c.crossJoin(F.broadcast(copies))
+        .withColumn("c_custkey", F.col("c_custkey") + shift)
+        .drop("_copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "customer.parquet"))
+    )
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{t}.parquet")
+            )
+
+
+def _join_nodes(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sorted(
+        {
+            line.strip().lstrip("*:+- (0123456789)")[:22]
+            for line in plan.splitlines()
+            if "HashJoin" in line or "SortMergeJoin" in line
+        }
+    )
+
+
+def dim_main(mults: list[int]) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("tpch-dim-scale")
+    fn = ALL_QUERIES["tpch_q3"]
+    base = fn(spark, sf_dir)
+    n_base = base.count()
+    print(f"q3 base: rows={n_base} joins={_join_nodes(base)}", flush=True)
+    for mult in mults:
+        out_dir = tempfile.mkdtemp(prefix="tpch_dim_")
+        try:
+            grow_dim(spark, sf_dir, out_dir, mult)
+            df = fn(spark, out_dir)
+            t0 = time.perf_counter()
+            n = df.count()
+            dt = time.perf_counter() - t0
+            assert n == n_base, (n, n_base)  # disjoint keys: result invariant
+            print(
+                f"q3 customer x{mult:<4}: {dt:5.2f}s rows={n} "
+                f"joins={_join_nodes(df)}",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--dim":
+        dim_main([int(x) for x in sys.argv[2:]] or [8, 64, 256])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = build_session("tpch-scale")
