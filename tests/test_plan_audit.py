@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(
@@ -22,9 +23,15 @@ sys.path.insert(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
 )
 
-from plan_audit import audit_query, broadcast_pin_findings, parse_tree  # noqa: E402
+from plan_audit import (  # noqa: E402
+    audit_query,
+    broadcast_pin_findings,
+    flags_for,
+    parse_tree,
+)
 
 from ballista_mvp_spark.operators.text import tokens  # noqa: E402
+from ballista_mvp_spark.queries import ALL_QUERIES  # noqa: E402
 from ballista_mvp_spark.tables import load_table  # noqa: E402
 
 from .conftest import SF_SMALL
@@ -137,3 +144,29 @@ def test_dsir_ratio_pin_is_adjudicated(spark):
     )
     if res["vocab_pins"]:
         assert "text_dsir" in ADJUDICATED_VOCAB_PINS
+
+
+# Inner-loop plan-hygiene gate: the CORE operator-family sample (the
+# same philosophy as test_oracle_queries.CORE — the full 319 runs via
+# `python tools/plan_audit.py`), plus every query carrying an
+# adjudicated pin so a regression in an adjudicated plan is caught
+# where its adjudication lives.
+_AUDIT_CORE = [
+    "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18", "tpch_q20",
+    "join_inner", "join_left", "agg_basic", "window_row_number",
+    "dedup_exact", "dedup_minhash_det", "dedup_ngram_jaccard",
+    "sim_topk", "sim_ann_pq_det", "text_tfidf", "text_dsir",
+    "text_bigram_lm", "sim_hybrid_rrf", "pipeline_pack",
+    "pipeline_budget", "events_anomaly", "graph_assortativity",
+    "stats_spearman", "market_supplier_scorecard", "customer_churn",
+]
+
+
+@pytest.mark.parametrize("name", _AUDIT_CORE)
+def test_plan_hygiene_core(name, spark):
+    """No unadjudicated pin class, no cartesian, no bare SinglePartition
+    in the CORE sample — the mechanical inner-loop mirror of the
+    full-registry `python tools/plan_audit.py` sweep."""
+    res = audit_query(ALL_QUERIES[name](spark, SF_SMALL))
+    bad, _ = flags_for(name, res)
+    assert not bad, bad

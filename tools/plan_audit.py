@@ -315,6 +315,40 @@ def audit_query(df) -> dict:
     }
 
 
+def flags_for(name: str, res: dict) -> tuple[list[str], list[str]]:
+    """Apply the adjudication dicts to an audit_query result.
+
+    Returns (defects, adjudications): a non-empty defects list is a
+    plan-hygiene failure; adjudications are the documented bounded
+    pins. This is the single policy both the CLI and the pytest gate
+    (tests/test_plan_audit.py) apply."""
+    bad: list[str] = []
+    adj: list[str] = []
+    if res["vocab_pins"]:
+        if name in ADJUDICATED_VOCAB_PINS:
+            adj.append(ADJUDICATED_VOCAB_PINS[name])
+        else:
+            bad.append(f"vocab-scale broadcast pin: {res['vocab_pins']}")
+    scaled = [p for p in res["pins"] if p[0] == "sf_scaled_base"]
+    if scaled:
+        if name in ADJUDICATED_SCALED_PINS:
+            adj.append(ADJUDICATED_SCALED_PINS[name])
+        else:
+            bad.append(f"SF-scaled base-table broadcast pin: {scaled}")
+    keyed = [p for p in res["pins"] if p[0] == "keyed_agg_scaled"]
+    if keyed:
+        if name in ADJUDICATED_KEYED_AGG_PINS:
+            adj.append(ADJUDICATED_KEYED_AGG_PINS[name])
+        else:
+            bad.append(f"keyed-agg-over-scaled-scan broadcast pin: {keyed}")
+    if res["cartesian"]:
+        bad.append("CartesianProduct in executed plan")
+    sp = [s for s in res["bad_single_partition"] if name != "window_ntile"]
+    if sp:
+        bad.append(f"SinglePartition not above an aggregate: {sp}")
+    return bad, adj
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -344,29 +378,9 @@ def main() -> int:
             continue
         for cls, line in res["pins"]:
             census[cls] = census.get(cls, 0) + 1
-        bad = []
-        if res["vocab_pins"]:
-            if name in ADJUDICATED_VOCAB_PINS:
-                print(f"[ADJ ] {name}: {ADJUDICATED_VOCAB_PINS[name]}")
-            else:
-                bad.append(f"vocab-scale broadcast pin: {res['vocab_pins']}")
-        scaled = [p for p in res["pins"] if p[0] == "sf_scaled_base"]
-        if scaled:
-            if name in ADJUDICATED_SCALED_PINS:
-                print(f"[ADJ ] {name}: {ADJUDICATED_SCALED_PINS[name]}")
-            else:
-                bad.append(f"SF-scaled base-table broadcast pin: {scaled}")
-        keyed = [p for p in res["pins"] if p[0] == "keyed_agg_scaled"]
-        if keyed:
-            if name in ADJUDICATED_KEYED_AGG_PINS:
-                print(f"[ADJ ] {name}: {ADJUDICATED_KEYED_AGG_PINS[name]}")
-            else:
-                bad.append(f"keyed-agg-over-scaled-scan broadcast pin: {keyed}")
-        if res["cartesian"]:
-            bad.append("CartesianProduct in executed plan")
-        sp = [s for s in res["bad_single_partition"] if name != "window_ntile"]
-        if sp:
-            bad.append(f"SinglePartition not above an aggregate: {sp}")
+        bad, adj = flags_for(name, res)
+        for a in adj:
+            print(f"[ADJ ] {name}: {a}")
         if bad:
             flags += 1
             for b in bad:
