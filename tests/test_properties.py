@@ -1047,3 +1047,79 @@ def test_containment_matches_brute_force(spark, docs, k, thr):
                 small, big = (b, a) if len(sets[b]) < len(sets[a]) else (a, b)
                 want[(small, big)] = round(cont, 6)
     assert got == want, (docs, k, thr, got, want)
+
+
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=20, unique=True,
+    ),
+    max_h=st.sampled_from([0, 1, 2, 3]),
+)
+@settings(**SETTINGS)
+def test_hamming_band_pairs_exact_up_to_3_bits(spark, sigs, max_h):
+    """hamming_band_pairs (4×16-bit pigeonhole banding) is EXACT for
+    max_hamming ≤ 3: with 4 bands, ≤3 differing bits leave at least one
+    band identical, so the banded join finds EVERY qualifying pair and
+    the bit_count verify drops every non-qualifying candidate. (Above
+    3 the scheme is deliberately approximate — the recall pytest in
+    test_dedup_similarity covers that regime.)"""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "_id long, sh long"
+    )
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in D.hamming_band_pairs(df, max_hamming=max_h).collect()
+    )
+    want = sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= max_h
+    )
+    assert got == want, (max_h, got, want)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_FUZZY_TEXT = st.text(alphabet=st.sampled_from(list("ab c")), min_size=0, max_size=30)
+
+
+@given(texts=st.lists(_FUZZY_TEXT, min_size=2, max_size=10), cap=st.sampled_from([0, 2, 16]))
+@settings(**SETTINGS)
+def test_fuzzy_pairs_matches_blocked_levenshtein(spark, texts, cap):
+    """fuzzy_pairs equals the brute-force reference computed under the
+    SAME blocking contract: pairs whose normalized texts share the
+    block_prefix-char prefix, verified with exact Levenshtein ≤ cap.
+    The Python reference reimplements normalize (lower, collapse
+    whitespace, trim) and the DP independently."""
+    import re as _re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["a"], r["b"], r["edit_distance"])
+        for r in D.fuzzy_pairs(
+            df, "doc_id", "text", block_prefix=4, max_edit_distance=cap,
+            max_block=100,
+        ).collect()
+    )
+    norm = [_re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    want = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if norm[a][:4] != norm[b][:4]:
+                continue
+            d = _lev(norm[a], norm[b])
+            if d <= cap:
+                want.append((a, b, d))
+    assert got == sorted(want), (cap, got, want)
