@@ -180,8 +180,10 @@ FROM a ORDER BY doc_id
 
 
 def text_tfidf(spark, sf_dir):
-    """Per-doc top-3 keywords by tf-idf; doc-frequency and corpus-size
-    sides broadcast, single corpus-scale shuffle on (doc, term)."""
+    """Per-doc top-3 keywords by tf-idf; single corpus-scale shuffle on
+    (doc, term). The vocabulary-sized doc-frequency side joins back
+    KEYED with no broadcast pin (AQE decides — a pinned vocab broadcast
+    OOMs at web scale); only the 1-row corpus count is pinned."""
     docs = _t(spark, sf_dir, "documents")
     return P.tfidf_topk(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
 

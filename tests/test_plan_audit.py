@@ -24,12 +24,15 @@ sys.path.insert(
 )
 
 from plan_audit import (  # noqa: E402
+    ADJUDICATED_KEYED_AGG_PINS,
+    ADJUDICATED_SCALED_PINS,
+    ADJUDICATED_VOCAB_PINS,
     audit_query,
-    broadcast_pin_findings,
     flags_for,
     parse_tree,
 )
 
+from ballista_mvp_spark.operators import dedup as D  # noqa: E402
 from ballista_mvp_spark.operators.text import tokens  # noqa: E402
 from ballista_mvp_spark.queries import ALL_QUERIES  # noqa: E402
 from ballista_mvp_spark.tables import load_table  # noqa: E402
@@ -102,27 +105,26 @@ def test_audit_detects_cartesian(spark):
 
 def test_registry_tfidf_bigram_bm25_unpinned(spark):
     """The vocabulary-join operators carry no vocab-scale pin: tfidf's
-    df table (the round-7 finding), the bigram LM's unigram
-    denominator, BM25's per-term df, and the dedup stop-key anti-joins
-    (hot sets are O(n/cap) worst-case) are all keyed joins AQE plans."""
+    df table (the round-7 finding), the bigram LM's count tables,
+    BM25's per-term df, and the shingle-index stop-key anti-join (hot
+    sets are O(n/cap) worst-case) are all keyed joins AQE plans."""
     from ballista_mvp_spark.operators import pipeline as P
+    from ballista_mvp_spark.operators import text as TX
 
     docs = load_table(spark, SF_SMALL, "documents")
-    res = audit_query(P.tfidf_topk(docs, "doc_id", "text", k=3))
-    assert not res["vocab_pins"], res["pins"]
+    for df in (
+        P.tfidf_topk(docs, "doc_id", "text", k=3),
+        TX.bigram_cross_entropy(docs, "doc_id", "text"),
+        TX.bm25_topk(docs, "doc_id", "text", ["spark", "vector"], k=5),
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3),
+    ):
+        res = audit_query(df)
+        assert not res["vocab_pins"], res["pins"]
 
 
 def test_adjudicated_pins_documented():
     """Every adjudicated pin (vocab-scale, SF-scaled-base, keyed-agg)
     names a registry query and a concrete bound; no free passes."""
-    from plan_audit import (
-        ADJUDICATED_KEYED_AGG_PINS,
-        ADJUDICATED_SCALED_PINS,
-        ADJUDICATED_VOCAB_PINS,
-    )
-
-    from ballista_mvp_spark.queries import ALL_QUERIES
-
     for d in (ADJUDICATED_VOCAB_PINS, ADJUDICATED_SCALED_PINS,
               ADJUDICATED_KEYED_AGG_PINS):
         for name, reason in d.items():
@@ -134,8 +136,6 @@ def test_dsir_ratio_pin_is_adjudicated(spark):
     """dsir's ratio-table pin classifies vocab_scale structurally but is
     V+1-bounded by the vocab Limit — it must be in the adjudication
     list, not silently passed."""
-    from plan_audit import ADJUDICATED_VOCAB_PINS
-
     from ballista_mvp_spark.operators import text as TX
 
     docs = load_table(spark, SF_SMALL, "documents")
@@ -148,18 +148,23 @@ def test_dsir_ratio_pin_is_adjudicated(spark):
 
 # Inner-loop plan-hygiene gate: the CORE operator-family sample (the
 # same philosophy as test_oracle_queries.CORE — the full 319 runs via
-# `python tools/plan_audit.py`), plus every query carrying an
-# adjudicated pin so a regression in an adjudicated plan is caught
-# where its adjudication lives.
-_AUDIT_CORE = [
-    "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18", "tpch_q20",
-    "join_inner", "join_left", "agg_basic", "window_row_number",
-    "dedup_exact", "dedup_minhash_det", "dedup_ngram_jaccard",
-    "sim_topk", "sim_ann_pq_det", "text_tfidf", "text_dsir",
-    "text_bigram_lm", "sim_hybrid_rrf", "pipeline_pack",
-    "pipeline_budget", "events_anomaly", "graph_assortativity",
-    "stats_spearman", "market_supplier_scorecard", "customer_churn",
-]
+# `python tools/plan_audit.py`), plus — derived mechanically, so the
+# set cannot drift — EVERY query carrying an adjudicated pin: a
+# regression in an adjudicated plan (a second, unadjudicated pin class
+# appearing) is caught where its adjudication lives.
+_AUDIT_CORE = sorted(
+    {
+        "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18", "tpch_q20",
+        "join_left", "agg_basic", "window_row_number",
+        "dedup_exact", "dedup_minhash_det", "dedup_ngram_jaccard",
+        "text_bigram_lm", "pipeline_pack",
+        "graph_assortativity", "stats_spearman",
+        "market_supplier_scorecard", "customer_churn",
+    }
+    | set(ADJUDICATED_VOCAB_PINS)
+    | set(ADJUDICATED_SCALED_PINS)
+    | set(ADJUDICATED_KEYED_AGG_PINS)
+)
 
 
 @pytest.mark.parametrize("name", _AUDIT_CORE)

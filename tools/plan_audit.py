@@ -343,7 +343,12 @@ def flags_for(name: str, res: dict) -> tuple[list[str], list[str]]:
             bad.append(f"keyed-agg-over-scaled-scan broadcast pin: {keyed}")
     if res["cartesian"]:
         bad.append("CartesianProduct in executed plan")
-    sp = [s for s in res["bad_single_partition"] if name != "window_ntile"]
+    sp = res["bad_single_partition"]
+    if name == "window_ntile" and len(sp) == 1:
+        # the declared §2.6 global-NTILE surface: exactly ONE bare
+        # single-partition exchange is the contract itself; a SECOND
+        # one appearing would be a new defect and still flags
+        sp = []
     if sp:
         bad.append(f"SinglePartition not above an aggregate: {sp}")
     return bad, adj

@@ -83,7 +83,8 @@ def grow_dim(spark, sf_dir: str, out_dir: str, mult: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "customer.parquet"))
     )
-    for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
+    for t in ["region", "nation", "supplier", "part", "partsupp", "orders",
+              "lineitem"]:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
