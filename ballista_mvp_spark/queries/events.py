@@ -546,10 +546,12 @@ def graph_assortativity(spark, sf_dir):
 
     Edges come from the shared _interaction_edges chain; total degree
     is one groupBy over the (src ∪ dst) endpoint stream; the edge table
-    then joins the slim (node, degree) table twice — both
-    broadcast-sized relative to edges — and a single corr aggregate
-    (map-side co-moments) produces the statistic, rounded 6dp on both
-    engines."""
+    then joins the slim (node, degree) table twice — KEYED on the
+    endpoint, with NO broadcast pin (round-8 unpin: the degree table is
+    node-count-sized, i.e. corpus-scaled — AQE broadcasts it while the
+    node set is small and co-partitions edges⋈degree on the endpoint
+    key when it is not) — and a single corr aggregate (map-side
+    co-moments) produces the statistic, rounded 6dp on both engines."""
     e = _t(spark, sf_dir, "events")
     edges = _interaction_edges(e)
     ends = edges.select(F.col("src").alias("node")).unionAll(

@@ -21,6 +21,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(name: str, cmd: list[str]) -> tuple[bool, str]:
     t = time.time()
     p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    # persist full gate output so the post-battery sweep-log audits
+    # (tools/sweep_audit.py) can run without re-sweeping
+    slug = name.replace(" ", "_").replace(".", "")
+    with open(f"/tmp/verify_{slug}.log", "w") as fh:
+        fh.write(p.stdout + p.stderr)
     out = (p.stdout + p.stderr).strip().splitlines()
     # prefer the gate's summary line over trailing log noise
     summary = [
