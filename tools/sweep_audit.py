@@ -41,6 +41,12 @@ SUPER_LINEAR_OK = {
 # time adjudications
 TIME_RATIO_OK = {
     "dedup_embedding_exact": "documented O(n²) ground-truth twin",
+    "sim_dedup_threshold_sweep": (
+        "documented all-pairs exact calibration (cosine_dup_pairs "
+        "kernel); its docstring pins the 100 TB contract — run on a "
+        "sample, exactly as the sf-scale query does. x15.9 wall at "
+        "x10 data is far below the O(n²) x100 envelope"
+    ),
 }
 
 
