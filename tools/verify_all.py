@@ -53,6 +53,17 @@ def main() -> int:
         ("oracle sf0.01 strict vanilla",
          [sys.executable, "tools/run_oracle.py", "--strict", "--vanilla",
           "/root/testdata/sf0.01"]),
+        # plan hygiene: every registry plan classified for unadjudicated
+        # broadcast pins / cartesians / bare single-partition exchanges
+        ("plan audit",
+         [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
+        # cross-scale row/time audits over the two sweep logs just saved
+        # by the gates above (vacuity / anti-scaling / super-linear /
+        # time-ratio — the round-7 vacuous-cert catchers)
+        ("sweep audit",
+         [sys.executable, "tools/sweep_audit.py",
+          "/tmp/verify_oracle_sf001_strict.log",
+          "/tmp/verify_oracle_sf01_strict.log"]),
     ]
     if "--skip-bench" not in sys.argv:
         gates.append(("bench", [sys.executable, "bench.py"]))
