@@ -30,7 +30,8 @@ def run(name: str, cmd: list[str]) -> tuple[bool, str]:
     # prefer the gate's summary line over trailing log noise
     summary = [
         ln for ln in out
-        if "failures /" in ln or '"metric"' in ln or " passed" in ln
+        if "failures /" in ln or "flagged /" in ln or '"metric"' in ln
+        or " passed" in ln
     ]
     tail = (summary or out)[-1] if out else ""
     ok = p.returncode == 0
