@@ -80,3 +80,66 @@ def test_versioned_time_travel_matches_model(spark, ops):
         assert len(V.history(path)) == len(model)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_KV = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),       # key
+              st.integers(min_value=0, max_value=99)),      # payload
+    min_size=1, max_size=5,
+    unique_by=lambda kv: kv[0],  # MERGE requires unique source keys
+)
+
+_KOP = st.one_of(
+    st.tuples(st.just("overwrite"), _KV),
+    st.tuples(st.just("append"), _KV),
+    st.tuples(st.just("merge"), _KV),
+    st.tuples(st.just("delete_key"), st.integers(min_value=0, max_value=6)),
+)
+
+
+@given(ops=st.lists(_KOP, min_size=1, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_merge_matches_model(spark, ops):
+    """MERGE/upsert model: matched target keys are replaced by the
+    source row, unmatched source keys insert, and every historical
+    version still time-travels to its exact (key, payload) multiset."""
+    path = tempfile.mkdtemp(prefix="vmerge_")
+    model: list[list[tuple[int, int]]] = []
+    try:
+        for op, arg in ops:
+            if op in ("overwrite", "append"):
+                df = spark.createDataFrame(list(arg), "k long, p long")
+                V.write_versioned(df, path, mode=op)
+                prev = model[-1] if (model and op == "append") else []
+                model.append(sorted(prev + list(arg)))
+            elif op == "merge":
+                if not model:
+                    continue
+                src = spark.createDataFrame(list(arg), "k long, p long")
+                V.merge_versioned(spark, path, src, key="k")
+                src_keys = {k for k, _ in arg}
+                kept = [(k, p) for k, p in model[-1] if k not in src_keys]
+                model.append(sorted(kept + list(arg)))
+            elif op == "delete_key":
+                if not model:
+                    continue
+                head_before = len(model)
+                new_v = V.delete_versioned(spark, path, f"k = {arg}")
+                survivors = [(k, p) for k, p in model[-1] if k != arg]
+                if survivors != model[-1]:
+                    assert new_v == head_before + 1
+                    model.append(survivors)
+                else:
+                    assert new_v == head_before
+        for i, snap in enumerate(model, start=1):
+            got = sorted(
+                (r["k"], r["p"])
+                for r in V.read_versioned(spark, path, version=i).collect()
+            )
+            assert got == snap, (i, got, snap, ops)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
