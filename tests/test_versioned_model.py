@@ -141,5 +141,21 @@ def test_versioned_merge_matches_model(spark, ops):
                 for r in V.read_versioned(spark, path, version=i).collect()
             )
             assert got == snap, (i, got, snap, ops)
+        # CDF reconciliation between every consecutive version pair:
+        # snapshot(i) + inserts(i->i+1) - deletes(i->i+1) == snapshot(i+1)
+        # as multisets (the invariant incremental consumers rely on)
+        from collections import Counter
+
+        for i in range(1, len(model)):
+            ch = V.read_changes(spark, path, i, i + 1).collect()
+            acc = Counter(tuple(x) for x in model[i - 1])
+            for r in ch:
+                kv = (r["k"], r["p"])
+                if r["_change_type"] == "insert":
+                    acc[kv] += 1
+                else:
+                    acc[kv] -= 1
+            want = Counter(tuple(x) for x in model[i])
+            assert +acc == want, (i, ch, model[i - 1], model[i], ops)
     finally:
         shutil.rmtree(path, ignore_errors=True)
