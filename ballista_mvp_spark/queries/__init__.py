@@ -253,16 +253,18 @@ ALL_QUERIES = {
 }
 
 # ROUND-9 WINDOW (pre-staged; swap into _CERT_FIRST at round-9 start
-# AFTER CORRECTNESS_r08.json lands): re-certification of the ENTIRE
-# round-4 window under the final driver — its 49 oracle-backed members
-# verbatim (dedup_incremental_minhash is rows-only and BANNED from
-# windows per the COVERAGE.md lesson; agg_cube, an r2 row no later
-# window re-proves, takes its slot). After round 9, every r4-era driver
-# row has a re-certification row from the final engine state. Validated
-# by tests/test_oracle_queries.py::test_round9_window_prestage.
+# AFTER CORRECTNESS_r08.json lands): re-certification of the round-4
+# window under the final driver — its oracle-backed members
+# (dedup_incremental_minhash is rows-only and BANNED from windows per
+# the COVERAGE.md lesson; agg_cube, an r2 row no later window
+# re-proves, takes its slot; sim_quantize yields its slot to the
+# round-8 addition sim_ranking_metrics — a first-time cert outranks a
+# re-cert, and the sim family trades within itself). Validated by
+# tests/test_oracle_queries.py::test_round9_window_prestage.
 _CERT_FIRST_ROUND9 = [
-    n for n in _CERT_FIRST_ROUND4 if n != "dedup_incremental_minhash"
-] + ["agg_cube"]
+    n for n in _CERT_FIRST_ROUND4
+    if n not in ("dedup_incremental_minhash", "sim_quantize")
+] + ["agg_cube", "sim_ranking_metrics"]
 assert len(_CERT_FIRST_ROUND9) == 50, len(_CERT_FIRST_ROUND9)
 _missing9 = [n for n in _CERT_FIRST_ROUND9 if n not in ALL_QUERIES]
 assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"

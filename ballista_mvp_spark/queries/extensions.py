@@ -3453,6 +3453,138 @@ SELECT true_label AS label, count(*) AS n,
 FROM pred GROUP BY true_label ORDER BY label
 """
 
+# Cumulative ideal-DCG ladder for NDCG@10: IDCG[r] = Σ_{i=1..r} 1/log2(i+1).
+# Precomputed in Python and embedded as IDENTICAL double literals in the
+# Spark VALUES frame and the oracle SQL, so neither engine re-derives the
+# fold (a sequence-fold in each engine would be two independent float
+# accumulations; a shared literal ladder is bit-identical by construction).
+_IDCG10 = [
+    (0, 0.0),
+    (1, 1.0),
+    (2, 1.6309297535714575),
+    (3, 2.1309297535714578),
+    (4, 2.5616063116448506),
+    (5, 2.9484591188793923),
+    (6, 3.3046663059874146),
+    (7, 3.637999639320748),
+    (8, 3.953464516106477),
+    (9, 4.254494511770458),
+    (10, 4.543559338088346),
+]
+
+
+def sim_ranking_metrics(spark, sf_dir):
+    """Retrieval ranking-quality metrics — per-label MRR and NDCG@10
+    (Järvelin & Kekäläinen, TOIS 2002) over the same deterministic
+    200-vector leave-one-out sample as sim_knn_eval: a retrieved
+    neighbor is RELEVANT when it carries the query's label, reciprocal
+    rank is 1/first-relevant-rank (0 when none of the top-10 is
+    relevant), DCG@10 discounts each relevant hit by 1/log2(rank+1),
+    and the ideal DCG normalizes by the best possible ordering of the
+    hits actually retrieved (the list-local NDCG variant — the ladder
+    is a shared 11-row literal table so both engines normalize with
+    bit-identical doubles). The standard IR eval that gates using an
+    embedding space for retrieval, next to sim_knn_eval's
+    classification accuracy.
+
+    Plan: the certified brute_force_topk kernel on the bounded sample
+    (query side ≤200 rows — broadcast by the optimizer), two slim
+    label joins, one (query)-keyed aggregate, an 11-row ladder join,
+    and a per-label rollup. At corpus scale the sample stays fixed —
+    audit cost never grows with the corpus. Order-sensitive double
+    sums (DCG, the per-label means) are rounded on both engines per
+    the house determinism convention."""
+    from ..operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    knn = S.brute_force_topk(sample, sample, "vec_id", "embedding", k=10)
+    lab = sample.select("vec_id", "label")
+    rel = (
+        knn.join(
+            lab.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "true_label"),
+            "query_id",
+        )
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "n_label"),
+            "neighbor_id",
+        )
+        .withColumn(
+            "rel", (F.col("n_label") == F.col("true_label")).cast("int")
+        )
+    )
+    per_q = rel.groupBy("query_id", "true_label").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+        ).alias("rr"),
+        F.round(
+            F.sum(F.col("rel") / F.log2(F.col("rank") + 1)), 6
+        ).alias("dcg"),
+        F.sum("rel").alias("nrel"),
+    )
+    ladder = spark.createDataFrame(_IDCG10, "nrel long, idcg double")
+    scored = per_q.join(ladder, "nrel").withColumn(
+        "ndcg",
+        F.when(F.col("nrel") > 0, F.round(F.col("dcg") / F.col("idcg"), 6))
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        scored.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("rr"), 4).alias("mrr"),
+            F.round(F.avg("ndcg"), 4).alias("ndcg_at_10"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_RANKING_METRICS_ORACLE = """
+WITH sample AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label
+  FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos_sim
+  FROM sample q JOIN sample c ON c.vec_id <> q.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 10),
+rel AS (
+  SELECT query_id, true_label, rank,
+         CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS rel
+  FROM knn),
+per_q AS (
+  SELECT query_id, true_label,
+         coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS rr,
+         round(sum(rel / log2(rank + 1)), 6) AS dcg,
+         CAST(sum(rel) AS BIGINT) AS nrel
+  FROM rel GROUP BY 1, 2),
+ladder(nrel, idcg) AS (VALUES
+  (0, 0.0), (1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578),
+  (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146),
+  (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458),
+  (10, 4.543559338088346)),
+nd AS (
+  SELECT p.query_id, p.true_label, p.rr,
+         CASE WHEN p.nrel > 0 THEN round(p.dcg / l.idcg, 6) ELSE 0.0 END AS ndcg
+  FROM per_q p JOIN ladder l ON l.nrel = p.nrel)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(rr), 4) AS mrr,
+       round(avg(ndcg), 4) AS ndcg_at_10
+FROM nd GROUP BY true_label ORDER BY label
+"""
+
 
 def sim_centroid_matrix(spark, sf_dir):
     """Cross-cluster similarity matrix: the cosine between every pair of
@@ -5453,6 +5585,7 @@ QUERIES = {
     "stats_bootstrap": stats_bootstrap,
     "sim_centroid_matrix": sim_centroid_matrix,
     "sim_knn_eval": sim_knn_eval,
+    "sim_ranking_metrics": sim_ranking_metrics,
     "stats_levene": stats_levene,
     "stats_wilson": stats_wilson,
     "stats_qq": stats_qq,
@@ -5542,6 +5675,7 @@ ORACLES = {
     "stats_bootstrap": STATS_BOOTSTRAP_ORACLE,
     "sim_centroid_matrix": SIM_CENTROID_MATRIX_ORACLE,
     "sim_knn_eval": SIM_KNN_EVAL_ORACLE,
+    "sim_ranking_metrics": SIM_RANKING_METRICS_ORACLE,
     "stats_levene": STATS_LEVENE_ORACLE,
     "stats_wilson": STATS_WILSON_ORACLE,
     "stats_qq": STATS_QQ_ORACLE,

@@ -292,10 +292,11 @@ def test_round8_window_active():
 
 
 def test_round9_window_prestage():
-    """The pre-staged round-9 certification window: the 49 oracle-backed
-    round-4 names + agg_cube — 50 unique oracle-backed entries, no
-    rows-only member, disjoint from the round-5..8 windows (it IS the
-    r4 window modulo the banned rows-only slot)."""
+    """The pre-staged round-9 certification window: the round-4 names
+    minus the banned rows-only slot and sim_quantize (displaced by the
+    round-8 addition sim_ranking_metrics — first-time cert outranks
+    re-cert) + agg_cube — 50 unique oracle-backed entries, disjoint
+    from the round-5..8 windows."""
     from ballista_mvp_spark.queries import (
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
@@ -309,7 +310,12 @@ def test_round9_window_prestage():
     assert len(set(_CERT_FIRST_ROUND9)) == 50
     assert set(_CERT_FIRST_ROUND9) <= set(ALL_ORACLES)
     assert "dedup_incremental_minhash" not in _CERT_FIRST_ROUND9
-    assert set(_CERT_FIRST_ROUND9) - set(_CERT_FIRST_ROUND4) == {"agg_cube"}
+    assert set(_CERT_FIRST_ROUND9) - set(_CERT_FIRST_ROUND4) == {
+        "agg_cube", "sim_ranking_metrics"
+    }
+    assert set(_CERT_FIRST_ROUND4) - set(_CERT_FIRST_ROUND9) == {
+        "dedup_incremental_minhash", "sim_quantize"
+    }
     for w in (_CERT_FIRST_ROUND5, _CERT_FIRST_ROUND6, _CERT_FIRST_ROUND7,
               _CERT_FIRST_ROUND8):
         assert not set(_CERT_FIRST_ROUND9) & set(w)

@@ -202,6 +202,7 @@ ADJUDICATED_SCALED_PINS: dict[str, str] = {
     "sim_ann_ivf_det": _QUERY_SIDE + " (deterministic twin, cell-probe; "
     "the Cross pin is the 2-row sign-centroid table)",
     "sim_ann_pq_det": _QUERY_SIDE + " (deterministic twin, LUT probe)",
+    "sim_ranking_metrics": _QUERY_SIDE + " (200-row leave-one-out sample)",
     "join_inner": (
         "the §2.4 COLLECT_LEFT partition-mode surface itself — "
         "demonstrates the explicit broadcast hint API (J.join "
