@@ -47,6 +47,15 @@ TIME_RATIO_OK = {
         "sample, exactly as the sf-scale query does. x15.9 wall at "
         "x10 data is far below the O(n²) x100 envelope"
     ),
+    "graph_bfs": (
+        "iterative localCheckpoint query (fixed supersteps ≈ dozens of "
+        "scheduler rounds) — wall is scheduler-jitter-dominated on a "
+        "shared host: same-binary same-day sweeps measured 9.6→3.1 s "
+        "at sf0.01 and 32.9→53.9 s at sf0.1 (pair ratios x3.4 vs "
+        "x17.4); ROWS scale exactly linear (150→1500 at 10x data), "
+        "and the r7 graph-tier datapoint (12.8M nodes, SCALE.md) is "
+        "the compute-scaling evidence"
+    ),
 }
 
 
