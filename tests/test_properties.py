@@ -1123,3 +1123,65 @@ def test_fuzzy_pairs_matches_blocked_levenshtein(spark, texts, cap):
             if d <= cap:
                 want.append((a, b, d))
     assert got == sorted(want), (cap, got, want)
+
+
+_EVT = st.tuples(
+    st.integers(min_value=0, max_value=2),            # user
+    st.integers(min_value=0, max_value=6_000_000_000),  # ts in µs (~100 min)
+)
+
+
+@given(events=st.lists(_EVT, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, events):
+    """The 30-minute-gap sessionization (lag → flag → running sum) must
+    equal a sequential Python walk for ANY event stream — including the
+    boundary (a gap of EXACTLY 1800s stays in-session; the rule is
+    strictly greater) and µs-grained gaps that a seconds-truncating
+    engine would merge wrongly."""
+    from ballista_mvp_spark.queries.events import events_sessionize
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sess_")
+    try:
+        df = spark.createDataFrame(
+            [
+                (i, u, ts)
+                for i, (u, ts) in enumerate(events)
+            ],
+            "event_id long, user_id long, us long",
+        ).select(
+            "event_id", "user_id",
+            (F.col("us") * 1).alias("us"),
+            F.timestamp_micros("us").alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        ).drop("us")
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["user_id"]: (r["n_sessions"], r["n_events"], r["max_sess_len"])
+            for r in events_sessionize(spark, d).collect()
+        }
+        # python reference: sort per user by (ts, event_id), walk gaps
+        per_user: dict[int, list[tuple[int, int]]] = {}
+        for i, (u, ts) in enumerate(events):
+            per_user.setdefault(u, []).append((ts, i))
+        want = {}
+        for u, evs in per_user.items():
+            evs.sort()
+            sessions, cur = [], 1
+            prev = None
+            for ts, _ in evs:
+                if prev is not None and ts - prev > 1800 * 1_000_000:
+                    sessions.append(cur)
+                    cur = 1
+                elif prev is not None:
+                    cur += 1
+                prev = ts
+            sessions.append(cur)
+            want[u] = (len(sessions), len(evs), max(sessions))
+        assert got == want, (events, got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
