@@ -239,28 +239,17 @@ assert len(_CERT_FIRST_ROUND8) == 50, len(_CERT_FIRST_ROUND8)
 _missing8 = [n for n in _CERT_FIRST_ROUND8 if n not in ALL_QUERIES]
 assert not _missing8, f"_CERT_FIRST_ROUND8 names not in registry: {_missing8}"
 
-# Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-8 window leads.
-# After this window lands, EVERY oracle-backed registry query holds a
-# driver row (the round-10 completeness debt is fully retired two
-# rounds early); rounds 9-12 are re-certification under the final
-# engine.
-_CERT_FIRST = _CERT_FIRST_ROUND8
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
-
-# ROUND-9 WINDOW (pre-staged; swap into _CERT_FIRST at round-9 start
-# AFTER CORRECTNESS_r08.json lands): re-certification of the round-4
-# window under the final driver — its oracle-backed members
-# (dedup_incremental_minhash is rows-only and BANNED from windows per
-# the COVERAGE.md lesson; agg_cube, an r2 row no later window
-# re-proves, takes its slot; sim_quantize yields its slot to the
-# round-8 addition sim_ranking_metrics — a first-time cert outranks a
-# re-cert, and the sim family trades within itself). Validated by
-# tests/test_oracle_queries.py::test_round9_window_prestage.
+# ROUND-9 WINDOW (ACTIVE — swapped in at round-9 start per VERDICT r8
+# next-round #1, after CORRECTNESS_r08.json landed 50/50):
+# re-certification of the round-4 window under the final driver — its
+# oracle-backed members (dedup_incremental_minhash is rows-only and
+# BANNED from windows per the COVERAGE.md lesson; agg_cube, an r2 row
+# no later window re-proves, takes its slot; sim_quantize yields its
+# slot to the round-8 addition sim_ranking_metrics — a first-time cert
+# outranks a re-cert, and the sim family trades within itself). After
+# this window lands, ALL 303 oracle-backed registry queries are
+# driver-certified. Validated by
+# tests/test_oracle_queries.py::test_round9_window_active.
 _CERT_FIRST_ROUND9 = [
     n for n in _CERT_FIRST_ROUND4
     if n not in ("dedup_incremental_minhash", "sim_quantize")
@@ -268,6 +257,17 @@ _CERT_FIRST_ROUND9 = [
 assert len(_CERT_FIRST_ROUND9) == 50, len(_CERT_FIRST_ROUND9)
 _missing9 = [n for n in _CERT_FIRST_ROUND9 if n not in ALL_QUERIES]
 assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
+
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-9 window leads.
+# sim_ranking_metrics is the LAST oracle-backed query without a driver
+# row; the other 49 are re-certifications under the final engine.
+_CERT_FIRST = _CERT_FIRST_ROUND9
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
 
 # ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
 # AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows

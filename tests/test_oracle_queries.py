@@ -257,16 +257,13 @@ def test_round7_window_historical():
     )
 
 
-def test_round8_window_active():
-    """The round-8 certification window (ACTIVE — swapped in at round-8
-    start per VERDICT r7 next-round #1): re-cut to front-load the 4
-    never-driver-certified oracle-backed queries (3 ANN det twins +
-    dedup_signature_health) ahead of 46 re-certifications, leading the
-    registry insertion order so the driver's first-50 sample certifies
-    them. After it, EVERY oracle-backed registry query holds a driver
-    row."""
+def test_round8_window_historical():
+    """The round-8 certification window (historical —
+    CORRECTNESS_r08.json: 50/50 hash-green, 4 first-time
+    certifications): front-loaded the 4 never-driver-certified
+    oracle-backed queries (3 ANN det twins + dedup_signature_health)
+    ahead of 46 re-certifications."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -274,9 +271,7 @@ def test_round8_window_active():
         _CERT_FIRST_ROUND8,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND8  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND8  # driver sees it
-    # the 4 first-time certs lead the window (VERDICT r7 #1)
+    # the 4 first-time certs led the window (VERDICT r7 #1)
     assert _CERT_FIRST_ROUND8[:4] == [
         "sim_ann_lsh_det", "sim_ann_ivf_det", "sim_ann_pq_det",
         "dedup_signature_health",
@@ -291,13 +286,17 @@ def test_round8_window_active():
     assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND7)
 
 
-def test_round9_window_prestage():
-    """The pre-staged round-9 certification window: the round-4 names
-    minus the banned rows-only slot and sim_quantize (displaced by the
-    round-8 addition sim_ranking_metrics — first-time cert outranks
-    re-cert) + agg_cube — 50 unique oracle-backed entries, disjoint
-    from the round-5..8 windows."""
+def test_round9_window_active():
+    """The round-9 certification window (ACTIVE — swapped in at round-9
+    start per VERDICT r8 next-round #1): the round-4 names minus the
+    banned rows-only slot and sim_quantize (displaced by the round-8
+    addition sim_ranking_metrics — first-time cert outranks re-cert)
+    + agg_cube — 50 unique oracle-backed entries, disjoint from the
+    round-5..8 windows, leading the registry insertion order so the
+    driver's first-50 sample certifies them. After it, ALL 303
+    oracle-backed registry queries are driver-certified."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -306,6 +305,10 @@ def test_round9_window_prestage():
         _CERT_FIRST_ROUND9,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND9  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND9  # driver sees it
+    # the last first-time certification is in the window
+    assert "sim_ranking_metrics" in _CERT_FIRST_ROUND9
     assert len(_CERT_FIRST_ROUND9) == 50
     assert len(set(_CERT_FIRST_ROUND9)) == 50
     assert set(_CERT_FIRST_ROUND9) <= set(ALL_ORACLES)
