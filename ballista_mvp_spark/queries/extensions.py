@@ -3520,8 +3520,16 @@ def sim_ranking_metrics(spark, sf_dir):
         )
     )
     per_q = rel.groupBy("query_id", "true_label").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+        # rr is rounded to 6dp per query on BOTH engines (house
+        # convention, same as dcg): avg() below is order-sensitive, and
+        # an unrounded last-ulp difference could flip the final 4dp
+        # round at a .00005 boundary (ADVICE r8).
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))),
+                F.lit(0.0),
+            ),
+            6,
         ).alias("rr"),
         F.round(
             F.sum(F.col("rel") / F.log2(F.col("rank") + 1)), 6
@@ -3565,7 +3573,8 @@ rel AS (
   FROM knn),
 per_q AS (
   SELECT query_id, true_label,
-         coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS rr,
+         round(coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0),
+               6) AS rr,
          round(sum(rel / log2(rank + 1)), 6) AS dcg,
          CAST(sum(rel) AS BIGINT) AS nrel
   FROM rel GROUP BY 1, 2),

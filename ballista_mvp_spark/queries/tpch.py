@@ -787,7 +787,16 @@ def q11_spec(spark, sf_dir, fraction: float | None = None):
 
     if fraction is None:
         name = _os.path.basename(_os.path.normpath(sf_dir))
-        sf = float(name.removeprefix("sf"))
+        try:
+            sf = float(name.removeprefix("sf"))
+        except ValueError:
+            raise ValueError(
+                f"q11_spec: cannot derive the spec fraction (0.0001/SF) "
+                f"because the data directory basename {name!r} is not of "
+                f"the form 'sf<float>' (e.g. a tools/tpch_scale.py temp "
+                f"instance). Pass fraction= explicitly for non-standard "
+                f"directories."
+            ) from None
         fraction = 0.0001 / sf
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = _t(spark, sf_dir, "nation").join(

@@ -425,3 +425,10 @@ def test_q11_spec_variant_matches_duckdb(spark, duck_small):
     # the spec default (0.0001/SF -> 0.1 at sf0.001) is empty on this
     # proxy — which is exactly why it is NOT a registry/driver query
     assert q11_spec(spark, SF_SMALL).count() == 0
+    # a non-'sf<float>' data dir (e.g. a tools/tpch_scale.py temp
+    # instance) cannot derive the spec fraction — the error must be
+    # actionable, not a bare float() ValueError (ADVICE r8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction= explicitly"):
+        q11_spec(spark, "/tmp/tpch_dim_abc123")
