@@ -220,32 +220,68 @@ def decontaminate(
     id_col: str,
     text_col: str,
     shingle_k: int = 8,
+    eval_bounded: bool = True,
 ) -> DataFrame:
     """Eval-set contamination check: for each eval document, the count and
     fraction of its distinct word-k-gram shingles that appear anywhere in
     the training corpus (the n-gram-overlap decontamination used for LLM
     eval hygiene; 13-grams in GPT-3's dedup, configurable here).
 
-    Plan: train side collapses to a DISTINCT hashed-shingle set (8-byte
-    keys, one agg shuffle); eval shingles LEFT SEMI join against it (the
-    semi join never materializes train rows); per-doc hit counts are a
-    final narrow agg. Counts are hash-invariant (xxhash64 collisions at
-    2^-64), so the string-shingle oracle certifies them."""
-    tr = (
-        train.select(token_hashes(F.col(text_col)).alias("_th"))
-        .select(F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
-        .distinct()
-    )
+    Plan (eval_bounded=True, the default — the production shape, where
+    `eval_df` is a fixed benchmark suite and `train` is the corpus):
+    probe-inverted. Eval (doc, shingle) pairs — per-doc-distinct already
+    (hashed_shingles) and bounded by the eval-set CONTRACT — are
+    explicitly broadcast; the corpus side is ONE scan + explode streamed
+    past that probe table with NO corpus-wide shuffle at all (no train
+    distinct!), and the matched pairs (bounded by contamination volume,
+    not corpus volume) take a tiny distinct + per-doc count. Broadcasting
+    the eval side is the contract, not an optimization: Catalyst's size
+    estimate for an explode+distinct over a small parquet file NEVER
+    grows with the real shingle count, so the previous un-hinted shape
+    statically chose BroadcastHashJoin on the CORPUS-derived shingle set
+    and kept it until the broadcast build physically failed — measured in
+    tools/decon_scale.py: still broadcasting at 34M distinct shingles
+    (~0.3 GB hashed relation), death by 'Not enough memory to build and
+    broadcast' at ~67M on a 16g driver, with zero graceful degradation
+    (SCALE.md round 9). At 100 TB the corpus shingle set is multi-TB;
+    the eval side is MBs. Pass the corpus as `train`, always.
+
+    Plan (eval_bounded=False — both sides corpus-scaled, e.g. a 10%
+    held-out split audited against the other 90%): the train side
+    collapses to a distinct hashed-shingle set (one map-side-combined
+    agg shuffle of 8-byte keys) and the eval pairs SHUFFLE-semi-join it,
+    with an explicit merge hint so the planner cannot repeat the
+    measured static-broadcast death on either unbounded side.
+
+    Counts are hash-invariant (xxhash64 collisions at 2^-64), so the
+    string-shingle oracle certifies them."""
     ev = eval_df.select(
         F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
     ).select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
     sizes = ev.select("_id", F.size("_sh").alias("n_shingles"))
-    hits = (
-        ev.select("_id", F.explode("_sh").alias("s"))
-        .join(tr, "s", "left_semi")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
+    ev_pairs = ev.select("_id", F.explode("_sh").alias("s"))
+    if eval_bounded:
+        tr_occ = train.select(token_hashes(F.col(text_col)).alias("_th")).select(
+            F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s")
+        )
+        hits = (
+            tr_occ.join(F.broadcast(ev_pairs), "s")
+            .select("_id", "s")
+            .distinct()
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_contaminated"))
+        )
+    else:
+        tr = (
+            train.select(token_hashes(F.col(text_col)).alias("_th"))
+            .select(F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
+            .distinct()
+        )
+        hits = (
+            ev_pairs.join(tr.hint("merge"), "s", "left_semi")
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_contaminated"))
+        )
     return (
         sizes.join(hits, "_id", "left")
         .select(

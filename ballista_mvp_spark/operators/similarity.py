@@ -297,7 +297,15 @@ def cosine_dup_pairs(
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), *(
         [scope.alias("_scope")] if scope is not None else []
     ))
-    joined = a.join(b, ["_scope"]) if scope is not None else a.crossJoin(b)
+    # unscoped all-pairs (the documented sf-scale baseline ONLY): the b
+    # side broadcasts explicitly — with the shipped static-threshold-off
+    # policy an un-hinted cross join plans CartesianProduct; the pin
+    # keeps the BroadcastNestedLoopJoin shape at baseline scales and is
+    # adjudicated as an sf_scaled pin because this form must never run
+    # unblocked at corpus scale anyway (pass `scope`)
+    joined = a.join(b, ["_scope"]) if scope is not None else a.crossJoin(
+        F.broadcast(b)
+    )
     return (
         joined.filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))

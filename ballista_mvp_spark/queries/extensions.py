@@ -5288,7 +5288,7 @@ def sketch_hll_det(spark, sf_dir):
         (raw <= 160.0) & (F.col("zero_regs") > 0),
         F.lit(64.0) * F.log(F.lit(64.0) / F.col("zero_regs")),
     ).otherwise(raw)
-    return ex.crossJoin(summary).select(
+    return ex.crossJoin(F.broadcast(summary)).select(
         "n_exact",
         "max_reg",
         F.col("zero_regs").cast("bigint").alias("zero_regs"),

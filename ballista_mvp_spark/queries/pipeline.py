@@ -208,9 +208,13 @@ FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 
 def text_decontaminate(spark, sf_dir):
     """Eval-set decontamination: word-8-gram overlap of the src0 slice
-    against the rest of the corpus (train side reduced to a distinct
-    hashed-shingle set, LEFT SEMI probe — counts are hash-invariant, so
-    the string-shingle oracle certifies them exactly)."""
+    (standing in for the bounded eval benchmark — the operator's
+    eval_bounded contract) against the rest of the corpus, probe-inverted:
+    the eval (doc, shingle) pairs broadcast and the corpus streams past
+    them with NO corpus-wide shuffle (counts are hash-invariant, so the
+    string-shingle oracle certifies them exactly). The broadcast pin is
+    the operator contract — see decontaminate()'s docstring for the
+    measured static-broadcast failure the inversion fixes."""
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("source") == "src0")
     tr = docs.filter(F.col("source") != "src0")
@@ -1210,14 +1214,19 @@ def pipeline_leakage(spark, sf_dir):
     every val/test document is checked for word-8-gram overlap with the
     TRAIN side (composition of hash_split + decontaminate — the
     train-test contamination check a training pipeline must run before
-    an eval is trustworthy). Train side reduces to distinct hashed
-    shingles; one semi-probe per held-out doc."""
+    an eval is trustworthy). BOTH sides scale with the corpus here (the
+    held-out slice is ~10% of it), so this uses the operator's
+    eval_bounded=False shape: distinct train shingles, merge-hinted
+    shuffle semi-join — no broadcast of either unbounded side (see
+    decontaminate()'s docstring for the measured static-broadcast
+    failure the hint prevents)."""
     docs = _t(spark, sf_dir, "documents")
     sp = P.hash_split(docs, "doc_id")
     tr = sp.filter(F.col("split") == "train")
     ev = sp.filter(F.col("split") != "train")
     return (
-        P.decontaminate(tr, ev, "doc_id", "text", shingle_k=8)
+        P.decontaminate(tr, ev, "doc_id", "text", shingle_k=8,
+                        eval_bounded=False)
         .join(sp.select("doc_id", "split"), "doc_id")
         .select(
             "doc_id", "split", "n_shingles", "n_contaminated",

@@ -281,8 +281,12 @@ def join_cross(spark, sf_dir):
     """CrossJoinNode (datafusion.proto:275-278)."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
+    # nation (25 rows, spec-fixed) broadcasts explicitly: with the
+    # shipped static-threshold-off policy an un-hinted cross join plans
+    # CartesianProduct; the pin keeps the BroadcastNestedLoopJoin shape
+    # (dimension-class, bounded by spec at any corpus scale)
     return (
-        J.join(r, n, None, "cross")
+        J.join(r, n, None, "cross", broadcast_right=True)
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")
     )

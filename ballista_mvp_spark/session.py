@@ -59,7 +59,27 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Broadcast policy (round 9, measured in tools/decon_scale.py +
+        # tools/plan_audit.py audit D): the STATIC threshold is OFF and
+        # only AQE's RUNTIME threshold promotes joins to broadcast.
+        # Catalyst's pre-execution size estimates are structurally
+        # disconnected from true cardinality on explode-derived frames
+        # (the wide text column divides the row estimate while the
+        # explode fans out 10-100x): 28 of 320 registry plans would
+        # static-broadcast a corpus-derived shingle/band/vocab frame
+        # under an estimate threshold, AQE can never demote a
+        # statically-planned broadcast (no shuffle stage to re-measure),
+        # and the measured end state is 'Not enough memory to build and
+        # broadcast' at ~67M derived rows — not a graceful flip. With
+        # static off, every un-hinted join plans as a shuffle join and
+        # AQE converts to broadcast from the MATERIALIZED stage size
+        # (localShuffleReader keeps the probe side cheap), which is the
+        # only size signal that stays truthful at 100 TB. Explicit
+        # F.broadcast() contract pins (dimensions, bounded probe/eval
+        # sides) bypass both thresholds, unchanged.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
         # represent; read as long and convert in tables.py (SURVEY.md §1.2:
         # ns must truncate to µs).

@@ -90,8 +90,15 @@ def test_skew_stress_salted_vs_naive(spark):
         ).head()
 
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_abcast = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the shipped policy hands broadcast to AQE's runtime threshold —
+    # disable that too so the shuffle-join skew path under test is the
+    # one that executes
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
         t0 = time.monotonic()
@@ -102,6 +109,12 @@ def test_skew_stress_salted_vs_naive(spark):
         t_salted = time.monotonic() - t0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        if prev_abcast is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_abcast
+            )
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
     assert (naive.n, naive.s) == (salted.n, salted.s)
     assert naive.n == 4_000_000
@@ -129,6 +142,9 @@ def test_aqe_skew_split_fires_and_bounds_runtime(spark):
 
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the shipped policy's AQE runtime threshold would convert the
+        # constructed SMJ to broadcast before skew-split could fire
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         # 32 partitions so the hot partition (~10% of rows + its uniform
         # share) clears factor × median; the shared pytest session runs 8
         "spark.sql.shuffle.partitions": "32",
@@ -287,6 +303,7 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
     s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")

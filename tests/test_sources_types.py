@@ -118,7 +118,10 @@ def test_schema_from_fields():
 def test_plan_facts_digest(spark):
     from ballista_mvp_spark.queries.tpch import q3
 
-    facts = plan_facts(q3(spark, SF_SMALL))
+    df = q3(spark, SF_SMALL)
+    df.collect()  # broadcast is a runtime (AQE) decision under the
+    # shipped policy (SCALE.md r9) — digest the final adaptive plan
+    facts = plan_facts(df)
     assert facts.broadcast_joins >= 1
     assert facts.pushed_filters, "expected pushed filters on the lineitem scan"
     assert facts.has_take_ordered

@@ -1,7 +1,7 @@
-"""Extension-family flip check: does text_decontaminate's un-hinted
-train-shingle LEFT SEMI join degrade gracefully from broadcast to a
-shuffle join as the TRAIN side grows — with results invariant by
-construction?
+"""Extension-family train-side scale check for text_decontaminate:
+grow the TRAIN corpus with shingles DISJOINT from every eval shingle
+(result invariant by construction) and verify the executed plan never
+broadcasts the corpus-derived side.
 
 Usage: python tools/decon_scale.py [mults...]   (default: 0 1 4 16 64)
 
@@ -12,16 +12,27 @@ train documents under source='synth', whose 40 tokens are globally
 unique strings ('zq<docid>x<j>') — so every one of their ~33 word-8-gram
 shingles per doc is new, DISJOINT from every src0 eval shingle, and the
 per-eval-doc contamination output is unchanged by construction (a
-never-matching shingle cannot flip a semi-join hit). The train distinct
-hashed-shingle set grows from ~30k rows (mult 0) to ~35M (mult 64),
-crossing the 64 MB broadcast threshold, so the SAME un-hinted plan must
-flip BroadcastHashJoin -> SortMergeJoin/ShuffledHashJoin somewhere on
-the ladder while the collected result stays byte-identical.
+never-matching shingle cannot flip a probe hit).
 
-At 100 TB this join's train side is the full corpus's shingle set —
-multi-TB — and a pinned broadcast would OOM the executors; the round-8
-unpin audit removed those pins, and this experiment is the measured
-evidence the removal degrades gracefully on a NON-TPC-H shape.
+WHAT THE FIRST RUN FOUND (round 9, the motivating defect): the original
+shape — eval shingles LEFT SEMI JOIN train distinct shingles, un-hinted
+— did NOT degrade gracefully. Catalyst's size estimate for an
+explode+distinct over a small parquet file never grows with the real
+shingle count, so the planner statically chose BroadcastHashJoin on the
+CORPUS side and AQE never demoted it: still broadcasting at mult 64
+(~34M distinct shingles, ~0.3 GB hashed relation), then 'Not enough
+memory to build and broadcast' at mult 128 (~67M) on a 16g driver. No
+flip, just death — the exact failure a pinned broadcast would cause at
+100 TB, reached WITHOUT a pin because the estimate is garbage on this
+shape.
+
+THE FIX this tool now verifies: decontaminate() is probe-inverted
+(eval_bounded=True): the bounded eval (doc, shingle) pairs broadcast,
+the corpus streams past them with NO corpus-wide shuffle, so the
+expected ladder is Broadcast:Inner at EVERY mult with byte-identical
+results and near-flat wall (the train side is scan+probe only). The
+corpus-scaled-eval form (eval_bounded=False, pipeline_leakage) instead
+merge-hints the semi join so neither unbounded side can be broadcast.
 
 Results recorded in SCALE.md "Measured scaling".
 """
@@ -81,14 +92,22 @@ def build_instance(spark, out_dir: str, mult: int) -> None:
 
 
 def semi_join_kind(df) -> str:
+    """Every physical join in the executed plan, as impl:type — the
+    probe join (keyed on the shingle hash) is the one under test; the
+    trailing LeftOuter is the per-doc sizes join."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     kinds = []
     for line in plan.splitlines():
-        if "LeftSemi" in line:
-            for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
-                if k in line:
-                    kinds.append(k)
-    return "+".join(sorted(set(kinds))) or "?"
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+            if k in line:
+                for jt in ("LeftSemi", "LeftOuter", "Inner"):
+                    if jt in line:
+                        kinds.append(f"{k[:-8]}:{jt}")
+                        break
+    # executedPlan prints AQE subtrees twice; dedupe preserving order
+    seen: set[str] = set()
+    uniq = [x for x in kinds if not (x in seen or seen.add(x))]
+    return "+".join(uniq) or "?"
 
 
 def result_digest(rows) -> str:

@@ -209,6 +209,20 @@ ADJUDICATED_SCALED_PINS: dict[str, str] = {
         "broadcast_right=True), mirroring the reference's COLLECT_LEFT "
         "mode; the AUTO path is certified by every unpinned join"
     ),
+    "text_decontaminate": (
+        "pinned side is the EVAL-SET (doc, shingle) pair table — bounded "
+        "by the decontaminate() eval_bounded CONTRACT (production eval "
+        "benchmarks are fixed suites, MBs of 8-byte hashes; here the "
+        "src0 slice stands in). The pin is the fix for a MEASURED "
+        "static-planner failure, not an optimization: un-hinted, "
+        "Catalyst's never-growing estimate of the CORPUS-derived "
+        "shingle set kept BroadcastHashJoin until the build died at "
+        "~67M shingles (tools/decon_scale.py, SCALE.md r9); the "
+        "inverted probe broadcasts the bounded side and removes the "
+        "corpus-wide distinct shuffle entirely. The corpus-scaled-eval "
+        "form (pipeline_leakage) uses eval_bounded=False: merge-hinted "
+        "shuffle semi-join, no pin on either side"
+    ),
 }
 
 # Adjudicated keyed_agg_scaled pins: the hinted frame is a keyed
@@ -257,7 +271,94 @@ ADJUDICATED_KEYED_AGG_PINS: dict[str, str] = {
     ),
 }
 
+# appended to ADJUDICATED_SCALED_PINS below: the documented unblocked
+# all-pairs baselines (cosine_dup_pairs without `scope`) pin the b side
+# so the shipped static-threshold-off policy keeps their historical
+# BroadcastNestedLoopJoin instead of CartesianProduct; both carry the
+# 'at 100 TB ALWAYS block first' contract in the operator docstring and
+# the matching O(n²) adjudications in tools/sweep_audit.py.
+_ALL_PAIRS_BASE = (
+    "pinned side is the b-side of the DOCUMENTED unblocked all-pairs "
+    "sf-scale baseline (cosine_dup_pairs, similarity.py — 'at 100 TB "
+    "ALWAYS block first'); the pin only preserves the historical "
+    "BroadcastNestedLoopJoin under the static-threshold-off policy"
+)
+ADJUDICATED_SCALED_PINS["dedup_embedding_exact"] = _ALL_PAIRS_BASE
+ADJUDICATED_SCALED_PINS["sim_dedup_threshold_sweep"] = _ALL_PAIRS_BASE
+
+# Adjudicated static-estimate broadcasts (audit D): the STATIC physical
+# plan builds a broadcast from an explode-derived frame over an
+# SF-scaled scan, but the derived frame is bounded by construction —
+# each entry names the bound. Anything NOT listed that audit D finds is
+# a decon-class defect: Catalyst's size estimate for explode-derived
+# frames is structurally disconnected from their true cardinality (the
+# wide text column divides the row-count estimate while the explode
+# fans out ~10-100x), so the static BroadcastHashJoin survives far past
+# the real threshold and dies building the hashed relation instead of
+# degrading — MEASURED in tools/decon_scale.py (round 9): still
+# broadcasting at 34M distinct shingles, 'Not enough memory to build
+# and broadcast' at ~67M on a 16g driver, zero graceful degradation.
+_PROBE_SIDE = (
+    "the static broadcast IS the explicit probe-side pin (audit A, "
+    "adjudicated in ADJUDICATED_SCALED_PINS): the explode is the "
+    "n_probe cells/buckets per query over the vec_id-filtered query "
+    "set — ≤ k × n_probe rows by construction"
+)
+ADJUDICATED_STATIC_BROADCASTS: dict[str, str] = {
+    "text_decontaminate": (
+        "the static broadcast IS the explicit eval-side pin (audit A, "
+        "adjudicated in ADJUDICATED_SCALED_PINS): the eval (doc, "
+        "shingle) pair table, bounded by the decontaminate() "
+        "eval_bounded contract"
+    ),
+    "sim_ann_lsh": _PROBE_SIDE,
+    "sim_ann_lsh_det": _PROBE_SIDE,
+    "sim_ann_ivf": _PROBE_SIDE,
+    "sim_ann_ivfpq": _PROBE_SIDE,
+}
+
 _HINT_RE = re.compile(r"(left|right)Hint=\([^)]*strategy=broadcast[^)]*\)")
+
+_PHYS_LIMIT_RE = re.compile(r"^(GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
+_PHYS_GLOBAL_AGG_RE = re.compile(r"^(Hash|ObjectHash|Sort)Aggregate\(keys=\[\]")
+_PHYS_SCALED_SCAN_RE = re.compile(
+    r"^FileScan \w+ \[[^\]]*\b(c_custkey|o_orderkey|l_orderkey|p_partkey|"
+    r"ps_partkey|s_suppkey|event_id|user_id|doc_id|vec_id)#"
+)
+
+
+def static_broadcast_findings(spark_plan: str) -> list[str]:
+    """Audit D — decon-class hazard: in the PRE-AQE static physical plan
+    (qe.sparkPlan(), where join strategies are chosen from Catalyst's
+    size estimates alone), a BroadcastHashJoin / BroadcastNestedLoopJoin
+    whose BUILD side contains an unbounded Generate (explode) over an
+    SF-scaled base-table scan. Such a build side's estimate never
+    tracks its true cardinality, so the broadcast persists at corpus
+    scale until the build physically fails; AQE cannot demote a
+    statically-planned broadcast (no shuffle stage to re-measure).
+    Frames bounded by a Limit or a global aggregate ABOVE the explode
+    are skipped; everything else needs an adjudicated bound or a fix
+    (explicit merge hint / probe inversion — see decontaminate())."""
+    nodes = parse_tree(spark_plan)
+    out: list[str] = []
+    for n in nodes:
+        m = re.match(r"^Broadcast(HashJoin|NestedLoopJoin)\b.*Build(Left|Right)", n.text)
+        if not m or len(n.children) < 2:
+            continue
+        build = n.children[0] if m.group(2) == "Left" else n.children[1]
+
+        def hazardous(node: Node, bounded: bool) -> bool:
+            if _PHYS_LIMIT_RE.match(node.text) or _PHYS_GLOBAL_AGG_RE.match(node.text):
+                bounded = True
+            if not bounded and node.text.startswith("Generate ") and any(
+                _PHYS_SCALED_SCAN_RE.match(d.text) for d in _subtree(node)[1:]
+            ):
+                return True
+            return any(hazardous(c, bounded) for c in node.children)
+
+        if hazardous(build, False):
+            out.append(n.text[:140])
+    return out
 
 
 def broadcast_pin_findings(opt_plan: str) -> list[tuple[str, str]]:
@@ -307,12 +408,14 @@ def audit_query(df) -> dict:
     qe = df._jdf.queryExecution()
     opt = qe.optimizedPlan().toString()
     ex = qe.executedPlan().toString()
+    static = qe.sparkPlan().toString()
     pins = broadcast_pin_findings(opt)
     return {
         "vocab_pins": [p for p in pins if p[0] == "vocab_scale"],
         "pins": pins,
         "cartesian": "CartesianProduct" in ex,
         "bad_single_partition": single_partition_findings(ex),
+        "static_bcast": static_broadcast_findings(static),
     }
 
 
@@ -342,6 +445,15 @@ def flags_for(name: str, res: dict) -> tuple[list[str], list[str]]:
             adj.append(ADJUDICATED_KEYED_AGG_PINS[name])
         else:
             bad.append(f"keyed-agg-over-scaled-scan broadcast pin: {keyed}")
+    sb = res.get("static_bcast", [])
+    if sb:
+        if name in ADJUDICATED_STATIC_BROADCASTS:
+            adj.append(ADJUDICATED_STATIC_BROADCASTS[name])
+        else:
+            bad.append(
+                f"static-estimate broadcast of an explode-derived "
+                f"corpus frame (decon-class, see decon_scale.py): {sb}"
+            )
     if res["cartesian"]:
         bad.append("CartesianProduct in executed plan")
     sp = res["bad_single_partition"]
@@ -364,6 +476,14 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+        # mirror the SHIPPED broadcast policy (session.build_session):
+        # static estimates never choose broadcast, AQE's runtime
+        # threshold does. Audit D then asserts the invariant that no
+        # static plan broadcasts an unbounded explode-derived corpus
+        # frame — under this policy only explicit F.broadcast() pins
+        # can, and each needs an ADJUDICATED_STATIC_BROADCASTS bound.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
