@@ -679,3 +679,17 @@ def test_leakage_uses_shuffle_semi_join(spark):
     execd = df._jdf.queryExecution().executedPlan().toString()
     phys_semi = [l for l in execd.splitlines() if "LeftSemi" in l and "Join" in l]
     assert phys_semi and all("SortMergeJoin" in l for l in phys_semi), phys_semi
+
+
+def test_shipped_broadcast_policy(spark):
+    """The broadcast-policy contract (SCALE.md r9 'Broadcast policy'):
+    the shipped session must keep the STATIC threshold off and the AQE
+    runtime threshold on — reverting either silently reintroduces the
+    measured decon-class failure (static BroadcastHashJoin on an
+    explode-derived corpus frame, death at ~67M rows instead of a
+    graceful flip; tools/decon_scale.py)."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert (
+        spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == "64m"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

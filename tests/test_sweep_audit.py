@@ -141,3 +141,27 @@ def test_parse_round_trip(tmp_path):
     )
     parsed = sweep_audit.parse(str(log))
     assert parsed == {"tpch_q1": (6, 0.8), "dedup_exact": (120, 1.25)}
+
+
+def test_rerun_pair_integration():
+    """The self-adjudication path end-to-end: rerun_pair really invokes
+    tools/run_oracle.py for one fast query at two scales and parses the
+    wall seconds back out. Uses sf0.001 for both legs (the adjudicator
+    compares a ratio, so the dirs just need to exist and certify)."""
+    pair = sweep_audit.rerun_pair(
+        "count_star", "/root/testdata/sf0.001", "/root/testdata/sf0.001"
+    )
+    assert pair is not None
+    t_s, t_b = pair
+    assert t_s > 0 and t_b > 0
+
+
+def test_rerun_pair_unknown_query_returns_none():
+    """A query the oracle runner cannot certify yields None — the
+    caller keeps the original flag (fail-closed)."""
+    assert (
+        sweep_audit.rerun_pair(
+            "no_such_query_zz", "/root/testdata/sf0.001", "/root/testdata/sf0.001"
+        )
+        is None
+    )
