@@ -342,6 +342,10 @@ def _skew_stress(spark, mults) -> None:
     def run(label, thunk, aqe):
         conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the shipped policy's AQE runtime threshold (session.py) would
+        # broadcast the skewed join's small side and bypass the skew
+        # machinery this stress measures — pin it off for the probe
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         t0 = time.perf_counter()
         out = thunk()
         return label, out, time.perf_counter() - t0
@@ -401,6 +405,7 @@ def _skew_stress(spark, mults) -> None:
     finally:
         conf.set("spark.sql.adaptive.enabled", aqe0)
         conf.set("spark.sql.autoBroadcastJoinThreshold", bj0)
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
 
 
 def _stats_stress(spark, mults) -> None:
