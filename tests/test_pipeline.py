@@ -371,3 +371,40 @@ def test_histogram_constant_column(spark):
     rows = histogram(df, "v", bins=4).collect()
     assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 3
     assert rows[0].bin_lo == 5.0
+
+
+def test_decontaminate_both_plans_value_identical(spark):
+    """The probe-inverted broadcast plan (eval_bounded=True) and the
+    merge-hinted shuffle semi-join plan (eval_bounded=False) are two
+    physical strategies for ONE semantics — on randomized corpora with
+    planted overlaps they must return identical rows. Binds the round-9
+    probe inversion to the legacy-direction plan it replaced."""
+    import random
+
+    rng = random.Random(907)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    train_rows = [(i, doc(rng.randint(3, 30))) for i in range(40)]
+    eval_rows = [(100 + i, doc(rng.randint(3, 30))) for i in range(15)]
+    # planted exact overlap: one eval doc repeats a train doc verbatim
+    eval_rows.append((200, train_rows[0][1]))
+    train = spark.createDataFrame(train_rows, ["id", "text"])
+    eval_df = spark.createDataFrame(eval_rows, ["id", "text"])
+    for k in (2, 8):
+        a = sorted(
+            tuple(r) for r in P.decontaminate(
+                train, eval_df, "id", "text", shingle_k=k, eval_bounded=True
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in P.decontaminate(
+                train, eval_df, "id", "text", shingle_k=k, eval_bounded=False
+            ).collect()
+        )
+        assert a == b, (k, a[:3], b[:3])
+        # the planted verbatim duplicate is fully contaminated
+        planted = [r for r in a if r[0] == 200][0]
+        assert planted[1] == planted[2] and planted[4] is True
