@@ -1185,3 +1185,49 @@ def test_sessionize_matches_python_reference(spark, events):
         assert got == want, (events, got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_WORD = st.sampled_from([f"t{i}" for i in range(12)])
+_TEXT = st.lists(_WORD, min_size=1, max_size=14).map(" ".join)
+
+
+@given(
+    train_texts=st.lists(_TEXT, min_size=0, max_size=8),
+    eval_texts=st.lists(_TEXT, min_size=1, max_size=6),
+    k=st.sampled_from([1, 2, 3]),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_python_set_model(spark, train_texts, eval_texts, k):
+    """decontaminate() vs a pure-Python set model on arbitrary corpora:
+    per eval doc, n_shingles == |distinct word-k-grams| and
+    n_contaminated == |that set ∩ union of train k-gram sets| — for both
+    physical plans (bounded-probe broadcast and merge-hinted shuffle
+    semi). The tiny 12-word vocabulary forces heavy cross-doc shingle
+    collisions, the regime where a fan-out/dedup bug would miscount."""
+
+    def grams(text: str) -> set[tuple[str, ...]]:
+        toks = text.split()
+        if len(toks) <= k:
+            return {tuple(toks)}  # short-document fallback gram
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    train_set: set[tuple[str, ...]] = set()
+    for t in train_texts:
+        train_set |= grams(t)
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "id long, text string"
+    ) if train_texts else spark.createDataFrame([], "id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)], "id long, text string"
+    )
+    for bounded in (True, False):
+        got = {
+            r["id"]: (r["n_shingles"], r["n_contaminated"])
+            for r in P.decontaminate(
+                train, eval_df, "id", "text", shingle_k=k, eval_bounded=bounded
+            ).collect()
+        }
+        for i, t in enumerate(eval_texts):
+            g = grams(t)
+            want = (len(g), len(g & train_set))
+            assert got[100 + i] == want, (bounded, k, t, got[100 + i], want)
