@@ -158,3 +158,52 @@ def test_ivf_index_lifecycle_matches_model(spark, ops):
             assert got_by_q.get(q, []) == want, (q, got_by_q.get(q), want, ops)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@given(
+    n_extra=st.integers(min_value=0, max_value=12),
+    seed=st.integers(min_value=1, max_value=10_000),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivfpq_exhaustive_probe_matches_model(spark, n_extra, seed):
+    """The IVF-PQ index (codebooks + m-byte codes + ADC scan + exact
+    re-rank) degenerates to EXACT brute force when every cell is probed
+    and the re-rank pool covers the corpus (rerank >= n-1): the ADC
+    stage then only orders candidates that all survive to the exact
+    cosine re-rank. So the persisted-PQ plumbing — codebook fit, code
+    assignment, per-query LUT, partition-pruned scan, raw-vector
+    re-join — must reproduce the Python brute-force model
+    value-for-value, for ANY corpus composition and quantizer seed."""
+    path = tempfile.mkdtemp(prefix="pqmodel_")
+    try:
+        model = {i: _vec(i) for i in range(16 + n_extra)}
+        base = spark.createDataFrame(
+            [(i, model[i]) for i in sorted(model)],
+            "vec_id long, embedding array<double>",
+        )
+        AI.build_ivfpq_index(
+            base, path, dim=_DIM, n_cells=4, m=2, ksub=4, seed=seed
+        )
+        qids = sorted(model)[:3]
+        queries = spark.createDataFrame(
+            [(i, model[i]) for i in qids],
+            "vec_id long, embedding array<double>",
+        )
+        got = AI.probe_ivfpq_index(
+            spark, path, queries, base,
+            k=_K, n_probe=4, rerank=len(model),
+        ).collect()
+        got_by_q: dict[int, list[tuple[int, int, float]]] = {}
+        for r in got:
+            got_by_q.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["rank"], r["cos_sim"])
+            )
+        for q in qids:
+            want = _model_topk(model, q)
+            assert got_by_q.get(q, []) == want, (q, got_by_q.get(q), want)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
