@@ -189,14 +189,25 @@ def audit(
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    small, big = argv[0], argv[1]
     small_dir = "/root/testdata/sf0.01"
     big_dir = "/root/testdata/sf0.1"
-    if "--small-dir" in sys.argv:
-        small_dir = sys.argv[sys.argv.index("--small-dir") + 1]
-    if "--big-dir" in sys.argv:
-        big_dir = sys.argv[sys.argv.index("--big-dir") + 1]
+    args = sys.argv[1:]
+    positional: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--small-dir":
+            small_dir = args[i + 1]
+            i += 2
+        elif a == "--big-dir":
+            big_dir = args[i + 1]
+            i += 2
+        elif a == "--no-rerun":
+            i += 1
+        else:
+            positional.append(a)
+            i += 1
+    small, big = positional[0], positional[1]
     s, b = parse(small), parse(big)
     if not s or not b:
         print(f"could not parse sweep logs ({len(s)}/{len(b)} rows)")
