@@ -517,16 +517,22 @@ def run_scd1_upsert_stream(
 
 def run_stream_static_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins a static
-    dimension (customer) — Spark re-plans the static side per micro-batch
-    and broadcasts it under the threshold, so the stream side never
-    shuffles for the join. Rollup by segment in complete mode for a
-    deterministic drain."""
+    dimension (customer), EXPLICITLY broadcast, so the stream side never
+    shuffles for the join. The pin is the stream-static contract, not an
+    optimization: streaming plans get no AQE, and under the shipped
+    broadcast policy (static threshold off — SCALE.md r9) an un-hinted
+    stream-static join would plan SortMergeJoin and shuffle every
+    micro-batch of the stream. The enrichment dimension must therefore
+    fit in executor memory BY CONTRACT (the standard stream-static
+    pattern); for a dimension too large to broadcast, enrich in
+    foreachBatch (where AQE applies) or pre-bucket both sides. Rollup by
+    segment in complete mode for a deterministic drain."""
     src = _events_stream(spark, sf_dir)
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment"
     )
     agg = (
-        src.join(cust, src["user_id"] == cust["c_custkey"])
+        src.join(F.broadcast(cust), src["user_id"] == cust["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
     )
