@@ -258,19 +258,8 @@ assert len(_CERT_FIRST_ROUND9) == 50, len(_CERT_FIRST_ROUND9)
 _missing9 = [n for n in _CERT_FIRST_ROUND9 if n not in ALL_QUERIES]
 assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 
-# Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-9 window leads.
-# sim_ranking_metrics is the LAST oracle-backed query without a driver
-# row; the other 49 are re-certifications under the final engine.
-_CERT_FIRST = _CERT_FIRST_ROUND9
-_first = set(_CERT_FIRST)
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
-    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
-}
-
-# ROUND-10 WINDOW (pre-staged; swap into _CERT_FIRST at round-10 start
-# AFTER CORRECTNESS_r09.json lands): the 47 oracle-backed r1-r3 rows
+# ROUND-10 WINDOW (ACTIVE — swapped in at round-10 start, after
+# CORRECTNESS_r09.json landed 50/50 hash-green): the 47 oracle-backed r1-r3 rows
 # that appear in NO other window (computed against rounds 4-9), plus
 # three of the r3-row re-certs displaced by the round-8 re-cut (fn_url
 # / window_ntile / window_running_total — they take the slots freed
@@ -303,6 +292,17 @@ _CERT_FIRST_ROUND10 = [
 assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
 assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}"
+
+# Active window: the driver certifies the FIRST 50 registry entries in
+# insertion order — reorder the registry so the round-10 window leads.
+# All 50 are re-certifications of r1-r3 driver rows (the stalest
+# evidence in the cumulative ledger) under the final post-policy engine.
+_CERT_FIRST = _CERT_FIRST_ROUND10
+_first = set(_CERT_FIRST)
+ALL_QUERIES = {
+    **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
+    **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
+}
 
 # ROUND-11 / ROUND-12 WINDOWS (pre-staged; swap in at each round's start
 # after the previous CORRECTNESS lands): with every oracle-backed query

@@ -376,13 +376,7 @@ def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KEY SET itself — exactly `SELECT DISTINCT user_id, event_type,
     hour` in the batch oracle, while the execution path exercised is the
     streaming state store."""
-    src = _events_stream(spark, sf_dir)
-    keyed = (
-        src.withWatermark("ts", "2 hours")
-        .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), TS_FMT))
-        .dropDuplicates(["user_id", "event_type", "hour"])
-        .select("user_id", "event_type", "hour")
-    )
+    keyed = stream_dedup_plan(spark, sf_dir)
     qname = f"sdedup_{uuid.uuid4().hex[:8]}"
     q = keyed.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
@@ -390,6 +384,17 @@ def run_stream_dedup_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname).orderBy("user_id", "event_type", "hour")
+
+
+def stream_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started streaming dedup plan (see run_stream_dedup_batchfile)."""
+    src = _events_stream(spark, sf_dir)
+    return (
+        src.withWatermark("ts", "2 hours")
+        .withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), TS_FMT))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +463,15 @@ def run_incremental_sink(
         q.stop()
 
 
+def scd1_stream_plan(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Un-started streaming side of the SCD1 upsert (the keyed merge
+    happens in foreachBatch, where AQE applies — see run_scd1_upsert_stream)."""
+    ev = source if source is not None else _events_stream(spark, sf_dir)
+    return ev.select("user_id", "ts", "event_id", "event_type", "value")
+
+
 def run_scd1_upsert_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -481,8 +495,7 @@ def run_scd1_upsert_stream(
 
     from pyspark.sql import Window as W
 
-    ev = source if source is not None else _events_stream(spark, sf_dir)
-    slim = ev.select("user_id", "ts", "event_id", "event_type", "value")
+    slim = scd1_stream_plan(spark, sf_dir, source)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         w = W.partitionBy("user_id").orderBy(
@@ -527,15 +540,7 @@ def run_stream_static_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
     pattern); for a dimension too large to broadcast, enrich in
     foreachBatch (where AQE applies) or pre-bucket both sides. Rollup by
     segment in complete mode for a deterministic drain."""
-    src = _events_stream(spark, sf_dir)
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_mktsegment"
-    )
-    agg = (
-        src.join(F.broadcast(cust), src["user_id"] == cust["c_custkey"])
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
-    )
+    agg = stream_static_join_plan(spark, sf_dir)
     qname = f"enrich_{uuid.uuid4().hex[:8]}"
     q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
     try:
@@ -545,13 +550,25 @@ def run_stream_static_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(qname).orderBy("c_mktsegment")
 
 
-def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval self-join: click followed by a purchase by
-    the same user within 1 hour. Both sides carry watermarks and the join
-    condition bounds event-time distance, so join state is evicted once
-    the watermark passes c_ts + 1h — bounded state, the stream-stream
-    contract. Inner-join matches emit as soon as both sides arrive (no
-    watermark hold on output)."""
+def stream_static_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started stream-static enrichment plan (see
+    run_stream_static_join_batchfile for the contract docstring). The
+    F.broadcast pin on the dimension is MANDATORY here — tools/
+    stream_plan_audit.py flags any stream-static join without it."""
+    src = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        src.join(F.broadcast(cust), src["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+
+
+def stream_stream_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started stream-stream interval join plan (see
+    run_stream_stream_join_batchfile)."""
     src = _events_stream(spark, sf_dir)
     clicks = (
         src.filter(F.col("event_type") == "click")
@@ -567,12 +584,22 @@ def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withWatermark("p_ts", "2 hours")
     )
-    j = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "c_id", "p_id")
+
+
+def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: click followed by a purchase by
+    the same user within 1 hour. Both sides carry watermarks and the join
+    condition bounds event-time distance, so join state is evicted once
+    the watermark passes c_ts + 1h — bounded state, the stream-stream
+    contract. Inner-join matches emit as soon as both sides arrive (no
+    watermark hold on output)."""
+    j = stream_stream_join_plan(spark, sf_dir)
     qname = f"ssjoin_{uuid.uuid4().hex[:8]}"
     q = j.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
@@ -580,6 +607,32 @@ def run_stream_stream_join_batchfile(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.table(qname).orderBy("user_id", "c_id", "p_id")
+
+
+def stream_stream_left_join_plan(source: DataFrame) -> DataFrame:
+    """Un-started stream-stream LEFT OUTER interval join plan (see
+    run_stream_stream_left_join)."""
+    clicks = (
+        source.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        source.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "c_id", "c_ts", "p_id")
 
 
 def run_stream_stream_left_join(
@@ -597,27 +650,7 @@ def run_stream_stream_left_join(
     unbounded stream the watermark keeps advancing and every click
     eventually resolves. Same bounded-state contract as the inner join,
     plus the eviction-driven emission discipline."""
-    clicks = (
-        source.filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
-        .withWatermark("c_ts", "2 hours")
-    )
-    purchases = (
-        source.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("p_id"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    j = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select("user_id", "c_id", "c_ts", "p_id")
+    j = stream_stream_left_join_plan(source)
     qname = f"ssljoin_{uuid.uuid4().hex[:8]}"
     q = j.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
@@ -855,3 +888,49 @@ def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-plan hygiene registry (VERDICT r9 #2)
+#
+# Streaming micro-batch plans get NO AQE, so every stream-static join MUST
+# carry an explicit F.broadcast pin on its static side — under the shipped
+# broadcast policy (static autoBroadcastJoinThreshold=-1, SCALE.md r9
+# "Broadcast policy") an un-hinted stream-static join plans SortMergeJoin
+# and shuffles the stream on every micro-batch. The pin IS the contract
+# (the reference re-selects join strategy at stage-resolution time,
+# execution_stage.rs:246-253 — streaming plans have no such hook).
+#
+# Every entry returns the UN-STARTED streaming DataFrame that the runner
+# hands to writeStream — the audited plan is the executed plan by
+# construction (the runners call these same builders).
+# tools/stream_plan_audit.py compiles each analyzed plan and FAILS on any
+# stream-static join without a broadcast hint; tests/test_stream_plan_audit.py
+# runs the same sweep in the battery.
+#
+# Exclusions (documented, not audited): run_incremental_sink reuses the
+# streaming_tumbling plan verbatim; run_neardedup_ingest / run_cms_rollup /
+# streaming_cdc_upsert hand a BARE SCAN to writeStream (joins happen inside
+# foreachBatch, where each batch runs as a regular batch query with AQE);
+# stateful_user_totals_tws needs google.protobuf (env-gated).
+STREAMING_PLAN_BUILDERS = {
+    "streaming_tumbling": lambda spark, sf_dir: tumbling_agg(
+        _events_stream(spark, sf_dir)
+    ),
+    "streaming_sliding": lambda spark, sf_dir: sliding_agg(
+        _events_stream(spark, sf_dir)
+    ),
+    "streaming_dedup": stream_dedup_plan,
+    "streaming_enrich": stream_static_join_plan,
+    "streaming_join": stream_stream_join_plan,
+    "streaming_left_join": lambda spark, sf_dir: stream_stream_left_join_plan(
+        _events_stream(spark, sf_dir)
+    ),
+    "streaming_sessionize": lambda spark, sf_dir: stateful_sessionize(
+        _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    ),
+    "streaming_session_close": lambda spark, sf_dir: sessionize_on_close(
+        _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    ),
+    "streaming_scd1_upsert": scd1_stream_plan,
+}

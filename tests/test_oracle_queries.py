@@ -286,17 +286,14 @@ def test_round8_window_historical():
     assert not set(_CERT_FIRST_ROUND8) & set(_CERT_FIRST_ROUND7)
 
 
-def test_round9_window_active():
-    """The round-9 certification window (ACTIVE — swapped in at round-9
-    start per VERDICT r8 next-round #1): the round-4 names minus the
-    banned rows-only slot and sim_quantize (displaced by the round-8
-    addition sim_ranking_metrics — first-time cert outranks re-cert)
-    + agg_cube — 50 unique oracle-backed entries, disjoint from the
-    round-5..8 windows, leading the registry insertion order so the
-    driver's first-50 sample certifies them. After it, ALL 303
+def test_round9_window_historical():
+    """The round-9 certification window (historical —
+    CORRECTNESS_r09.json: 50/50 hash-green, first-time cert of
+    sim_ranking_metrics): the round-4 names minus the banned rows-only
+    slot and sim_quantize + agg_cube — 50 unique oracle-backed entries,
+    disjoint from the round-5..8 windows. After it, ALL 303
     oracle-backed registry queries are driver-certified."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -305,8 +302,6 @@ def test_round9_window_active():
         _CERT_FIRST_ROUND9,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND9  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND9  # driver sees it
     # the last first-time certification is in the window
     assert "sim_ranking_metrics" in _CERT_FIRST_ROUND9
     assert len(_CERT_FIRST_ROUND9) == 50
@@ -324,13 +319,16 @@ def test_round9_window_active():
         assert not set(_CERT_FIRST_ROUND9) & set(w)
 
 
-def test_round10_window_prestage():
-    """The pre-staged round-10 certification window: every oracle-backed
-    query outside windows 4-9, plus three r3-row re-certs displaced by
+def test_round10_window_active():
+    """The round-10 certification window (ACTIVE — swapped in at
+    round-10 start per VERDICT r9 next-round #1, after
+    CORRECTNESS_r09.json landed 50/50): every oracle-backed query
+    outside windows 4-9, plus three r3-row re-certs displaced by
     the round-8 re-cut — after it, all oracle-backed queries hold a
     rounds-5-10 driver row (multimodal_meta r2, events_topk_users
     r3/r11 excepted — both already hash-green)."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -340,6 +338,8 @@ def test_round10_window_prestage():
         _CERT_FIRST_ROUND10,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND10  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND10  # driver sees it
     assert len(_CERT_FIRST_ROUND10) == 50
     assert len(set(_CERT_FIRST_ROUND10)) == 50
     assert set(_CERT_FIRST_ROUND10) <= set(ALL_ORACLES)

@@ -1,0 +1,127 @@
+"""Tests for the streaming-plan hygiene audit (tools/stream_plan_audit.py).
+
+The audit mechanizes the stream-static contract round 9 had to enforce
+by hand (the db0810e fix): streaming micro-batch plans get no AQE, so
+under the shipped broadcast policy (static threshold off) any
+stream-static join without an explicit broadcast pin SortMergeJoins —
+shuffling the stream every micro-batch. The sweep here compiles the SAME
+un-started plans the runners execute (STREAMING_PLAN_BUILDERS) and must
+stay at zero findings; the negative controls prove the auditor actually
+fires when the pin is removed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from stream_plan_audit import (  # noqa: E402
+    ADJUDICATED_STREAM_STATIC,
+    audit_stream_plan,
+    stream_static_findings,
+)
+
+from ballista_mvp_spark.streaming import (  # noqa: E402
+    STREAMING_PLAN_BUILDERS,
+    _events_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def _dim(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def test_unpinned_stream_static_join_flags(spark):
+    """Negative control: the exact shape db0810e fixed — an un-hinted
+    stream-static join — must be flagged. Removing the F.broadcast pin
+    from stream_static_join_plan reproduces this shape, so this test is
+    the proof the sweep would catch that regression."""
+    src = _events_stream(spark, SF_SMALL)
+    j = src.join(_dim(spark), src["user_id"] == F.col("c_custkey"))
+    findings = audit_stream_plan(j)
+    assert len(findings) == 1 and "without broadcast pin" in findings[0]
+
+
+def test_pinned_stream_static_join_passes(spark):
+    src = _events_stream(spark, SF_SMALL)
+    j = src.join(F.broadcast(_dim(spark)), src["user_id"] == F.col("c_custkey"))
+    assert audit_stream_plan(j) == []
+
+
+def test_sql_hint_counts_as_pin(spark):
+    """A SQL BROADCAST hint resolves to the same ResolvedHint node —
+    either pin spelling satisfies the contract."""
+    src = _events_stream(spark, SF_SMALL)
+    j = src.join(_dim(spark).hint("broadcast"), src["user_id"] == F.col("c_custkey"))
+    assert audit_stream_plan(j) == []
+
+
+def test_stream_stream_join_not_flagged(spark):
+    """Both sides streaming = the watermark-bounded state-store join;
+    broadcast does not apply and the auditor must stay quiet."""
+    findings = audit_stream_plan(
+        STREAMING_PLAN_BUILDERS["streaming_join"](spark, SF_SMALL)
+    )
+    assert findings == []
+
+
+def test_pin_position_matters(spark):
+    """A broadcast hint on the STREAM side must not excuse an un-hinted
+    static side (the hint check is per-subtree, not per-plan)."""
+    src = _events_stream(spark, SF_SMALL)
+    j = F.broadcast(src).join(_dim(spark), src["user_id"] == F.col("c_custkey"))
+    findings = audit_stream_plan(j)
+    assert len(findings) == 1 and "without broadcast pin" in findings[0]
+
+
+@pytest.mark.parametrize("name", sorted(STREAMING_PLAN_BUILDERS))
+def test_shipped_streaming_plans_clean(spark, name):
+    """The battery gate: every shipped streaming plan compiles and has
+    zero un-adjudicated stream-static findings. This parametrized sweep
+    plus the exit-code gate in tools/verify_all.py is VERDICT r9 #2's
+    'audit exit-code-gated' requirement."""
+    findings = [
+        f
+        for f in audit_stream_plan(STREAMING_PLAN_BUILDERS[name](spark, SF_SMALL))
+        if name not in ADJUDICATED_STREAM_STATIC
+    ]
+    assert findings == [], findings
+
+
+def test_adjudication_dict_empty_by_design():
+    """The stream-static contract admits no exception today; an entry
+    appearing here must come with a documented bound (mirrors the
+    plan_audit ADJUDICATED_* discipline)."""
+    assert ADJUDICATED_STREAM_STATIC == {}
+
+
+def test_findings_parser_on_synthetic_plan():
+    """Pure-text unit check (no session): one streaming side + one
+    static side with no hint ⇒ exactly one finding; adding the hint
+    line clears it."""
+    unpinned = """~Aggregate [seg#1], [seg#1, count(1) AS n#2L]
++- ~Join Inner, (user_id#3L = c_custkey#4L)
+   :- ~StreamingRelation DataSource(parquet), FileSource[/x], [user_id#3L]
+   +- Project [c_custkey#4L, seg#1]
+      +- Relation [c_custkey#4L,seg#1] parquet"""
+    assert len(stream_static_findings(unpinned)) == 1
+    pinned = """~Aggregate [seg#1], [seg#1, count(1) AS n#2L]
++- ~Join Inner, (user_id#3L = c_custkey#4L)
+   :- ~StreamingRelation DataSource(parquet), FileSource[/x], [user_id#3L]
+   +- ResolvedHint (strategy=broadcast)
+      +- Project [c_custkey#4L, seg#1]
+         +- Relation [c_custkey#4L,seg#1] parquet"""
+    assert stream_static_findings(pinned) == []

@@ -1,0 +1,133 @@
+"""Streaming-plan hygiene audit (audit S — VERDICT r9 #2).
+
+Streaming micro-batch plans get NO AQE, and under the shipped broadcast
+policy (static autoBroadcastJoinThreshold=-1, SCALE.md r9 "Broadcast
+policy") join strategy comes from AQE's runtime threshold — which never
+runs for a streaming query. An un-hinted stream-static join therefore
+plans SortMergeJoin and SHUFFLES THE STREAM on every micro-batch: the
+exact regression round 9's reactive db0810e fix closed by hand. This
+audit mechanizes that contract: it compiles the ANALYZED logical plan of
+every un-started streaming DataFrame the engine ships
+(ballista_mvp_spark.streaming.STREAMING_PLAN_BUILDERS — the same
+builders the runners execute, so the audited plan IS the executed plan)
+and FAILS on any join with exactly one streaming side whose static side
+carries no broadcast hint.
+
+Reference analogue: the reference re-selects the join strategy when a
+stage's inputs resolve (execution_stage.rs:246-253); Spark streaming
+plans have no such hook, so the explicit pin IS the contract.
+
+Why the ANALYZED plan: Spark refuses to optimize/physical-plan a
+streaming DataFrame outside writeStream.start() (AnalysisException), but
+queryExecution().analyzed() is available and shows both the streaming
+marker (`~`-prefixed operators / StreamingRelation leaves) and the
+resolved hint nodes (`ResolvedHint (strategy=broadcast)`).
+
+Stream-STREAM joins (both sides streaming) pass: they are the
+state-store interval-join path, bounded by watermarks (asserted in
+tests/test_streaming.py), and broadcast is not applicable.
+
+Usage:
+    python tools/stream_plan_audit.py [sf_dir]   # default sf0.001
+Exit 1 on any finding — exit-code-gated in tools/verify_all.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from plan_audit import Node, _subtree, parse_tree  # noqa: E402
+
+# Leaves that mark a subtree as streaming in the analyzed plan.
+_STREAM_LEAF_RE = re.compile(
+    r"\b(StreamingRelation|StreamingRelationV2|StreamingExecutionRelation|"
+    r"StreamingDataSourceV2Relation)\b"
+)
+
+# Adjudicated exceptions: builder name -> documented reason why an
+# un-pinned stream-static join is acceptable there. EMPTY by design —
+# the stream-static contract admits no exception (an unbroadcastable
+# dimension must move to foreachBatch or pre-bucketing instead, see
+# stream_static_join_plan's docstring); anything added here must name
+# the bound, mirroring plan_audit's ADJUDICATED_* dicts.
+ADJUDICATED_STREAM_STATIC: dict[str, str] = {}
+
+
+def _is_streaming_subtree(n: Node) -> bool:
+    return any(_STREAM_LEAF_RE.search(m.text) for m in _subtree(n))
+
+
+def _has_broadcast_hint(n: Node) -> bool:
+    """True if the subtree carries a resolved broadcast-class hint
+    (F.broadcast / SQL BROADCAST-BROADCASTJOIN-MAPJOIN hints all resolve
+    to `ResolvedHint (strategy=broadcast)` in the analyzed plan)."""
+    return any(
+        "ResolvedHint" in m.text and "broadcast" in m.text for m in _subtree(n)
+    )
+
+
+def stream_static_findings(analyzed_plan: str) -> list[str]:
+    """Flag every join node with exactly one streaming input whose
+    static side lacks a broadcast hint."""
+    findings: list[str] = []
+    for n in parse_tree(analyzed_plan):
+        head = n.text.lstrip("~")
+        if not re.match(r"Join\b", head) or len(n.children) != 2:
+            continue
+        streaming = [c for c in n.children if _is_streaming_subtree(c)]
+        static = [c for c in n.children if not _is_streaming_subtree(c)]
+        if len(streaming) == 1 and len(static) == 1:
+            if not _has_broadcast_hint(static[0]):
+                findings.append(
+                    f"stream-static join without broadcast pin: {n.text[:160]}"
+                )
+    return findings
+
+
+def audit_stream_plan(df) -> list[str]:
+    """Findings for one un-started streaming DataFrame."""
+    return stream_static_findings(df._jdf.queryExecution().analyzed().toString())
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        # mirror the SHIPPED broadcast policy — under it the explicit pin
+        # is the ONLY way a streaming plan broadcasts (no AQE to decide)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ballista_mvp_spark.streaming import STREAMING_PLAN_BUILDERS
+
+    flags = 0
+    for name, build in STREAMING_PLAN_BUILDERS.items():
+        try:
+            findings = audit_stream_plan(build(spark, sf_dir))
+        except Exception as e:  # a builder that no longer compiles is a finding
+            print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:140]}")
+            flags += 1
+            continue
+        for f in findings:
+            if name in ADJUDICATED_STREAM_STATIC:
+                print(f"[ADJ ] {name}: {ADJUDICATED_STREAM_STATIC[name]}")
+            else:
+                flags += 1
+                print(f"[FLAG] {name}: {f}")
+    print(f"{flags} flagged / {len(STREAMING_PLAN_BUILDERS)} streaming plans")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

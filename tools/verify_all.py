@@ -58,6 +58,10 @@ def main() -> int:
         # broadcast pins / cartesians / bare single-partition exchanges
         ("plan audit",
          [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
+        # streaming-plan hygiene: no un-pinned stream-static joins (no
+        # AQE in micro-batch plans — the pin IS the contract, VERDICT r9 #2)
+        ("stream plan audit",
+         [sys.executable, "tools/stream_plan_audit.py", "/root/testdata/sf0.001"]),
         # cross-scale row/time audits over the two sweep logs just saved
         # by the gates above (vacuity / anti-scaling / super-linear /
         # time-ratio — the round-7 vacuous-cert catchers)
