@@ -221,6 +221,7 @@ def decontaminate(
     text_col: str,
     shingle_k: int = 8,
     eval_bounded: bool = True,
+    eval_doc_cap: int | None = 100_000,
 ) -> DataFrame:
     """Eval-set contamination check: for each eval document, the count and
     fraction of its distinct word-k-gram shingles that appear anywhere in
@@ -230,8 +231,9 @@ def decontaminate(
     Plan (eval_bounded=True, the default — the production shape, where
     `eval_df` is a fixed benchmark suite and `train` is the corpus):
     probe-inverted. Eval (doc, shingle) pairs — per-doc-distinct already
-    (hashed_shingles) and bounded by the eval-set CONTRACT — are
-    explicitly broadcast; the corpus side is ONE scan + explode streamed
+    (hashed_shingles) and bounded by the eval-set contract, ENFORCED by
+    the eval_doc_cap guard (a LIMIT-bounded count that raises before the
+    broadcast is attempted; None disables) — are explicitly broadcast; the corpus side is ONE scan + explode streamed
     past that probe table with NO corpus-wide shuffle at all (no train
     distinct!), and the matched pairs (bounded by contamination volume,
     not corpus volume) take a tiny distinct + per-doc count. Broadcasting
@@ -260,6 +262,23 @@ def decontaminate(
     ).select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
     sizes = ev.select("_id", F.size("_sh").alias("n_shingles"))
     ev_pairs = ev.select("_id", F.explode("_sh").alias("s"))
+    if eval_bounded and eval_doc_cap is not None:
+        # ENFORCE the eval_bounded contract instead of documenting it
+        # (ADVICE r9): the eval side is about to be broadcast, so an
+        # eval_df that secretly scales with the corpus would reproduce
+        # the measured broadcast-build OOM from the OTHER side. The
+        # guard is a LIMIT-bounded count — O(cap) scan work regardless
+        # of the true eval size — and fails actionably instead of dying
+        # in the broadcast build.
+        if eval_df.limit(eval_doc_cap + 1).count() > eval_doc_cap:
+            raise ValueError(
+                f"decontaminate(eval_bounded=True): eval side exceeds "
+                f"{eval_doc_cap} documents — it is not a bounded benchmark "
+                f"suite and must not broadcast. Use eval_bounded=False "
+                f"(shuffle semi-join, both sides corpus-scale) or raise "
+                f"eval_doc_cap explicitly if the suite genuinely fits "
+                f"executor memory."
+            )
     if eval_bounded:
         tr_occ = train.select(token_hashes(F.col(text_col)).alias("_th")).select(
             F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s")

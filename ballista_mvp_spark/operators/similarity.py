@@ -286,11 +286,18 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     scope: Column | None = None,
+    max_unscoped_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
     All-pairs within an optional blocking `scope` column (e.g. a coarse
     LSH bucket or label) — at 100 TB ALWAYS block first; the unblocked
-    form is the sf-scale oracle baseline."""
+    form is the sf-scale oracle baseline.
+
+    The unscoped form broadcasts the b side, so its failure mode on an
+    oversized input is a broadcast-build OOM, not the old slow-but-
+    progressing CartesianProduct — `max_unscoped_rows` (ADVICE r9)
+    guards that with a LIMIT-bounded count and an actionable error
+    (use `scope`/lsh_cosine_dup_pairs, or None to disable)."""
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *(
         [scope.alias("_scope")] if scope is not None else []
     ))
@@ -303,9 +310,21 @@ def cosine_dup_pairs(
     # keeps the BroadcastNestedLoopJoin shape at baseline scales and is
     # adjudicated as an sf_scaled pin because this form must never run
     # unblocked at corpus scale anyway (pass `scope`)
-    joined = a.join(b, ["_scope"]) if scope is not None else a.crossJoin(
-        F.broadcast(b)
-    )
+    if scope is not None:
+        joined = a.join(b, ["_scope"])
+    else:
+        if (
+            max_unscoped_rows is not None
+            and df.limit(max_unscoped_rows + 1).count() > max_unscoped_rows
+        ):
+            raise ValueError(
+                f"cosine_dup_pairs without `scope` broadcasts the full "
+                f"input and it exceeds {max_unscoped_rows} rows — the "
+                f"all-pairs baseline would die building the broadcast. "
+                f"Block first: pass `scope` or use lsh_cosine_dup_pairs "
+                f"(or raise max_unscoped_rows if it genuinely fits)."
+            )
+        joined = a.crossJoin(F.broadcast(b))
     return (
         joined.filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ballista_mvp_spark.operators import dedup as D
@@ -154,6 +155,27 @@ def test_lsh_embedding_dedup_recall_vs_exact(spark):
     assert blocked <= exact
     recall = len(blocked) / len(exact)
     assert recall >= 0.8, f"LSH-blocked dedup recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_cosine_dup_pairs_unscoped_row_guard(spark):
+    """The unscoped all-pairs form broadcasts the b side, so its
+    failure mode on an oversized input is a broadcast-build OOM — the
+    max_unscoped_rows guard (ADVICE r9) fails actionably instead, and
+    a scoped call never counts (the guard is unscoped-only)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    with pytest.raises(ValueError, match="lsh_cosine_dup_pairs"):
+        S.cosine_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, max_unscoped_rows=10
+        ).collect()
+    # scoped path ignores the cap (blocking already bounds the join)
+    scoped = S.cosine_dup_pairs(
+        emb.withColumn("_blk", F.col("vec_id") % 4),
+        "vec_id", "embedding", threshold=0.4,
+        scope=F.col("_blk"), max_unscoped_rows=10,
+    )
+    assert scoped.count() >= 0  # compiles and runs under the tiny cap
 
 
 def test_ivf_ann_recall_and_determinism(spark):

@@ -6,6 +6,7 @@ invariants an oracle diff can't express."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ballista_mvp_spark.operators import dedup as D
@@ -67,6 +68,28 @@ def test_decontaminate_flags_planted_overlap(spark):
     }
     assert out[10][1] is True and out[10][0] == 3  # 10 tokens -> 3 distinct 8-grams
     assert out[11] == (0, False)
+
+
+def test_decontaminate_eval_cap_guard(spark):
+    """The eval_bounded contract is ENFORCED (ADVICE r9): an eval side
+    larger than eval_doc_cap raises an actionable error BEFORE the
+    broadcast is attempted; None disables the guard (same output)."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(5)],
+        ["id", "text"],
+    )
+    with pytest.raises(ValueError, match="eval_bounded=False"):
+        P.decontaminate(
+            train, eval_df, "id", "text", shingle_k=8, eval_doc_cap=3
+        ).collect()
+    ok = P.decontaminate(
+        train, eval_df, "id", "text", shingle_k=8, eval_doc_cap=None
+    ).count()
+    assert ok == 5
 
 
 def test_span_dedup_keeps_first_occurrence_only(spark):

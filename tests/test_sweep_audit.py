@@ -165,3 +165,25 @@ def test_rerun_pair_unknown_query_returns_none():
         )
         is None
     )
+
+
+def test_main_usage_on_missing_args(monkeypatch, capsys):
+    """Missing log paths print a usage line and exit 2 instead of a
+    bare IndexError (ADVICE r9)."""
+    monkeypatch.setattr(sweep_audit.sys, "argv", ["sweep_audit.py"])
+    assert sweep_audit.main() == 2
+    assert "usage:" in capsys.readouterr().out
+
+
+def test_rerun_pair_timeout_counts_as_failed_leg(monkeypatch):
+    """A hung re-run leg expires the subprocess timeout and returns
+    None — the original flag stands instead of blocking the audit
+    forever (ADVICE r9)."""
+    import subprocess as sp
+
+    def _hang(*a, **kw):
+        assert kw.get("timeout"), "rerun_pair must pass a timeout"
+        raise sp.TimeoutExpired(cmd=a[0], timeout=kw["timeout"])
+
+    monkeypatch.setattr(sweep_audit.subprocess, "run", _hang)
+    assert sweep_audit.rerun_pair("q", "/x", "/y") is None

@@ -309,7 +309,9 @@ ADJUDICATED_STATIC_BROADCASTS: dict[str, str] = {
         "the static broadcast IS the explicit eval-side pin (audit A, "
         "adjudicated in ADJUDICATED_SCALED_PINS): the eval (doc, "
         "shingle) pair table, bounded by the decontaminate() "
-        "eval_bounded contract"
+        "eval_bounded contract — ENFORCED at run time by the "
+        "eval_doc_cap guard (LIMIT-bounded count, raises before the "
+        "broadcast; ADVICE r9 fix, tests/test_pipeline_ops.py)"
     ),
     "sim_ann_lsh": _PROBE_SIDE,
     "sim_ann_lsh_det": _PROBE_SIDE,

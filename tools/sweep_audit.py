@@ -98,14 +98,19 @@ def rerun_pair(
     hand: same binary, back-to-back, loadavg recorded). Returns
     (t_small, t_big) wall seconds, or None if either leg failed to
     produce a parseable [OK ] row (a failed leg is not adjudication —
-    the original flag stands)."""
+    the original flag stands). A leg that HANGS counts as failed too:
+    the subprocess carries a generous timeout so one stuck query can't
+    block the whole audit (ADVICE r9)."""
     times: list[float] = []
     for d in (small_dir, big_dir):
-        p = subprocess.run(
-            [sys.executable, os.path.join(_ROOT, "tools", "run_oracle.py"),
-             d, name],
-            cwd=_ROOT, capture_output=True, text=True,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(_ROOT, "tools", "run_oracle.py"),
+                 d, name],
+                cwd=_ROOT, capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            return None
         rows = {
             m.group("name"): float(m.group("t"))
             for m in (_LINE.search(ln) for ln in p.stdout.splitlines())
@@ -207,6 +212,12 @@ def main() -> int:
         else:
             positional.append(a)
             i += 1
+    if len(positional) < 2:
+        print(
+            "usage: sweep_audit.py [--small-dir D] [--big-dir D] "
+            "[--no-rerun] <small_sweep.log> <big_sweep.log>"
+        )
+        return 2
     small, big = positional[0], positional[1]
     s, b = parse(small), parse(big)
     if not s or not b:
