@@ -281,6 +281,15 @@ def sessionize_on_close(
                 if last is not None:
                     prev.iloc[0] = last
                 new_session = prev.isna() | ((ts - prev) > gap_seconds)
+                if last is not None and new_session.iloc[0]:
+                    # the chunk's first event proves the CARRIED session
+                    # closed (gap exceeded): emit it here — the timeout
+                    # path only covers users with NO new data, so
+                    # skipping this dropped cross-batch sessions
+                    # whenever the same user spoke again in a later
+                    # batch (found by the split-invariance model test,
+                    # tests/test_streaming_model.py)
+                    closed.append((start, last, n))
                 sid = new_session.cumsum()  # 0 ⇒ continues the carried session
                 g = ts.groupby(sid)
                 starts = g.first()

@@ -1,0 +1,205 @@
+"""Model-based property tests for the streaming STATEFUL paths
+(VERDICT r9 #4 — the last stateful family without one): the SCD1
+latest-wins sink, the CDC merge sink, and emit-on-close sessionization
+are each replayed over RANDOMIZED micro-batch splits of the same event
+sequence (hypothesis draws the cut points; one parquet file per chunk +
+maxFilesPerTrigger=1 forces the batch boundaries) and compared against
+a sequential in-memory model. Any split-invariance violation is a real
+bug — the models are pure Python, the same pattern as
+tests/test_versioned_model.py and tests/test_ann_index_model.py.
+
+Contracts under test:
+- SCD1 (run_scd1_upsert_stream): latest-wins by (ts, event_id) is
+  commutative + idempotent, so EVERY split — even one interleaving
+  users arbitrarily across batches — must converge to argmax per user.
+- CDC (sources/versioned.cdc_merge_sink with seq_col): within a batch
+  max-seq wins, across batches the merge replaces — so for any
+  CONTIGUOUS IN-ORDER split (a change stream arrives in commit order)
+  the table converges to argmax-by-seq per key.
+- Session close (sessionize_on_close, 0-second watermark): for any
+  contiguous in-time-order split, the emitted set of closed sessions is
+  exactly the model's sessionization with a session closed iff
+  last_event + gap < global max ts (strict: Spark's event-time timer
+  fires when the watermark EXCEEDS the timeout timestamp; the fixture
+  makes equality unreachable — all ts even, gap odd).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ballista_mvp_spark.sources import versioned as V
+from ballista_mvp_spark.streaming import run_scd1_upsert_stream, sessionize_on_close
+
+GAP = 1799  # odd, so last+GAP never equals an (even) event ts
+_TS0 = 1_700_000_000  # even epoch seconds
+_TYPES = ("click", "purchase", "view")
+
+
+def _pool() -> list[tuple[int, int, str, float, int]]:
+    """24 deterministic events over 3 users: (event_id, user_id, type,
+    value, ts_epoch). Every 5th gap is > GAP so each user has several
+    sessions; all ts are even (see GAP parity note above)."""
+    rows, t = [], _TS0
+    for i in range(24):
+        t += 3600 if i % 5 == 0 else 60
+        rows.append((i, i % 3, _TYPES[i % 3], float(i), t))
+    return rows
+
+
+POOL = _pool()
+_CUTS = st.lists(
+    st.integers(min_value=1, max_value=len(POOL) - 1),
+    unique=True, max_size=4,
+).map(sorted)
+
+
+def _chunks(cuts: list[int]) -> list[list[tuple]]:
+    edges = [0, *cuts, len(POOL)]
+    return [POOL[a:b] for a, b in zip(edges, edges[1:]) if b > a]
+
+
+def _write_chunks(spark, src_dir: str, chunks: list[list[tuple]]) -> None:
+    """One parquet file per micro-batch, mtimes strictly increasing so
+    the file-stream source (which orders by modification time) replays
+    them in sequence."""
+    os.makedirs(src_dir, exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(e, u, ty, v, t) for (e, u, ty, v, t) in chunk],
+            "event_id long, user_id long, event_type string, value double, _sec long",
+        ).withColumn("ts", F.timestamp_seconds(F.col("_sec"))).drop("_sec")
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+    files = sorted(
+        (f for f in os.listdir(src_dir) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src_dir, f)),
+    )
+    for i, f in enumerate(files):
+        p = os.path.join(src_dir, f)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+
+_SCHEMA = "event_id long, user_id long, event_type string, value double, ts timestamp"
+
+
+def _file_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+@given(cuts=_CUTS)
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd1_stream_matches_model_under_any_split(spark, tmp_path_factory, cuts):
+    base = str(tmp_path_factory.mktemp("scd1m"))
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _write_chunks(spark, src, _chunks(cuts))
+    run_scd1_upsert_stream(
+        spark, "unused", out, ckpt, source=_file_stream(spark, src)
+    )
+    # model: argmax per user by (ts, event_id)
+    latest: dict[int, tuple] = {}
+    for (e, u, ty, v, t) in POOL:
+        if u not in latest or (t, e) > (latest[u][4], latest[u][0]):
+            latest[u] = (e, u, ty, v, t)
+    expected = {(u, r[0], r[2], r[3]) for u, r in latest.items()}
+    got = {
+        (r["user_id"], r["event_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected, (cuts, got, expected)
+
+
+@given(cuts=_CUTS)
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cdc_merge_sink_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    base = str(tmp_path_factory.mktemp("cdcm"))
+    src, tbl, ckpt = (os.path.join(base, d) for d in ("src", "tbl", "ckpt"))
+    _write_chunks(spark, src, _chunks(cuts))
+    q = (
+        _file_stream(spark, src)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.foreachBatch(
+            V.cdc_merge_sink(tbl, key="user_id", seq_col="event_id")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # model: argmax per user by event_id (the change-stream sequence)
+    latest: dict[int, tuple] = {}
+    for (e, u, ty, v, _t) in POOL:
+        if u not in latest or e > latest[u][0]:
+            latest[u] = (e, u, ty, v)
+    expected = {(u, r[2], r[3]) for u, r in latest.items()}
+    got = {
+        (r["user_id"], r["event_type"], r["value"])
+        for r in V.read_versioned(spark, tbl).collect()
+    }
+    assert got == expected, (cuts, got, expected)
+
+
+def _model_closed_sessions() -> set[tuple[int, float, float, int]]:
+    """Sequential sessionization of POOL; a session is CLOSED iff
+    last_event + GAP < global max ts (strict — parity makes equality
+    unreachable)."""
+    max_ts = max(t for *_rest, t in POOL)
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for (e, u, _ty, _v, t) in POOL:
+        by_user.setdefault(u, []).append((t, e))
+    closed = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[list[int]] = []
+        for t, _e in evs:
+            if sessions and t - sessions[-1][-1] <= GAP:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        for s in sessions:
+            if s[-1] + GAP < max_ts:
+                closed.add((u, float(s[0]), float(s[-1]), len(s)))
+    return closed
+
+
+@given(cuts=_CUTS)
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_close_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    base = str(tmp_path_factory.mktemp("sessm"))
+    src = os.path.join(base, "src")
+    _write_chunks(spark, src, _chunks(cuts))
+    out = sessionize_on_close(
+        _file_stream(spark, src).select("user_id", "ts", "event_id"), GAP
+    )
+    qname = f"sessmodel_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(qname).collect()
+    }
+    assert got == _model_closed_sessions(), (cuts, got)
