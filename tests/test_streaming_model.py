@@ -34,7 +34,11 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ballista_mvp_spark.sources import versioned as V
-from ballista_mvp_spark.streaming import run_scd1_upsert_stream, sessionize_on_close
+from ballista_mvp_spark.streaming import (
+    run_scd1_upsert_stream,
+    sessionize_on_close,
+    stateful_sessionize,
+)
 
 GAP = 1799  # odd, so last+GAP never equals an (even) event ts
 _TS0 = 1_700_000_000  # even epoch seconds
@@ -203,3 +207,60 @@ def test_session_close_matches_model_under_in_order_splits(
         for r in spark.table(qname).collect()
     }
     assert got == _model_closed_sessions(), (cuts, got)
+
+
+def _model_session_totals() -> dict[int, tuple[int, int, int]]:
+    """Sequential per-user (n_sessions, n_events, max_sess_len) over POOL
+    — the update-mode sessionizer's final state."""
+    by_user: dict[int, list[int]] = {}
+    for (_e, u, _ty, _v, t) in POOL:
+        by_user.setdefault(u, []).append(t)
+    out = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        lens = []
+        for i, t in enumerate(tss):
+            if i == 0 or t - tss[i - 1] > GAP:
+                lens.append(1)
+            else:
+                lens[-1] += 1
+        out[u] = (len(lens), len(tss), max(lens))
+    return out
+
+
+@given(cuts=_CUTS)
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stateful_sessionize_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    """Update-mode GroupState sessionization: the LAST emitted row per
+    user after an in-order split drain equals the sequential model's
+    totals, for every split."""
+    base = str(tmp_path_factory.mktemp("sessu"))
+    src = os.path.join(base, "src")
+    _write_chunks(spark, src, _chunks(cuts))
+    out = stateful_sessionize(
+        _file_stream(spark, src).select("user_id", "ts", "event_id"), GAP
+    )
+    qname = f"sessupd_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    final = (
+        spark.table(qname)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_sess_len"])
+        for r in final.collect()
+    }
+    assert got == _model_session_totals(), (cuts, got)
