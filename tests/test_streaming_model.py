@@ -209,6 +209,67 @@ def test_session_close_matches_model_under_in_order_splits(
     assert got == _model_closed_sessions(), (cuts, got)
 
 
+_VOCABS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4,
+    "one two three four five six seven eight nine ten " * 4,
+    "red orange yellow green blue indigo violet pink brown grey " * 4,
+    "north south east west up down left right front back " * 4,
+]
+# 10 docs, ids = arrival order; texts repeat so clusters are EXACT
+# duplicates (identical shingle sets -> identical signatures -> same
+# buckets, jaccard 1.0: the LSH gate fires deterministically, no recall
+# luck) and inter-cluster jaccard is 0 (disjoint vocabularies)
+_DOCS = [(i, _VOCABS[c]) for i, c in enumerate([0, 1, 0, 2, 1, 0, 3, 2, 1, 3])]
+_DCUTS = st.lists(
+    st.integers(min_value=1, max_value=len(_DOCS) - 1), unique=True, max_size=3
+).map(sorted)
+
+
+@given(cuts=_DCUTS)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_neardedup_ingest_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    """The streaming near-dup ingest gate over ANY in-order micro-batch
+    split (one json file + one checkpoint-restarted drain per chunk)
+    accepts exactly the model's survivors: min doc_id per duplicate
+    cluster — whether the duplicate pair met inside one batch (min-id
+    within-batch dedup) or across batches (materialized LSH index
+    probe). The index must hold exactly the accepted ids."""
+    import json
+
+    from ballista_mvp_spark.streaming import run_neardedup_ingest
+
+    base = str(tmp_path_factory.mktemp("ndm"))
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    accepted = os.path.join(base, "accepted")
+    index = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    edges = [0, *cuts, len(_DOCS)]
+    for bi, (a, b) in enumerate(zip(edges, edges[1:])):
+        if b <= a:
+            continue
+        with open(os.path.join(docs_dir, f"b{bi}.json"), "w") as f:
+            for (i, text) in _DOCS[a:b]:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        run_neardedup_ingest(spark, docs_dir, accepted, index, ckpt)
+    first_per_text: dict[str, int] = {}
+    for i, text in _DOCS:
+        first_per_text.setdefault(text, i)
+    expected = set(first_per_text.values())
+    got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == expected, (cuts, got, expected)
+    idx_ids = {
+        r["_id"]
+        for r in spark.read.parquet(index).select("_id").distinct().collect()
+    }
+    assert idx_ids == expected, (cuts, idx_ids)
+
+
 def _model_session_totals() -> dict[int, tuple[int, int, int]]:
     """Sequential per-user (n_sessions, n_events, max_sess_len) over POOL
     — the update-mode sessionizer's final state."""
