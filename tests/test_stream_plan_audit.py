@@ -25,8 +25,10 @@ sys.path.insert(
 
 from stream_plan_audit import (  # noqa: E402
     ADJUDICATED_STREAM_STATIC,
+    ADJUDICATED_UNWATERMARKED,
     audit_stream_plan,
     stream_static_findings,
+    unwatermarked_stateful_findings,
 )
 
 from ballista_mvp_spark.streaming import (  # noqa: E402
@@ -96,9 +98,26 @@ def test_shipped_streaming_plans_clean(spark, name):
     findings = [
         f
         for f in audit_stream_plan(STREAMING_PLAN_BUILDERS[name](spark, SF_SMALL))
-        if name not in ADJUDICATED_STREAM_STATIC
+        if name not in (
+            ADJUDICATED_STREAM_STATIC
+            if "broadcast pin" in f
+            else ADJUDICATED_UNWATERMARKED
+        )
     ]
     assert findings == [], findings
+
+
+def test_streaming_registry_covered_by_builders():
+    """Every streaming_* registry query's micro-batch plan is under the
+    audit sweep, except streaming_cdc_upsert — whose streaming side is a
+    bare scan into foreachBatch, where each batch runs as a regular
+    batch query with AQE (the documented exclusion in the
+    STREAMING_PLAN_BUILDERS comment)."""
+    from ballista_mvp_spark.queries import ALL_QUERIES
+
+    streaming_regs = {n for n in ALL_QUERIES if n.startswith("streaming_")}
+    uncovered = streaming_regs - set(STREAMING_PLAN_BUILDERS)
+    assert uncovered == {"streaming_cdc_upsert"}, uncovered
 
 
 def test_adjudication_dict_empty_by_design():
@@ -106,6 +125,41 @@ def test_adjudication_dict_empty_by_design():
     appearing here must come with a documented bound (mirrors the
     plan_audit ADJUDICATED_* discipline)."""
     assert ADJUDICATED_STREAM_STATIC == {}
+
+
+def test_unwatermarked_stateful_agg_flags(spark):
+    """Audit S2 negative control: a streaming aggregate with NO
+    watermark is unbounded state and must flag; adding the watermark
+    clears it."""
+    src = _events_stream(spark, SF_SMALL)
+    bad = src.groupBy("event_type").count()
+    plan = bad._jdf.queryExecution().analyzed().toString()
+    findings = unwatermarked_stateful_findings(plan)
+    assert len(findings) == 1 and "unbounded state" in findings[0]
+    good = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    assert unwatermarked_stateful_findings(
+        good._jdf.queryExecution().analyzed().toString()
+    ) == []
+
+
+def test_unwatermarked_stream_dedup_flags(spark):
+    src = _events_stream(spark, SF_SMALL)
+    bad = src.dropDuplicates(["event_id"])
+    findings = unwatermarked_stateful_findings(
+        bad._jdf.queryExecution().analyzed().toString()
+    )
+    assert len(findings) == 1 and "unbounded state" in findings[0]
+
+
+def test_s2_adjudications_name_their_bounds():
+    """Every un-watermarked adjudication must argue a state bound (the
+    plan_audit discipline: the dict entry IS the documentation)."""
+    for name, reason in ADJUDICATED_UNWATERMARKED.items():
+        assert "state is" in reason and "O(" in reason, (name, reason)
 
 
 def test_findings_parser_on_synthetic_plan():

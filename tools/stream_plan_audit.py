@@ -57,6 +57,26 @@ _STREAM_LEAF_RE = re.compile(
 # the bound, mirroring plan_audit's ADJUDICATED_* dicts.
 ADJUDICATED_STREAM_STATIC: dict[str, str] = {}
 
+# Audit S2 adjudications: stateful streaming plans whose state is
+# bounded WITHOUT an event-time watermark — each entry must name the
+# bound. Anything stateful and un-watermarked not listed here is an
+# unbounded-state defect at 100 TB (agg/dedup state grows forever).
+ADJUDICATED_UNWATERMARKED: dict[str, str] = {
+    "streaming_enrich": (
+        "complete-mode rollup keyed on c_mktsegment: state is O(5 "
+        "segments) by key domain (TPC-H spec-fixed), and a watermark "
+        "would be semantically wrong in complete mode (every window "
+        "stays open by definition)"
+    ),
+    "streaming_sessionize": (
+        "applyInPandasWithState keyed on user_id with NoTimeout: state is "
+        "ONE fixed-width tuple per active user (O(users), not O(events)) "
+        "and every update emits — the test-drainable update-mode shape; "
+        "the eviction-driven production twin is streaming_session_close, "
+        "which carries the watermark + EventTimeTimeout"
+    ),
+}
+
 
 def _is_streaming_subtree(n: Node) -> bool:
     return any(_STREAM_LEAF_RE.search(m.text) for m in _subtree(n))
@@ -89,9 +109,45 @@ def stream_static_findings(analyzed_plan: str) -> list[str]:
     return findings
 
 
+# Stateful streaming operators: their state-store footprint is bounded
+# only if an EventTimeWatermark sits below them (agg windows close,
+# dedup keys evict, join state flushes). FlatMapGroupsInPandasWithState
+# (applyInPandasWithState) and TransformWithStateInPandas manage their
+# own keyed state — still flagged unless watermarked or adjudicated,
+# because "bounded" then rests on the operator's own key/timeout design
+# and must be argued in ADJUDICATED_UNWATERMARKED.
+_STATEFUL_HEAD_RE = re.compile(
+    r"^(Aggregate|Deduplicate|DeduplicateWithinWatermark|"
+    r"FlatMapGroupsInPandasWithState|TransformWithStateInPandas)\b"
+)
+
+
+def unwatermarked_stateful_findings(analyzed_plan: str) -> list[str]:
+    """Audit S2: flag stateful operators over a streaming input with no
+    EventTimeWatermark anywhere in their streaming subtree (stream-stream
+    joins included)."""
+    findings: list[str] = []
+    for n in parse_tree(analyzed_plan):
+        head = n.text.lstrip("~")
+        stateful = bool(_STATEFUL_HEAD_RE.match(head))
+        if re.match(r"Join\b", head) and len(n.children) == 2:
+            stateful = all(_is_streaming_subtree(c) for c in n.children)
+        if not stateful or not _is_streaming_subtree(n):
+            continue
+        if not any("EventTimeWatermark" in m.text for m in _subtree(n)):
+            findings.append(
+                f"stateful streaming op without watermark "
+                f"(unbounded state): {n.text[:120]}"
+            )
+    return findings
+
+
 def audit_stream_plan(df) -> list[str]:
-    """Findings for one un-started streaming DataFrame."""
-    return stream_static_findings(df._jdf.queryExecution().analyzed().toString())
+    """Findings for one un-started streaming DataFrame (both classes)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return stream_static_findings(analyzed) + unwatermarked_stateful_findings(
+        analyzed
+    )
 
 
 def main() -> int:
@@ -120,8 +176,13 @@ def main() -> int:
             flags += 1
             continue
         for f in findings:
-            if name in ADJUDICATED_STREAM_STATIC:
-                print(f"[ADJ ] {name}: {ADJUDICATED_STREAM_STATIC[name]}")
+            adj = (
+                ADJUDICATED_STREAM_STATIC
+                if "broadcast pin" in f
+                else ADJUDICATED_UNWATERMARKED
+            )
+            if name in adj:
+                print(f"[ADJ ] {name}: {adj[name]}")
             else:
                 flags += 1
                 print(f"[FLAG] {name}: {f}")
