@@ -80,8 +80,11 @@ def build_instance(spark, out_dir: str, mult: int) -> int:
 
 
 def join_kinds(df) -> str:
-    """Physical kinds of every join in the EXECUTED plan (AQE-final)."""
+    """Physical kinds of every join in the FINAL adaptive plan only —
+    the executedPlan printout appends the pre-AQE '== Initial Plan =='
+    subtree, which must not be conflated with what actually ran."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     kinds = []
     for line in plan.splitlines():
         for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
