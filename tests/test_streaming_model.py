@@ -340,6 +340,68 @@ def test_session_close_cross_batch_regression(spark, tmp_path_factory):
     }, got
 
 
+def test_session_close_real_data_split_invariance(spark, tmp_path_factory):
+    """Real-data counterpart of the synthetic split models: the sf0.001
+    events table drained as ONE batch and as THREE in-time-order batches
+    must emit the identical closed-session set (the round-10 fix is what
+    makes this hold — before it, sessions open at a chunk boundary
+    vanished when their user spoke again)."""
+    from pyspark.sql import Window as W
+
+    from ballista_mvp_spark.tables import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "event_id")
+    )
+    base = str(tmp_path_factory.mktemp("sessreal"))
+    results = []
+    for n_chunks in (1, 3):
+        src = os.path.join(base, f"src{n_chunks}")
+        os.makedirs(src)
+        chunked = ev.withColumn(
+            "_c", F.ntile(n_chunks).over(W.orderBy("ts", "event_id"))
+        )
+        for c in range(1, n_chunks + 1):
+            chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        files = sorted(
+            (f for f in os.listdir(src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(src, f)),
+        )
+        for i, f in enumerate(files):
+            os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = sessionize_on_close(stream, 1800)
+        qname = f"sessreal_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results.append(
+            {
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.table(qname).collect()
+            }
+        )
+    assert results[0] == results[1], (
+        len(results[0]), len(results[1]),
+        results[0] ^ results[1],
+    )
+    assert results[0], "real data must close at least one session"
+
+
 def _model_session_totals() -> dict[int, tuple[int, int, int]]:
     """Sequential per-user (n_sessions, n_events, max_sess_len) over POOL
     — the update-mode sessionizer's final state."""
