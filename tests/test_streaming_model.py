@@ -402,6 +402,49 @@ def test_session_close_real_data_split_invariance(spark, tmp_path_factory):
     assert results[0], "real data must close at least one session"
 
 
+@given(cuts=_DCUTS)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_rollup_split_invariant_vs_direct_sketch(
+    spark, tmp_path_factory, cuts
+):
+    """Mergeable-sketch contract under ANY in-order split: the merged
+    batch-partial count-min sketches equal the sketch built directly
+    over the whole corpus, cell for cell (counter addition is
+    associative — the split must be unobservable)."""
+    import json
+
+    from ballista_mvp_spark.operators import dedup as D
+    from ballista_mvp_spark.operators import sketch as SK
+    from ballista_mvp_spark.streaming import read_cms, run_cms_rollup
+
+    base = str(tmp_path_factory.mktemp("cmsm"))
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    sketch_path = os.path.join(base, "sketch")
+    ckpt = os.path.join(base, "ckpt")
+    edges = [0, *cuts, len(_DOCS)]
+    for bi, (a, b) in enumerate(zip(edges, edges[1:])):
+        if b <= a:
+            continue
+        with open(os.path.join(docs_dir, f"b{bi}.json"), "w") as f:
+            for (i, text) in _DOCS[a:b]:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        run_cms_rollup(spark, docs_dir, sketch_path, ckpt, depth=4, width=256)
+    merged = {
+        (r["row"], r["col"]): r["cnt"] for r in read_cms(spark, sketch_path).collect()
+    }
+    all_docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    toks = all_docs.select(F.explode(D.tokens(F.col("text"))).alias("term"))
+    direct = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in SK.cms_build(toks, "term", 4, 256).collect()
+    }
+    assert merged == direct, (cuts, len(merged), len(direct))
+
+
 def _model_session_totals() -> dict[int, tuple[int, int, int]]:
     """Sequential per-user (n_sessions, n_events, max_sess_len) over POOL
     — the update-mode sessionizer's final state."""
