@@ -258,8 +258,8 @@ assert len(_CERT_FIRST_ROUND9) == 50, len(_CERT_FIRST_ROUND9)
 _missing9 = [n for n in _CERT_FIRST_ROUND9 if n not in ALL_QUERIES]
 assert not _missing9, f"_CERT_FIRST_ROUND9 names not in registry: {_missing9}"
 
-# ROUND-10 WINDOW (ACTIVE — swapped in at round-10 start, after
-# CORRECTNESS_r09.json landed 50/50 hash-green): the 47 oracle-backed r1-r3 rows
+# ROUND-10 WINDOW (historical record — CORRECTNESS_r10.json: 50/50
+# hash-green): the 47 oracle-backed r1-r3 rows
 # that appear in NO other window (computed against rounds 4-9), plus
 # three of the r3-row re-certs displaced by the round-8 re-cut (fn_url
 # / window_ntile / window_running_total — they take the slots freed
@@ -293,31 +293,39 @@ assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
 assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}"
 
+# ROUND-11 WINDOW (ACTIVE — swapped in at round-11 start per VERDICT
+# r10 next-round #1, after CORRECTNESS_r10.json landed 50/50
+# hash-green) / ROUND-12 WINDOW (pre-staged; swap in at round-12
+# start): with every oracle-backed query driver-certified after round
+# 10, later rounds re-certify earlier windows under the then-final
+# engine — the rounds-8/9 treadmill continued. Round 11 re-proves the
+# round-5 window with ONE slot swapped: events_topk_users (its re-cert
+# slot was displaced by the round-8 re-cut when dedup_signature_health
+# moved forward; its last driver row is r3, the stalest in the ledger)
+# takes tpch_q13's slot (q13 already holds r1 + r5 driver rows and
+# stays eligible for rounds 13+). Round 12 re-proves the round-6 window
+# verbatim. Both source windows contained zero rows-only slots by
+# construction (the round-4 lesson). Validated by
+# tests/test_oracle_queries.py::test_round11_window_active and
+# ::test_round12_window_prestage.
+_CERT_FIRST_ROUND11 = [
+    "events_topk_users" if n == "tpch_q13" else n
+    for n in _CERT_FIRST_ROUND5
+]
+assert len(_CERT_FIRST_ROUND11) == 50, len(_CERT_FIRST_ROUND11)
+_missing11 = [n for n in _CERT_FIRST_ROUND11 if n not in ALL_QUERIES]
+assert not _missing11, f"_CERT_FIRST_ROUND11 names not in registry: {_missing11}"
+_CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)
+assert len(_CERT_FIRST_ROUND12) == 50, len(_CERT_FIRST_ROUND12)
+
 # Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-10 window leads.
-# All 50 are re-certifications of r1-r3 driver rows (the stalest
-# evidence in the cumulative ledger) under the final post-policy engine.
-_CERT_FIRST = _CERT_FIRST_ROUND10
+# insertion order — reorder the registry so the round-11 window leads.
+# All 50 are re-certifications of r1-r5 driver rows under the final
+# post-policy engine (49 round-5 re-proves + the events_topk_users
+# r3-row retirement).
+_CERT_FIRST = _CERT_FIRST_ROUND11
 _first = set(_CERT_FIRST)
 ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _CERT_FIRST},
     **{k: v for k, v in ALL_QUERIES.items() if k not in _first},
 }
-
-# ROUND-11 / ROUND-12 WINDOWS (pre-staged; swap in at each round's start
-# after the previous CORRECTNESS lands): with every oracle-backed query
-# driver-certified after round 10, later rounds re-certify earlier
-# windows under the then-final engine — the rounds-8/9 treadmill
-# continued. Round 11 re-proves the round-5 window with ONE slot
-# swapped: events_topk_users (its re-cert slot was displaced by the
-# round-8 re-cut when dedup_signature_health moved forward) takes
-# tpch_q13's slot (q13 already holds r1 + r5 driver rows and stays
-# eligible for rounds 13+). Round 12 re-proves the round-6 window
-# verbatim. Both source windows contained zero rows-only slots by
-# construction (the round-4 lesson). Validated by
-# tests/test_oracle_queries.py::test_round11_12_window_prestage.
-_CERT_FIRST_ROUND11 = [
-    "events_topk_users" if n == "tpch_q13" else n
-    for n in _CERT_FIRST_ROUND5
-]
-_CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)

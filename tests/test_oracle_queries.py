@@ -319,16 +319,14 @@ def test_round9_window_historical():
         assert not set(_CERT_FIRST_ROUND9) & set(w)
 
 
-def test_round10_window_active():
-    """The round-10 certification window (ACTIVE — swapped in at
-    round-10 start per VERDICT r9 next-round #1, after
-    CORRECTNESS_r09.json landed 50/50): every oracle-backed query
+def test_round10_window_historical():
+    """The round-10 certification window (historical —
+    CORRECTNESS_r10.json: 50/50 hash-green): every oracle-backed query
     outside windows 4-9, plus three r3-row re-certs displaced by
     the round-8 re-cut — after it, all oracle-backed queries hold a
     rounds-5-10 driver row (multimodal_meta r2, events_topk_users
     r3/r11 excepted — both already hash-green)."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND4,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND6,
@@ -338,8 +336,6 @@ def test_round10_window_active():
         _CERT_FIRST_ROUND10,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND10  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND10  # driver sees it
     assert len(_CERT_FIRST_ROUND10) == 50
     assert len(set(_CERT_FIRST_ROUND10)) == 50
     assert set(_CERT_FIRST_ROUND10) <= set(ALL_ORACLES)
@@ -365,29 +361,45 @@ def test_round10_window_active():
     )
 
 
-def test_round11_12_window_prestage():
-    """The pre-staged round-11/12 re-certification windows: the round-5
-    window with exactly one slot swapped (events_topk_users, whose
-    re-cert slot was displaced by the round-8 re-cut, displaces the
-    twice-proven tpch_q13) and the round-6 window verbatim (50 unique
-    oracle-backed entries each, no rows-only member) — the
-    post-round-10 treadmill that re-proves every earlier driver row
-    under the then-final engine."""
+def test_round11_window_active():
+    """The round-11 certification window (ACTIVE — swapped in at
+    round-11 start per VERDICT r10 next-round #1, after
+    CORRECTNESS_r10.json landed 50/50): the round-5 window with exactly
+    one slot swapped — events_topk_users (whose re-cert slot was
+    displaced by the round-8 re-cut; its r3 driver row is the stalest
+    in the ledger) displaces the twice-proven tpch_q13. 50 unique
+    oracle-backed entries, no rows-only member."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND5,
-        _CERT_FIRST_ROUND6,
         _CERT_FIRST_ROUND11,
-        _CERT_FIRST_ROUND12,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND11  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND11  # driver sees it
     assert set(_CERT_FIRST_ROUND11) - set(_CERT_FIRST_ROUND5) == {
         "events_topk_users"
     }
     assert set(_CERT_FIRST_ROUND5) - set(_CERT_FIRST_ROUND11) == {"tpch_q13"}
+    assert len(_CERT_FIRST_ROUND11) == 50
+    assert len(set(_CERT_FIRST_ROUND11)) == 50
+    assert set(_CERT_FIRST_ROUND11) <= set(ALL_ORACLES)
+
+
+def test_round12_window_prestage():
+    """The pre-staged round-12 re-certification window: the round-6
+    window verbatim (50 unique oracle-backed entries, no rows-only
+    member) — the post-round-10 treadmill that re-proves every earlier
+    driver row under the then-final engine."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND6,
+        _CERT_FIRST_ROUND12,
+    )
+
     assert _CERT_FIRST_ROUND12 == _CERT_FIRST_ROUND6
-    for w in (_CERT_FIRST_ROUND11, _CERT_FIRST_ROUND12):
-        assert len(w) == 50 and len(set(w)) == 50
-        assert set(w) <= set(ALL_ORACLES)
+    assert len(_CERT_FIRST_ROUND12) == 50
+    assert len(set(_CERT_FIRST_ROUND12)) == 50
+    assert set(_CERT_FIRST_ROUND12) <= set(ALL_ORACLES)
 
 
 def test_q11_spec_variant_matches_duckdb(spark, duck_small):

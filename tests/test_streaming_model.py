@@ -73,16 +73,26 @@ def _write_chunks(spark, src_dir: str, chunks: list[list[tuple]]) -> None:
     the file-stream source (which orders by modification time) replays
     them in sequence."""
     os.makedirs(src_dir, exist_ok=True)
-    for i, chunk in enumerate(chunks):
+    # Capture each chunk's part file by diffing the directory listing per
+    # append (ADVICE r10: sorting on pre-existing mtimes can tie on
+    # coarse-timestamp filesystems, making the replay order
+    # nondeterministic vs chunk order) — the known write order, not
+    # mtime, decides the utimes assigned.
+    files: list[str] = []
+    seen: set[str] = set()
+    for chunk in chunks:
         df = spark.createDataFrame(
             [(e, u, ty, v, t) for (e, u, ty, v, t) in chunk],
             "event_id long, user_id long, event_type string, value double, _sec long",
         ).withColumn("ts", F.timestamp_seconds(F.col("_sec"))).drop("_sec")
         df.coalesce(1).write.mode("append").parquet(src_dir)
-    files = sorted(
-        (f for f in os.listdir(src_dir) if f.endswith(".parquet")),
-        key=lambda f: os.path.getmtime(os.path.join(src_dir, f)),
-    )
+        new = [
+            f for f in os.listdir(src_dir)
+            if f.endswith(".parquet") and f not in seen
+        ]
+        assert len(new) == 1, f"expected 1 new part file, saw {new}"
+        files.append(new[0])
+        seen.add(new[0])
     for i, f in enumerate(files):
         p = os.path.join(src_dir, f)
         os.utime(p, (1_000_000 + i, 1_000_000 + i))
