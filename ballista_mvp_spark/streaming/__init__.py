@@ -575,10 +575,14 @@ def stream_static_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_stream_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_join_plan(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Un-started stream-stream interval join plan (see
-    run_stream_stream_join_batchfile)."""
-    src = _events_stream(spark, sf_dir)
+    run_stream_stream_join_batchfile). ``source`` overrides the default
+    events file-stream — used by the split-invariance model suite to
+    replay the same plan over randomized micro-batch cuts."""
+    src = source if source is not None else _events_stream(spark, sf_dir)
     clicks = (
         src.filter(F.col("event_type") == "click")
         .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))

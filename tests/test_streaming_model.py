@@ -22,6 +22,12 @@ Contracts under test:
   last_event + gap < global max ts (strict: Spark's event-time timer
   fires when the watermark EXCEEDS the timeout timestamp; the fixture
   makes equality unreachable — all ts even, gap odd).
+- Stream-stream interval joins (VERDICT r10 #2): the inner join equals
+  the batch join for every in-order split (eager emission + no early
+  eviction possible in ts order); the LEFT OUTER join additionally
+  emits null-extended rows for exactly the unmatched clicks whose join
+  window the final watermark (min of the per-side watermarks) has
+  passed, 1s-bracketed for whole-second watermark truncation.
 """
 
 from __future__ import annotations
@@ -63,9 +69,10 @@ _CUTS = st.lists(
 ).map(sorted)
 
 
-def _chunks(cuts: list[int]) -> list[list[tuple]]:
-    edges = [0, *cuts, len(POOL)]
-    return [POOL[a:b] for a, b in zip(edges, edges[1:]) if b > a]
+def _chunks(cuts: list[int], pool: list[tuple] | None = None) -> list[list[tuple]]:
+    pool = POOL if pool is None else pool
+    edges = [0, *cuts, len(pool)]
+    return [pool[a:b] for a, b in zip(edges, edges[1:]) if b > a]
 
 
 def _write_chunks(spark, src_dir: str, chunks: list[list[tuple]]) -> None:
@@ -372,14 +379,21 @@ def test_session_close_real_data_split_invariance(spark, tmp_path_factory):
         chunked = ev.withColumn(
             "_c", F.ntile(n_chunks).over(W.orderBy("ts", "event_id"))
         )
+        # per-append directory diff, not mtime sort (ADVICE r10: mtimes
+        # can tie on coarse-timestamp filesystems)
+        files: list[str] = []
+        seen: set[str] = set()
         for c in range(1, n_chunks + 1):
             chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
                 "append"
             ).parquet(src)
-        files = sorted(
-            (f for f in os.listdir(src) if f.endswith(".parquet")),
-            key=lambda f: os.path.getmtime(os.path.join(src, f)),
-        )
+            new = [
+                f for f in os.listdir(src)
+                if f.endswith(".parquet") and f not in seen
+            ]
+            assert len(new) == 1, f"expected 1 new part file, saw {new}"
+            files.append(new[0])
+            seen.add(new[0])
         for i, f in enumerate(files):
             os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
         stream = (
@@ -510,3 +524,128 @@ def test_stateful_sessionize_matches_model_under_in_order_splits(
         for r in final.collect()
     }
     assert got == _model_session_totals(), (cuts, got)
+
+
+# --- stream-stream interval joins (VERDICT r10 #2: the last stateful
+# streaming family tested only by a fixed 2-way split, not randomized
+# micro-batch-cut replay) ------------------------------------------------
+#
+# POOL is unusable here: its user (i%3) and type (_TYPES[i%3]) are
+# perfectly correlated, so click⋈purchase same-user pairs are empty by
+# construction. _JPOOL gives every user alternating click/purchase
+# blocks with gaps mixing <1h (match) and >1h (no match), plus a late
+# click+purchase tail that drags the final per-side watermarks far
+# enough to evict SOME unmatched clicks but not others — the left-outer
+# null-emission boundary the r10 VERDICT flagged as the place a bug
+# would hide.
+
+def _join_pool() -> list[tuple[int, int, str, float, int]]:
+    rows, t = [], _TS0
+    for i in range(24):
+        t += (120, 240, 2400, 120, 5400)[i % 5]  # even seconds, mixed gaps
+        ty = "click" if (i // 3) % 2 == 0 else "purchase"
+        rows.append((100 + i, i % 3, ty, float(i), t))
+    # tail: one unmatched click + one purchase 5h later on a user with no
+    # open click window — advances BOTH sides' watermarks ~3h past the
+    # body so the body's unmatched clicks become evictable
+    rows.append((198, 0, "click", 0.0, t + 3600 * 5))
+    rows.append((199, 1, "purchase", 0.0, t + 3600 * 10))
+    return rows
+
+
+_JPOOL = _join_pool()
+_JCUTS = st.lists(
+    st.integers(min_value=1, max_value=len(_JPOOL) - 1), unique=True, max_size=4
+).map(sorted)
+
+
+def _model_inner_join() -> set[tuple[int, int, int]]:
+    """(user_id, c_id, p_id): same user, c_ts <= p_ts <= c_ts + 1h."""
+    clicks = [(e, u, t) for (e, u, ty, _v, t) in _JPOOL if ty == "click"]
+    purch = [(e, u, t) for (e, u, ty, _v, t) in _JPOOL if ty == "purchase"]
+    return {
+        (cu, ce, pe)
+        for (ce, cu, ct) in clicks
+        for (pe, pu, pt) in purch
+        if cu == pu and ct <= pt <= ct + 3600
+    }
+
+
+@given(cuts=_JCUTS)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stream_stream_inner_join_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    """The inner interval join emits EXACTLY the batch join result for
+    every in-order micro-batch split: matches emit eagerly, and in-order
+    arrival makes early eviction of a still-needed row impossible (a
+    matching purchase has p_ts <= c_ts+1h, while the click is evicted
+    only once some side's max seen ts exceeds c_ts+3h — which, in ts
+    order, is after every matching purchase arrived)."""
+    from ballista_mvp_spark.streaming import stream_stream_join_plan
+
+    base = str(tmp_path_factory.mktemp("ssjm"))
+    src = os.path.join(base, "src")
+    _write_chunks(spark, src, _chunks(cuts, _JPOOL))
+    j = stream_stream_join_plan(spark, "unused", source=_file_stream(spark, src))
+    qname = f"ssjm_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["c_id"], r["p_id"])
+        for r in spark.table(qname).collect()
+    }
+    assert got == _model_inner_join(), (cuts, got)
+
+
+@given(cuts=_JCUTS)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stream_stream_left_join_matches_model_under_in_order_splits(
+    spark, tmp_path_factory, cuts
+):
+    """LEFT OUTER interval join split-invariance: for every in-order
+    split, (a) the matched rows equal the batch inner join, (b) a
+    null-extended row exists for EVERY unmatched click whose join window
+    the final watermark (min of the two sides' per-stream watermarks,
+    each max-own-ts - 2h) has provably passed, (c) no null row exists
+    for a matched click or a click the watermark cannot yet have passed.
+    The 1s brackets absorb Spark's whole-second watermark truncation
+    (same guard as tests/test_streaming.py's fixed-split test)."""
+    from ballista_mvp_spark.streaming import run_stream_stream_left_join
+
+    base = str(tmp_path_factory.mktemp("ssljm"))
+    src = os.path.join(base, "src")
+    _write_chunks(spark, src, _chunks(cuts, _JPOOL))
+    out = run_stream_stream_left_join(
+        spark, _file_stream(spark, src)
+    ).collect()
+
+    inner = _model_inner_join()
+    got_inner = {
+        (r["user_id"], r["c_id"], r["p_id"]) for r in out if r["p_id"] is not None
+    }
+    assert got_inner == inner, (cuts, got_inner)
+
+    max_c = max(t for (_e, _u, ty, _v, t) in _JPOOL if ty == "click")
+    max_p = max(t for (_e, _u, ty, _v, t) in _JPOOL if ty == "purchase")
+    final_wm = min(max_c, max_p) - 7200
+    matched = {c for (_u, c, _p) in inner}
+    unmatched = {
+        (e, t) for (e, _u, ty, _v, t) in _JPOOL if ty == "click" and e not in matched
+    }
+    must_null = {e for (e, t) in unmatched if t + 3601 < final_wm}
+    may_null = {e for (e, t) in unmatched if t + 3599 < final_wm}
+    got_nulls = {r["c_id"] for r in out if r["p_id"] is None}
+    assert must_null <= got_nulls <= may_null, (
+        cuts, sorted(must_null), sorted(got_nulls), sorted(may_null)
+    )
+    assert len(out) == len(got_inner) + len(got_nulls), cuts
