@@ -256,7 +256,15 @@ def decontaminate(
     measured static-broadcast death on either unbounded side.
 
     Counts are hash-invariant (xxhash64 collisions at 2^-64), so the
-    string-shingle oracle certifies them."""
+    string-shingle oracle certifies them.
+
+    NOTE (ADVICE r10): with eval_bounded=True the eval_doc_cap guard
+    runs an EAGER Spark action (limit(cap+1).count()) at
+    DataFrame-construction time — this function is deliberately not a
+    lazy plan builder, and plan-compile-only consumers (explain, audits)
+    trigger that bounded scan on every call. The cost is O(cap) rows of
+    the eval side only; pass eval_doc_cap=None to restore laziness when
+    the bound is externally guaranteed."""
     ev = eval_df.select(
         F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
     ).select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))

@@ -297,7 +297,12 @@ def cosine_dup_pairs(
     oversized input is a broadcast-build OOM, not the old slow-but-
     progressing CartesianProduct — `max_unscoped_rows` (ADVICE r9)
     guards that with a LIMIT-bounded count and an actionable error
-    (use `scope`/lsh_cosine_dup_pairs, or None to disable)."""
+    (use `scope`/lsh_cosine_dup_pairs, or None to disable).
+
+    NOTE (ADVICE r10): the unscoped guard is an EAGER Spark action
+    (limit(cap+1).count()) at DataFrame-construction time — plan-only
+    consumers of the unscoped form trigger that O(cap)-row scan on
+    every call; pass max_unscoped_rows=None (or `scope`) to stay lazy."""
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *(
         [scope.alias("_scope")] if scope is not None else []
     ))

@@ -179,3 +179,104 @@ def test_findings_parser_on_synthetic_plan():
       +- Project [c_custkey#4L, seg#1]
          +- Relation [c_custkey#4L,seg#1] parquet"""
     assert stream_static_findings(pinned) == []
+
+
+# --- S2 bound enforcement (VERDICT r10 #3: documented -> enforced) ------
+
+
+def test_s2_adjudications_have_validators():
+    """Every prose S2 adjudication must carry a mechanical bound
+    validator — the module-level assert enforces it at import, this pins
+    it in the battery."""
+    from stream_plan_audit import S2_BOUND_VALIDATORS
+
+    assert set(S2_BOUND_VALIDATORS) == set(ADJUDICATED_UNWATERMARKED)
+
+
+def test_shipped_s2_bounds_hold(spark):
+    """Positive control: both shipped adjudicated plans pass their bound
+    validators against the audited dataset."""
+    from stream_plan_audit import S2_BOUND_VALIDATORS
+
+    for name, validate in S2_BOUND_VALIDATORS.items():
+        analyzed = (
+            STREAMING_PLAN_BUILDERS[name](spark, SF_SMALL)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert validate(spark, SF_SMALL, analyzed) is None, name
+
+
+def test_enrich_bound_rejects_rekeyed_rollup(spark):
+    """Negative control: re-keying the complete-mode rollup onto an
+    unbounded column (user_id) violates the O(5 segments) bound and must
+    turn the adjudication back into a flag."""
+    from stream_plan_audit import _enrich_key_domain_bound
+
+    src = _events_stream(spark, SF_SMALL)
+    rekeyed = src.groupBy("user_id").agg(F.count("*").alias("n"))
+    analyzed = rekeyed._jdf.queryExecution().analyzed().toString()
+    err = _enrich_key_domain_bound(spark, SF_SMALL, analyzed)
+    assert err is not None and "grouping key changed" in err, err
+
+
+def test_enrich_bound_rejects_grown_key_domain(spark, tmp_path):
+    """Negative control: a dataset whose c_mktsegment cardinality
+    exceeds the 5 spec-fixed segments violates the data-domain half of
+    the bound."""
+    from stream_plan_audit import _enrich_key_domain_bound
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    spark.createDataFrame(
+        [(i, f"SEG{i}") for i in range(7)], "c_custkey long, c_mktsegment string"
+    ).write.parquet(str(fake_sf / "customer.parquet"))
+    analyzed = (
+        STREAMING_PLAN_BUILDERS["streaming_enrich"](spark, SF_SMALL)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    err = _enrich_key_domain_bound(spark, str(fake_sf), analyzed)
+    assert err is not None and "7 > 5" in err, err
+
+
+def test_sessionize_bound_rejects_growing_state_field():
+    """Negative control (pure text): a state schema carrying an
+    ArrayType or StringType field can grow with the event count — the
+    fixed-width-tuple bound must reject it."""
+    from stream_plan_audit import _sessionize_state_width_bound
+
+    growing = (
+        "~FlatMapGroupsInPandasWithState fn(user_id#8L)#13, [user_id#8L], "
+        "[user_id#14L, n#15], [StructField(last_ts,DoubleType,true), "
+        "StructField(event_ids,ArrayType(LongType,true),true)], Update, NoTimeout"
+    )
+    err = _sessionize_state_width_bound(None, "unused", growing)
+    assert err is not None and "ArrayType" in err, err
+    stringy = (
+        "~FlatMapGroupsInPandasWithState fn(user_id#8L)#13, [user_id#8L], "
+        "[user_id#14L, n#15], [StructField(buf,StringType,true)], Update, NoTimeout"
+    )
+    err2 = _sessionize_state_width_bound(None, "unused", stringy)
+    assert err2 is not None and "StringType" in err2, err2
+
+
+def test_hint_below_nested_join_does_not_excuse_outer(spark):
+    """ADVICE r10 negative control: a broadcast hint buried below an
+    intermediate join on the static side (dim1 JOIN broadcast(dim2))
+    must NOT satisfy the outer stream-static join's pin check — hints do
+    not propagate up across a join boundary, so the outer join would
+    still SortMergeJoin."""
+    src = _events_stream(spark, SF_SMALL)
+    nation = spark.read.parquet(os.path.join(SF_SMALL, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    dim = (
+        spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    j = src.join(dim, src["user_id"] == F.col("c_custkey"))
+    findings = audit_stream_plan(j)
+    assert len(findings) == 1 and "without broadcast pin" in findings[0], findings
+    # the pin on the OUTER static side (above the nested join) passes
+    ok = src.join(F.broadcast(dim), src["user_id"] == F.col("c_custkey"))
+    assert audit_stream_plan(ok) == []

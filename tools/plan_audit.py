@@ -311,7 +311,8 @@ ADJUDICATED_STATIC_BROADCASTS: dict[str, str] = {
         "shingle) pair table, bounded by the decontaminate() "
         "eval_bounded contract — ENFORCED at run time by the "
         "eval_doc_cap guard (LIMIT-bounded count, raises before the "
-        "broadcast; ADVICE r9 fix, tests/test_pipeline_ops.py)"
+        "broadcast; ADVICE r9 fix, tests/test_pipeline.py::"
+        "test_decontaminate_eval_cap_guard)"
     ),
     "sim_ann_lsh": _PROBE_SIDE,
     "sim_ann_lsh_det": _PROBE_SIDE,

@@ -77,18 +77,107 @@ ADJUDICATED_UNWATERMARKED: dict[str, str] = {
     ),
 }
 
+# --- S2 bound ENFORCEMENT (VERDICT r10 #3: the documented→enforced
+# upgrade eval_doc_cap got in 159067c) -----------------------------------
+# Each adjudicated S2 entry must ALSO pass a mechanical validator — the
+# prose names the bound, the validator asserts it against the shipped
+# plan (and, for data-domain bounds, the audited dataset). A violated
+# bound turns the adjudication back into a flag, so a future edit that
+# re-keys the rollup onto an unbounded column or widens the sessionizer
+# state with a growing field fails the battery gate instead of hiding
+# behind the old prose.
+
+# state-schema types that cannot grow with the event count: one tuple of
+# these per key is genuinely O(keys) state
+_FIXED_WIDTH_TYPES = {
+    "DoubleType", "FloatType", "IntegerType", "LongType", "ShortType",
+    "ByteType", "BooleanType", "TimestampType", "DateType",
+}
+
+
+def _enrich_key_domain_bound(spark, sf_dir: str, analyzed: str) -> str | None:
+    """streaming_enrich's claimed bound: complete-mode state is O(key
+    domain) and the key domain is the 5 TPC-H spec-fixed market
+    segments. Asserts (a) the rollup is still keyed on exactly
+    c_mktsegment, (b) the audited dataset's actual segment cardinality
+    is <= 5."""
+    m = re.search(r"Aggregate \[([^\]]*)\]", analyzed)
+    if not m:
+        return "expected a complete-mode Aggregate in the plan"
+    keys = [k.strip().split("#")[0] for k in m.group(1).split(",") if k.strip()]
+    if keys != ["c_mktsegment"]:
+        return (
+            f"rollup grouping key changed to {keys}; the O(5 segments) "
+            "bound was argued for [c_mktsegment]"
+        )
+    n = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_mktsegment").distinct().count()
+    )
+    if n > 5:
+        return (
+            f"c_mktsegment key domain is {n} > 5 spec-fixed segments — "
+            "complete-mode state is no longer O(5)"
+        )
+    return None
+
+
+def _sessionize_state_width_bound(spark, sf_dir: str, analyzed: str) -> str | None:
+    """streaming_sessionize's claimed bound: ONE fixed-width tuple per
+    active user. Parses the state schema the plan itself declares (the
+    StructField list on the FlatMapGroupsInPandasWithState node) and
+    asserts every field is a fixed-width atomic type — no array/map/
+    string/struct field that could grow with the event count."""
+    line = next(
+        (
+            ln
+            for ln in analyzed.splitlines()
+            if "FlatMapGroupsInPandasWithState" in ln
+        ),
+        None,
+    )
+    if line is None:
+        return "expected a FlatMapGroupsInPandasWithState operator"
+    fields = re.findall(r"StructField\([^,()]+,([A-Za-z]+Type)", line)
+    if not fields:
+        return "could not parse the state schema from the plan node"
+    bad = sorted({t for t in fields if t not in _FIXED_WIDTH_TYPES})
+    if bad:
+        return (
+            f"state schema contains non-fixed-width field types {bad} — "
+            "the O(users) fixed-width-tuple bound no longer holds"
+        )
+    return None
+
+
+S2_BOUND_VALIDATORS = {
+    "streaming_enrich": _enrich_key_domain_bound,
+    "streaming_sessionize": _sessionize_state_width_bound,
+}
+# every prose adjudication must carry a mechanical validator — adding an
+# S2 entry without one is itself a defect
+assert set(S2_BOUND_VALIDATORS) == set(ADJUDICATED_UNWATERMARKED)
+
 
 def _is_streaming_subtree(n: Node) -> bool:
     return any(_STREAM_LEAF_RE.search(m.text) for m in _subtree(n))
 
 
 def _has_broadcast_hint(n: Node) -> bool:
-    """True if the subtree carries a resolved broadcast-class hint
+    """True if the static input carries a resolved broadcast-class hint
     (F.broadcast / SQL BROADCAST-BROADCASTJOIN-MAPJOIN hints all resolve
-    to `ResolvedHint (strategy=broadcast)` in the analyzed plan)."""
-    return any(
-        "ResolvedHint" in m.text and "broadcast" in m.text for m in _subtree(n)
-    )
+    to `ResolvedHint (strategy=broadcast)` in the analyzed plan).
+
+    Hints do NOT propagate up across a join boundary (ADVICE r10): the
+    scan recurses through hint-transparent operators but stops at nested
+    Join nodes, so a hint buried below an intermediate join (static side
+    = dim1 JOIN broadcast(dim2)) cannot excuse an un-pinned outer
+    stream-static join."""
+    if "ResolvedHint" in n.text and "broadcast" in n.text:
+        return True
+    if re.match(r"Join\b", n.text.lstrip("~")):
+        return False
+    return any(_has_broadcast_hint(c) for c in n.children)
 
 
 def stream_static_findings(analyzed_plan: str) -> list[str]:
@@ -170,19 +259,34 @@ def main() -> int:
     flags = 0
     for name, build in STREAMING_PLAN_BUILDERS.items():
         try:
-            findings = audit_stream_plan(build(spark, sf_dir))
+            analyzed = (
+                build(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+            )
+            findings = stream_static_findings(
+                analyzed
+            ) + unwatermarked_stateful_findings(analyzed)
         except Exception as e:  # a builder that no longer compiles is a finding
             print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:140]}")
             flags += 1
             continue
         for f in findings:
+            is_s2 = "broadcast pin" not in f
             adj = (
-                ADJUDICATED_STREAM_STATIC
-                if "broadcast pin" in f
-                else ADJUDICATED_UNWATERMARKED
+                ADJUDICATED_UNWATERMARKED if is_s2 else ADJUDICATED_STREAM_STATIC
             )
             if name in adj:
-                print(f"[ADJ ] {name}: {adj[name]}")
+                # an S2 adjudication only holds while its mechanical
+                # bound validator passes (VERDICT r10 #3)
+                err = (
+                    S2_BOUND_VALIDATORS[name](spark, sf_dir, analyzed)
+                    if is_s2
+                    else None
+                )
+                if err:
+                    flags += 1
+                    print(f"[FLAG] {name}: adjudicated bound VIOLATED: {err}")
+                else:
+                    print(f"[ADJ ] {name}: {adj[name]}")
             else:
                 flags += 1
                 print(f"[FLAG] {name}: {f}")
