@@ -318,6 +318,24 @@ assert not _missing11, f"_CERT_FIRST_ROUND11 names not in registry: {_missing11}
 _CERT_FIRST_ROUND12 = list(_CERT_FIRST_ROUND6)
 assert len(_CERT_FIRST_ROUND12) == 50, len(_CERT_FIRST_ROUND12)
 
+# ROUND-13 WINDOW (pre-staged per VERDICT r10 #9; swap in at round-13
+# start after CORRECTNESS_r12 lands): after rounds 11/12 re-prove the
+# round-5/6 windows, the stalest evidence is the round-7 window's
+# first-time r7 certs — plus multimodal_meta, the registry's LAST
+# r2-era row (it yielded its round-10 slot in the original staging).
+# Round 13 re-proves the round-7 window with ONE slot swapped:
+# multimodal_meta takes agg_basic's slot (agg_basic holds r1 + r7 rows
+# and its aggregate family re-proved again in round 10; it stays
+# eligible for rounds 14+). Validated by
+# tests/test_oracle_queries.py::test_round13_window_prestage.
+_CERT_FIRST_ROUND13 = [
+    "multimodal_meta" if n == "agg_basic" else n
+    for n in _CERT_FIRST_ROUND7
+]
+assert len(_CERT_FIRST_ROUND13) == 50, len(_CERT_FIRST_ROUND13)
+_missing13 = [n for n in _CERT_FIRST_ROUND13 if n not in ALL_QUERIES]
+assert not _missing13, f"_CERT_FIRST_ROUND13 names not in registry: {_missing13}"
+
 # Active window: the driver certifies the FIRST 50 registry entries in
 # insertion order — reorder the registry so the round-11 window leads.
 # All 50 are re-certifications of r1-r5 driver rows under the final

@@ -402,6 +402,26 @@ def test_round12_window_prestage():
     assert set(_CERT_FIRST_ROUND12) <= set(ALL_ORACLES)
 
 
+def test_round13_window_prestage():
+    """The pre-staged round-13 re-certification window (VERDICT r10 #9):
+    the round-7 window with exactly one slot swapped — multimodal_meta
+    (the registry's last r2-era row) displaces agg_basic (r1 + r7 rows,
+    family re-proven r10). 50 unique oracle-backed entries, no
+    rows-only member."""
+    from ballista_mvp_spark.queries import (
+        _CERT_FIRST_ROUND7,
+        _CERT_FIRST_ROUND13,
+    )
+
+    assert set(_CERT_FIRST_ROUND13) - set(_CERT_FIRST_ROUND7) == {
+        "multimodal_meta"
+    }
+    assert set(_CERT_FIRST_ROUND7) - set(_CERT_FIRST_ROUND13) == {"agg_basic"}
+    assert len(_CERT_FIRST_ROUND13) == 50
+    assert len(set(_CERT_FIRST_ROUND13)) == 50
+    assert set(_CERT_FIRST_ROUND13) <= set(ALL_ORACLES)
+
+
 def test_q11_spec_variant_matches_duckdb(spark, duck_small):
     """The spec-faithful Q11 threshold variant (fraction = 0.0001/SF,
     TPC-H 2.18 §B.11) value-matches DuckDB. The SPEC fraction is empty
