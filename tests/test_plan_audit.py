@@ -175,3 +175,76 @@ def test_plan_hygiene_core(name, spark):
     res = audit_query(ALL_QUERIES[name](spark, SF_SMALL))
     bad, _ = flags_for(name, res)
     assert not bad, bad
+
+
+# --- adjudication bound enforcement (round 11: the stream_plan_audit S2
+# documented->enforced upgrade extended to audit A) ----------------------
+
+
+def test_bound_validators_cover_only_adjudicated_names():
+    """Every bound validator targets a name that actually appears in an
+    adjudication dict — a validator for an un-adjudicated name is dead
+    code and a sign the dicts drifted."""
+    from plan_audit import (
+        ADJUDICATED_KEYED_AGG_PINS,
+        ADJUDICATED_SCALED_PINS,
+        ADJUDICATED_VOCAB_PINS,
+        ADJUDICATION_BOUND_VALIDATORS,
+    )
+
+    adjudicated = (
+        set(ADJUDICATED_KEYED_AGG_PINS)
+        | set(ADJUDICATED_SCALED_PINS)
+        | set(ADJUDICATED_VOCAB_PINS)
+    )
+    assert set(ADJUDICATION_BOUND_VALIDATORS) <= adjudicated
+
+
+def test_shipped_bounds_hold(spark):
+    """Positive control: every validator passes on its query's shipped
+    plan against the audited dataset."""
+    from plan_audit import ADJUDICATION_BOUND_VALIDATORS, bound_violations
+
+    from ballista_mvp_spark.queries import ALL_QUERIES
+
+    for name in ADJUDICATION_BOUND_VALIDATORS:
+        res = audit_query(ALL_QUERIES[name](spark, SF_SMALL))
+        assert bound_violations(name, res, spark, SF_SMALL) == [], name
+
+
+def test_spec_domain_bound_rejects_grown_domain(spark, tmp_path):
+    """Negative control: a dataset whose o_orderpriority cardinality
+    exceeds the 5 spec values violates the keyed-agg bound."""
+    from plan_audit import _PRIORITY_DOMAIN
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    spark.createDataFrame(
+        [(i, f"{i}-PRIO") for i in range(9)],
+        "o_orderkey long, o_orderpriority string",
+    ).write.parquet(str(fake_sf / "orders.parquet"))
+    err = _PRIORITY_DOMAIN(spark, str(fake_sf), {})
+    assert err is not None and "9 > 5" in err, err
+
+
+def test_query_side_bound_rejects_corpus_side_pin(spark):
+    """Negative control: pinning the CORPUS side of a similarity join
+    (no vec_id filter on the pinned subtree) violates the query-side
+    adjudication and must flag."""
+    from plan_audit import _query_side_pin_validator
+
+    from ballista_mvp_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # WRONG shape: the corpus side carries the broadcast pin
+    j = F.broadcast(emb).crossJoin(queries)
+    res = audit_query(j)
+    err = _query_side_pin_validator(spark, SF_SMALL, res)
+    assert err is not None and "corpus-side pin" in err, err
+    # RIGHT shape: the filtered query side carries it
+    ok = emb.crossJoin(F.broadcast(queries))
+    res_ok = audit_query(ok)
+    assert _query_side_pin_validator(spark, SF_SMALL, res_ok) is None

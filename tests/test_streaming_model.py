@@ -649,3 +649,47 @@ def test_stream_stream_left_join_matches_model_under_in_order_splits(
         cuts, sorted(must_null), sorted(got_nulls), sorted(may_null)
     )
     assert len(out) == len(got_inner) + len(got_nulls), cuts
+
+
+@given(cuts=_CUTS)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sliding_agg_matches_batch_under_any_split(
+    spark, tmp_path_factory, cuts
+):
+    """Complete-mode sliding-window aggregation (1h windows every 15min —
+    each event lands in 4 overlapping windows) converges to the batch
+    sliding aggregation for EVERY in-order micro-batch split: counter
+    addition is associative per (window, type) group and complete mode
+    re-emits every group, so the cut points must be unobservable. The
+    one windowed-agg shape the incremental-sink model (tumbling) doesn't
+    replay."""
+    from ballista_mvp_spark.streaming import sliding_agg
+
+    base = str(tmp_path_factory.mktemp("slidem"))
+    src = os.path.join(base, "src")
+    _write_chunks(spark, src, _chunks(cuts))
+    agg = sliding_agg(_file_stream(spark, src))
+    qname = f"slidem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in spark.table(qname).collect()
+    }
+    batch = spark.read.schema(_SCHEMA).parquet(src)
+    expected = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in sliding_agg(batch).collect()
+    }
+    assert got == expected, (cuts, got ^ expected)

@@ -320,6 +320,95 @@ ADJUDICATED_STATIC_BROADCASTS: dict[str, str] = {
     "sim_ann_ivfpq": _PROBE_SIDE,
 }
 
+# --- adjudication bound ENFORCEMENT (round 11: the documented→enforced
+# upgrade stream_plan_audit's S2 entries got, extended to the audit-A
+# classes whose bounds are mechanically checkable) -----------------------
+# Each validator asserts the bound its adjudication prose claims —
+# against the audited dataset for data-domain bounds (spec-fixed key
+# cardinalities) and against the pinned subtree itself for structural
+# bounds (the claimed query-side pushdown filter). A violated bound
+# turns the adjudication back into a flag in main() — a future edit
+# that re-keys a pinned aggregate onto an unbounded column, or re-pins
+# a corpus side instead of the filtered query side, fails the battery
+# gate instead of hiding behind stale prose. Prose-only entries remain
+# for bounds that are constants of the operator definition (CMS
+# depth×width, top-V vocab limits) — those cannot drift with data.
+
+
+def _spec_domain_validator(table: str, col: str, limit: int):
+    """Bound: the pinned aggregate's key domain is a spec-fixed column
+    with at most `limit` distinct values — checked against the audited
+    dataset (the c_mktsegment pattern from stream_plan_audit)."""
+
+    def check(spark, sf_dir: str, res: dict) -> str | None:
+        from ballista_mvp_spark.tables import load_table
+
+        n = load_table(spark, sf_dir, table).select(col).distinct().count()
+        if n > limit:
+            return (
+                f"{col} key domain is {n} > {limit} spec-fixed values — "
+                f"the pinned keyed aggregate is no longer bounded"
+            )
+        return None
+
+    return check
+
+
+def _query_side_pin_validator(spark, sf_dir: str, res: dict) -> str | None:
+    """Bound: every SF-scaled pinned side is the QUERY SET — its subtree
+    must carry the claimed vec_id FILTER (the pushdown that bounds it to
+    k rows; a bare corpus scan lists vec_id as an attribute, so the
+    check requires a Filter node over it, not a mere mention)."""
+    bad = [
+        s.splitlines()[0][:100]
+        for c, s in res.get("pin_subtrees", [])
+        if c == "sf_scaled_base"
+        and not any(
+            ln.lstrip().startswith("Filter ") and "vec_id" in ln
+            for ln in s.splitlines()
+        )
+    ]
+    if bad:
+        return (
+            f"pinned SF-scaled side carries no vec_id query filter — "
+            f"this is a corpus-side pin, not the adjudicated query-side "
+            f"pin: {bad}"
+        )
+    return None
+
+
+_PRIORITY_DOMAIN = _spec_domain_validator("orders", "o_orderpriority", 5)
+_TYPE_DOMAIN = _spec_domain_validator("events", "event_type", 8)
+
+ADJUDICATION_BOUND_VALIDATORS: dict = {
+    # keyed-agg pins on spec-fixed domains (data-side cardinality)
+    "stats_mad": _PRIORITY_DOMAIN,
+    "stats_levene": _PRIORITY_DOMAIN,
+    "stats_outlier_iqr": _PRIORITY_DOMAIN,
+    "events_anomaly": _TYPE_DOMAIN,
+    "events_changepoint": _TYPE_DOMAIN,
+    "events_seasonality": _TYPE_DOMAIN,
+    "events_markov_eval": _TYPE_DOMAIN,
+    # query-side pins: the pinned SF-scaled side must BE the vec_id-
+    # filtered query set
+    "sim_topk": _query_side_pin_validator,
+    "sim_hybrid_rrf": _query_side_pin_validator,
+    "sim_maxsim": _query_side_pin_validator,
+    "sim_knn_eval": _query_side_pin_validator,
+}
+
+
+def bound_violations(name: str, res: dict, spark, sf_dir: str) -> list[str]:
+    """Run the name's adjudication bound validator (if any); a non-empty
+    result is a plan-hygiene failure even though the adjudication dict
+    lists the query."""
+    v = ADJUDICATION_BOUND_VALIDATORS.get(name)
+    if v is None:
+        return []
+    err = v(spark, sf_dir, res)
+    return [f"adjudicated bound VIOLATED: {err}"] if err else []
+
+
 _HINT_RE = re.compile(r"(left|right)Hint=\([^)]*strategy=broadcast[^)]*\)")
 
 _PHYS_LIMIT_RE = re.compile(r"^(GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
@@ -364,11 +453,16 @@ def static_broadcast_findings(spark_plan: str) -> list[str]:
     return out
 
 
-def broadcast_pin_findings(opt_plan: str) -> list[tuple[str, str]]:
+def broadcast_pin_findings(
+    opt_plan: str, with_subtrees: bool = False
+) -> list[tuple[str, str]] | tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     """All broadcast pins in an optimized logical plan →
-    [(classification, join-line)]. ``vocab_scale`` entries are defects."""
+    [(classification, join-line)]. ``vocab_scale`` entries are defects.
+    With ``with_subtrees`` also returns [(classification, full hinted
+    subtree text)] — the input the adjudication bound validators check."""
     nodes = parse_tree(opt_plan)
     out = []
+    subs = []
     for n in nodes:
         for m in _HINT_RE.finditer(n.text):
             side = m.group(1)
@@ -376,8 +470,11 @@ def broadcast_pin_findings(opt_plan: str) -> list[tuple[str, str]]:
             if len(kids) < 2:
                 continue
             hinted = kids[0] if side == "left" else kids[1]
-            out.append((classify_pin(hinted), n.text[:140]))
-    return out
+            cls = classify_pin(hinted)
+            out.append((cls, n.text[:140]))
+            if with_subtrees:
+                subs.append((cls, "\n".join(d.text for d in _subtree(hinted))))
+    return (out, subs) if with_subtrees else out
 
 
 _NARROW_RE = re.compile(r"^(\*\(\d+\) )?(Project|Filter|ColumnarToRow|InputAdapter)\b")
@@ -412,10 +509,11 @@ def audit_query(df) -> dict:
     opt = qe.optimizedPlan().toString()
     ex = qe.executedPlan().toString()
     static = qe.sparkPlan().toString()
-    pins = broadcast_pin_findings(opt)
+    pins, pin_subtrees = broadcast_pin_findings(opt, with_subtrees=True)
     return {
         "vocab_pins": [p for p in pins if p[0] == "vocab_scale"],
         "pins": pins,
+        "pin_subtrees": pin_subtrees,
         "cartesian": "CartesianProduct" in ex,
         "bad_single_partition": single_partition_findings(ex),
         "static_bcast": static_broadcast_findings(static),
@@ -508,6 +606,10 @@ def main() -> int:
         for cls, line in res["pins"]:
             census[cls] = census.get(cls, 0) + 1
         bad, adj = flags_for(name, res)
+        # an adjudication only holds while its mechanical bound
+        # validator passes (the stream_plan_audit S2 discipline)
+        if adj:
+            bad = bad + bound_violations(name, res, spark, sf_dir)
         for a in adj:
             print(f"[ADJ ] {name}: {a}")
         if bad:
