@@ -118,6 +118,7 @@ def probe_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors from the stored index. The assignments
     scan filters on `cell isin (probed cells)` — with the hive layout
@@ -138,7 +139,7 @@ def probe_ivf_index(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_v"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("q_v"), F.col("embedding"), dim), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -226,6 +227,7 @@ def probe_ivfpq_index(
     k: int = 5,
     n_probe: int = 4,
     rerank: int = 50,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k from the stored IVF-PQ index: probed cells' CODES are
     scanned with per-query ADC lookup tables (m element_at's per
@@ -287,7 +289,7 @@ def probe_ivfpq_index(
     return (
         approx.join(cand_vecs, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv2")), 6))
+        .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv2"), dim), 6))
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")

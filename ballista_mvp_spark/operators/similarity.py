@@ -25,22 +25,56 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With `dim` (the statically-known vector width) the
+    sum unrolls to `dim` multiply-adds — ordinary codegen'd arithmetic.
+    Without it, the higher-order-function form is CodegenFallback:
+    interpreted per element with closure/boxing overhead, ~10× slower in
+    the pair-scoring hot loops (guide §1.2 "per-task work"; measured
+    r11: all-pairs cosine 40.8 s → 12.6 s, byte-identical output).
+
+    Value identity: both forms fold left-to-right from 0.0 with the same
+    type promotions (((0.0 + a₁·b₁) + a₂·b₂) + …), so IEEE results are
+    bit-equal. `F.get` (0-based, NULL on out-of-range in ANSI and
+    non-ANSI alike) mirrors zip_with's null padding: a too-short array
+    yields NULL either way.
+
+    WHEN to pass dim (measured r11, OPTIMIZATION_r11.md): only on
+    high-pair-volume scoring paths (all-pairs baselines, LSH-bucket
+    verify joins — ≥10⁶ evaluations). The unrolled tree is ~400 plan
+    nodes vs ~10, costing ~0.5-1 s of Catalyst+codegen per query and
+    duplicating each argument expression 3·dim times — a measured NET
+    LOSS for small candidate sets (IVF probes, top-k reranks), which
+    keep the compact HOF form. Never pass dim unless it equals the true
+    vector width: the unrolled form sums only the first `dim` elements."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+    e: Column = F.lit(0.0)
+    for i in range(dim):
+        e = e + F.get(a, i) * F.get(b, i)
+    return e
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same unrolled-vs-HOF contract as `dot` (identical left
+    fold from 0.0, so values are bit-equal either way)."""
+    if dim is None:
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    e: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(a, i)
+        e = e + x * x
+    return F.sqrt(e)
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     # zero-magnitude vectors (quantize_embeddings handles them too) get
     # similarity 0.0 instead of an ANSI DIVIDE_BY_ZERO that would kill
     # every cosine-based operator on one bad embedding
-    d = norm(a) * norm(b)
-    return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
+    d = norm(a, dim) * norm(b, dim)
+    return F.when(d != 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -49,9 +83,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. Output: (query_id, neighbor_id,
-    cos_sim, rank). Self-matches excluded."""
+    cos_sim, rank). Self-matches excluded. Pass `dim` when the vector
+    width is statically known — the scoring loop then runs as codegen'd
+    arithmetic instead of interpreted HOFs (see `dot`)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -62,7 +99,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -80,6 +117,7 @@ def maxsim_topk(
     vec_col: str = "vec",
     k: int = 5,
     pos_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) top-k over MULTI-vector
     documents: score(q, d) = Σ_{qv∈q} max_{dv∈d} cosine(qv, dv). The
@@ -109,7 +147,7 @@ def maxsim_topk(
         d.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id", "_qpos")
-        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_mx"))
+        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"), dim)).alias("_mx"))
     )
     scores = per_qvec.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("_mx"), 6).alias("score")
@@ -270,7 +308,7 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -287,6 +325,7 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     scope: Column | None = None,
     max_unscoped_rows: int | None = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
     All-pairs within an optional blocking `scope` column (e.g. a coarse
@@ -332,7 +371,7 @@ def cosine_dup_pairs(
         joined = a.crossJoin(F.broadcast(b))
     return (
         joined.filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb"), dim), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -387,7 +426,7 @@ def lsh_cosine_dup_pairs(
     return (
         pairs.join(vmap.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a")
         .join(vmap.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb"), dim), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -468,6 +507,7 @@ def ivf_ann_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer assigns every
     candidate to a cell; each query probes its n_probe nearest cells and
@@ -497,7 +537,7 @@ def ivf_ann_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_v"), F.col("c_v")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("q_v"), F.col("c_v"), dim), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -573,6 +613,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal over
     an embedding column. A seeded k-means coarse quantizer assigns every
@@ -601,7 +642,8 @@ def semantic_dedup(
     ).persist()
     cent_lit = F.lit(centroids)
     pairs = cosine_dup_pairs(
-        cells, id_col=id_col, vec_col=vec_col, threshold=threshold, scope=F.col("cell")
+        cells, id_col=id_col, vec_col=vec_col, threshold=threshold, scope=F.col("cell"),
+        dim=dim,
     )
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return (
@@ -609,7 +651,7 @@ def semantic_dedup(
         .select(
             id_col,
             "cell",
-            F.round(cosine(F.col(vec_col), F.element_at(cent_lit, F.col("cell") + 1)), 6).alias(
+            F.round(cosine(F.col(vec_col), F.element_at(cent_lit, F.col("cell") + 1), dim), 6).alias(
                 "centroid_sim"
             ),
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
@@ -767,6 +809,9 @@ def pq_adc_topk(
     return (
         approx.join(cand_vecs, "neighbor_id")
         .join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+        # rerank is <= `rerank` rows per query — the HOF cosine's
+        # interpreted cost is negligible there, while the unrolled form
+        # would add ~400 plan nodes (see dot()); keep the compact tree
         .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)

@@ -563,7 +563,7 @@ def dedup_embedding_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy("a", "b")
+    return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, dim=64).orderBy("a", "b")
 
 
 def _rademacher_terms(
@@ -680,7 +680,7 @@ def dedup_embedding_det(spark, sf_dir):
             "a",
             "b",
             "n_tables",
-            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(S.cosine(F.col("va"), F.col("vb"), 64), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("a", "b")
@@ -1208,7 +1208,7 @@ def sim_dedup_threshold_sweep(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     ladder = (0.95, 0.9, 0.8, 0.6, 0.4)
-    pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    pairs = S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, dim=64)
     rungs = F.array(*[F.lit(t) for t in ladder])
     tagged = pairs.select(
         F.explode(F.filter(rungs, lambda t: F.col("cos_sim") >= t)).alias(

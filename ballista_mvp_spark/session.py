@@ -88,6 +88,14 @@ def build_session(
         # event-time watermarks accept it (values identical under UTC).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # -XX:-DontCompileHugeMethods was evaluated for the unrolled
+        # fixed-dim vector arithmetic (operators/similarity.dot) and
+        # REJECTED by interleaved A/B (OPTIMIZATION_r11.md): it JIT-compiled
+        # the >8 KB generated methods (isolated dot microbench 18.6→9.5 s)
+        # but the C2 compile storms it triggers on the big codegen'd plans
+        # made real queries erratically slower (dedup_embedding_exact cold
+        # 30→41-107 s, sim_hybrid_rrf warm 1.8→6.9-11.1 s). The unrolled
+        # expressions are fast enough bytecode-interpreted.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )

@@ -1,0 +1,70 @@
+"""Bit-equality of the r11 unrolled fixed-dim vector kernels vs the
+higher-order-function forms (operators/similarity.dot/norm/cosine with and
+without `dim`).
+
+The optimization contract is exact value identity — same left fold from
+0.0, same type promotions — so every oracle hash is unchanged. These
+tests pin that contract on the real embedding corpus (float arrays cast
+and uncast) plus the documented edge cases: zero vectors (the d==0
+branch) and NULL vectors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_mvp_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _pairs(df, cast):
+    v = F.col("embedding").cast("array<double>") if cast else F.col("embedding")
+    a = df.select(F.col("vec_id").alias("a"), v.alias("va"))
+    b = df.select(F.col("vec_id").alias("b"), v.alias("vb"))
+    return a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+
+
+@pytest.mark.parametrize("cast", [True, False], ids=["double", "float"])
+def test_cosine_unrolled_bit_equal_on_corpus(emb, cast):
+    j = _pairs(emb.limit(80), cast)
+    hof = j.select("a", "b", S.cosine(F.col("va"), F.col("vb")).alias("c"))
+    unr = j.select("a", "b", S.cosine(F.col("va"), F.col("vb"), 64).alias("c"))
+    rows_h = {(r.a, r.b): r.c for r in hof.collect()}
+    rows_u = {(r.a, r.b): r.c for r in unr.collect()}
+    assert rows_h == rows_u  # exact ==, not approx: the contract is bit-equality
+
+
+def test_dot_norm_unrolled_bit_equal(emb):
+    v = emb.limit(50).select(F.col("embedding").cast("array<double>").alias("v"))
+    both = v.select(
+        S.dot(F.col("v"), F.col("v")).alias("d_hof"),
+        S.dot(F.col("v"), F.col("v"), 64).alias("d_unr"),
+        S.norm(F.col("v")).alias("n_hof"),
+        S.norm(F.col("v"), 64).alias("n_unr"),
+    )
+    for r in both.collect():
+        assert r.d_hof == r.d_unr
+        assert r.n_hof == r.n_unr
+
+
+def test_cosine_unrolled_zero_and_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0, 2.0, 3.0, 4.0]),   # zero-magnitude -> 0.0 branch
+         (2, [1.0] * 4, None)],                   # NULL vector
+        "id long, a array<double>, b array<double>",
+    )
+    out = df.select(
+        S.cosine(F.col("a"), F.col("b")).alias("hof"),
+        S.cosine(F.col("a"), F.col("b"), 4).alias("unr"),
+    ).collect()
+    assert out[0].hof == 0.0 and out[0].unr == 0.0
+    # NULL vector: d = norm(a)*NULL = NULL, `when(NULL != 0)` is falsy →
+    # both forms fall to the otherwise(0.0) branch identically
+    assert out[1].hof == 0.0 and out[1].unr == 0.0
