@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import hashed_shingles, token_hashes, tokens
+from .dedup import shingles, tokens
 
 
 def _hex_digit(c: Column) -> Column:
@@ -265,11 +265,22 @@ def decontaminate(
     trigger that bounded scan on every call. The cost is O(cap) rows of
     the eval side only; pass eval_doc_cap=None to restore laziness when
     the bound is externally guaranteed."""
+    # r11: string k-grams from shingles()'s one-regex-pass fast path,
+    # hashed to 8-byte keys AFTER the explode (a plain codegen'd
+    # xxhash64 per row). The previous token_hashes→hashed_shingles form
+    # re-evaluated its interpreted higher-order lambdas per element
+    # inside GenerateExec (no subexpression elimination there) —
+    # measured r11: pipeline_leakage 9.0/7.8 → ~3/2 s. Keys change from
+    # xxhash64(token-hash chain) to xxhash64(gram string); every output
+    # here is a COUNT over those keys, hash-invariant up to the same
+    # 2^-64 collision bound (the docstring's oracle argument, unchanged).
     ev = eval_df.select(
-        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
-    ).select("_id", hashed_shingles(F.col("_th"), shingle_k).alias("_sh"))
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
     sizes = ev.select("_id", F.size("_sh").alias("n_shingles"))
-    ev_pairs = ev.select("_id", F.explode("_sh").alias("s"))
+    ev_pairs = ev.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", F.xxhash64("_g").alias("s")
+    )
     if eval_bounded and eval_doc_cap is not None:
         # ENFORCE the eval_bounded contract instead of documenting it
         # (ADVICE r9): the eval side is about to be broadcast, so an
@@ -288,9 +299,9 @@ def decontaminate(
                 f"executor memory."
             )
     if eval_bounded:
-        tr_occ = train.select(token_hashes(F.col(text_col)).alias("_th")).select(
-            F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s")
-        )
+        tr_occ = train.select(
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("_g")
+        ).select(F.xxhash64("_g").alias("s"))
         hits = (
             tr_occ.join(F.broadcast(ev_pairs), "s")
             .select("_id", "s")
@@ -300,8 +311,8 @@ def decontaminate(
         )
     else:
         tr = (
-            train.select(token_hashes(F.col(text_col)).alias("_th"))
-            .select(F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
+            train.select(F.explode(shingles(F.col(text_col), shingle_k)).alias("_g"))
+            .select(F.xxhash64("_g").alias("s"))
             .distinct()
         )
         hits = (
@@ -344,9 +355,11 @@ def overlap_matrix(
     hash-invariant (xxhash64 collisions at 2^-64), so the
     string-shingle oracle certifies them. Output: (src_a, src_b,
     n_shared, n_a, n_b, jaccard) for src_a < src_b."""
+    # r11: same regex-gram + post-explode-hash rewrite as decontaminate
+    # (counts are hash-invariant; see there for the measured numbers)
     sh = (
-        docs.select(F.col(group_col).alias("g"), token_hashes(F.col(text_col)).alias("_th"))
-        .select("g", F.explode(hashed_shingles(F.col("_th"), shingle_k)).alias("s"))
+        docs.select(F.col(group_col).alias("g"), F.explode(shingles(F.col(text_col), shingle_k)).alias("_g"))
+        .select("g", F.xxhash64("_g").alias("s"))
         .distinct()
     )
     totals = sh.groupBy("g").agg(F.count("*").alias("n_g"))
