@@ -25,6 +25,38 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cores before compute-heavy per-row
+    work (signature/code/distance derivations that cost ≫ the row bytes).
+
+    A bounded corpus (the ANN/all-pairs baselines) usually arrives as ONE
+    parquet row group, so every derivation chained on the scan runs as a
+    single task regardless of cluster size — measured r11: the whole ANN
+    encode/assign family was single-threaded at sf0.1 (guide §2.2
+    "scale-adaptive partitioning"). Round-robin repartition to
+    defaultParallelism fixes that for ~1 MB of shuffle.
+
+    Scale-adaptive by construction: a corpus big enough to matter at
+    100 TB scans as thousands of row-group partitions, the guard sees
+    partitions ≥ cores, and this is a no-op — the repartition exists
+    exactly when the scan is too small to parallelize itself. (AQE can't
+    help here: its byte-based coalescing would *merge* these partitions,
+    byte size being the wrong cost model for compute-bound stages.)
+
+    Apply ONLY to scan-shaped inputs (scan/filter/project, no shuffle
+    upstream): the partition probe is `df.rdd.getNumPartitions()`, and
+    under AQE converting a shuffling plan to an RDD MATERIALIZES its
+    query stages — an eager hidden job at plan-construction time
+    (measured r11: +12 s cold on a windowed-sample input) — while tiny
+    derived inputs also make the extra round-robin exchange a net loss
+    (sim_ann_ivf 2.3→3.3 s warm; both sites reverted, see
+    OPTIMIZATION_r11.md)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product. With `dim` (the statically-known vector width) the
     sum unrolls to `dim` multiply-adds — ordinary codegen'd arithmetic.
@@ -295,7 +327,9 @@ def lsh_ann_topk(
         )
 
     qb = bucketize(queries, "q")
-    cb = bucketize(candidates, "c")
+    # r11: corpus-side signature derivation is the heavy per-row work —
+    # spread the scan so it parallelizes (see spread_small_scan)
+    cb = bucketize(spread_small_scan(candidates), "c")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))
@@ -648,7 +682,11 @@ def semantic_dedup(
     cross-run-determinism pytests rather than a DuckDB oracle."""
     centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
     best = F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)
-    cells = df.select(
+    # r11: cell assignment (n_cells×dim distance per row) is the heavy
+    # corpus-side pass — spread the scan (see spread_small_scan); the
+    # quantizer fit above samples from the UNspread df (bounded
+    # xxhash64-ranked sample), so centroids are unaffected
+    cells = spread_small_scan(df).select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias(vec_col),
         best["cell"].alias("cell"),

@@ -2579,7 +2579,13 @@ def stats_bootstrap(spark, sf_dir):
     table is 32 rows, driver-free. Output: point mean, bootstrap SE
     (stddev of replicate means), and the 2.5%/97.5% percentile CI."""
     o = _t(spark, sf_dir, "orders")
-    b = o.select(
+    # r11: the ×32 explode feeds 32·N md5+conv evaluations into however
+    # many partitions the orders scan has — ONE at bench scale — so the
+    # whole resample ran single-task. Spread the scan first (no-op when
+    # orders scans wide; operators.similarity.spread_small_scan). The
+    # `point` leg below aggregates the UNspread scan; per-(rep,orderkey)
+    # weights are hash-deterministic, so results are unchanged.
+    b = S.spread_small_scan(o).select(
         "o_totalprice",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
         F.col("o_orderkey"),
@@ -3337,12 +3343,17 @@ GROUP BY as_of, seg ORDER BY as_of, seg
 
 def sim_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 8 query vectors — the ANN exactness
-    baseline. JVM-side zip_with/aggregate dot products; broadcast queries."""
+    baseline. JVM-side zip_with/aggregate dot products; broadcast queries.
+    r11: the corpus side spreads across the cores before the O(N·Q)
+    scoring pass (operators.similarity.spread_small_scan — no-op when
+    the corpus scans wide; measured 1.9→0.5 s warm at sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return S.brute_force_topk(
+        S.spread_small_scan(emb), queries, "vec_id", "embedding", k=5
+    )
 
 
 SIM_TOPK_ORACLE = """
@@ -3736,7 +3747,12 @@ def sim_hybrid_rrf(spark, sf_dir):
     )
     lex = TX.bm25_topk(docs, "doc_id", "text", ["spark", "vector", "hash"], k=20)
     vec = (
-        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20)
+        # r11: spread the corpus side of the cosine leg (scan-shaped
+        # input — see spread_small_scan; measured 3.3→1.5 s warm)
+        S.brute_force_topk(
+            S.spread_small_scan(emb), emb.filter(F.col("vec_id") == 0),
+            "vec_id", "embedding", k=20,
+        )
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
     )
     fused = (
