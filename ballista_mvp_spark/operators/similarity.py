@@ -761,14 +761,12 @@ def fit_pq(
     return books
 
 
-def pq_encode(df: DataFrame, codebooks, id_col: str, vec_col: str) -> DataFrame:
-    """(id, codes array<int> of length m): per-subspace argmin over the
-    codebook literal — pure codegen'd column expressions, one narrow pass
-    over the corpus (the shape every 10⁹-vector encode job needs)."""
-    m = len(codebooks)
+def _pq_codes(vec: Column, codebooks) -> Column:
+    """codes array<int> of length m for one vector column: per-subspace
+    argmin over the codebook literal (the column form, so callers can
+    fuse the encode into a wider projection — see ivfpq_topk)."""
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
-    codes = F.transform(
+    return F.transform(
         F.lit([[[float(x) for x in c] for c in cb] for cb in codebooks]),
         lambda cb, mi: F.element_at(
             F.array_sort(
@@ -791,7 +789,15 @@ def pq_encode(df: DataFrame, codebooks, id_col: str, vec_col: str) -> DataFrame:
             1,
         )["code"],
     )
-    return df.select(F.col(id_col).alias("_id"), codes.alias("codes"))
+
+
+def pq_encode(df: DataFrame, codebooks, id_col: str, vec_col: str) -> DataFrame:
+    """(id, codes array<int> of length m): per-subspace argmin over the
+    codebook literal — pure codegen'd column expressions, one narrow pass
+    over the corpus (the shape every 10⁹-vector encode job needs)."""
+    return df.select(
+        F.col(id_col).alias("_id"), _pq_codes(F.col(vec_col), codebooks).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -815,7 +821,10 @@ def pq_adc_topk(
     broadcast (Q ≪ N); one window for the two top-k cuts."""
     books = fit_pq(candidates, id_col, vec_col, dim, m, ksub, seed)
     dsub = dim // m
-    coded = pq_encode(candidates, books, id_col, vec_col)
+    # r11: the encode is the heavy corpus-side pass (m×ksub×dsub
+    # multiply-adds + m interpreted array_sorts per row) — spread the
+    # scan (see spread_small_scan; fit_pq samples from the UNspread df)
+    coded = pq_encode(spread_small_scan(candidates), books, id_col, vec_col)
 
     qvec = F.col("_qv")
     lut = F.transform(
@@ -894,12 +903,16 @@ def ivfpq_topk(
     dsub = dim // m
 
     best_cell = F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)["cell"]
-    coded = (
-        pq_encode(candidates, books, id_col, vec_col)
-        .join(
-            candidates.select(F.col(id_col).alias("_id"), best_cell.alias("cell")),
-            "_id",
-        )
+    # r11: codes + cell come out of ONE spread projection over the
+    # corpus scan. The previous shape ran pq_encode and the cell
+    # assignment as two separate single-task corpus passes and then
+    # equi-joined them back on _id — a self-join of two derivations of
+    # the same scan (one full extra pass + one shuffle for nothing).
+    # The quantizer/codebook fits above sample from the UNspread df.
+    coded = spread_small_scan(candidates).select(
+        F.col(id_col).alias("_id"),
+        _pq_codes(F.col(vec_col), books).alias("codes"),
+        best_cell.alias("cell"),
     )
 
     qvec = F.col("_qv")
