@@ -169,7 +169,7 @@ def build_ivfpq_index(
     the memory-resident artifact; exact re-rank fetches vectors from
     the source table (pass it to probe_ivfpq_index), exactly FAISS's
     refine-at-serve-time split."""
-    from .similarity import fit_pq, pq_encode
+    from .similarity import _pq_codes, fit_pq
 
     spark = df.sparkSession
     centroids = fit_quantizer(df, id_col, vec_col, n_cells, seed)
@@ -188,9 +188,16 @@ def build_ivfpq_index(
         "mi int, ci int, centroid array<double>",
     )
     bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    assigned = _assign_cells(df, id_col, vec_col, centroids)
-    coded = pq_encode(df, books, id_col, vec_col).join(
-        assigned.select(F.col("vec_id").alias("_id"), "cell"), "_id"
+    # r11: codes + cell from ONE corpus pass (the old shape ran
+    # pq_encode and _assign_cells as two full passes over the same
+    # input and equi-joined them back on _id — an extra pass + shuffle;
+    # same fuse as ivfpq_topk, see similarity._pq_codes)
+    coded = df.select(
+        F.col(id_col).alias("_id"),
+        _pq_codes(F.col(vec_col), books).alias("codes"),
+        F.element_at(F.array_sort(_cell_dists(F.col(vec_col), centroids)), 1)
+        .getField("cell")
+        .alias("cell"),
     )
     (
         coded.select(F.col("_id").alias("vec_id"), "codes", "cell")

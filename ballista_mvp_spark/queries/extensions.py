@@ -562,6 +562,16 @@ def dedup_embedding_exact(spark, sf_dir):
     return S.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, dim=64).orderBy("a", "b")
 
 
+def _rademacher_sign(seed: str, i: int) -> bool:
+    """True ⇒ +1 for element i of the md5-seeded Rademacher plane —
+    the ONE parity rule every det family derives from (terms for the
+    SQL oracles, ±1.0 vectors for the Spark array form), so the sign
+    scheme can never drift between engines or families."""
+    import hashlib
+
+    return bool(int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) & 1)
+
+
 def _rademacher_terms(
     seed: str, elem_fmt: str, dims: int = 64, offset: int = 0
 ) -> str:
@@ -573,13 +583,27 @@ def _rademacher_terms(
     ``dims``/``offset`` carve a subspace plane (elements offset+1 ..
     offset+dims) for the PQ twins — ONE generator for every det query,
     so the sign scheme can never drift between families."""
-    import hashlib
-
     parts = []
     for i in range(dims):
-        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
-        parts.append(("+ " if h & 1 else "- ") + elem_fmt.format(k=offset + i + 1))
+        parts.append(
+            ("+ " if _rademacher_sign(seed, i) else "- ")
+            + elem_fmt.format(k=offset + i + 1)
+        )
     return " ".join(parts)
+
+
+def _rademacher_sign_vec(seed: str, dims: int = 64) -> list[float]:
+    """The same plane as ±1.0 multipliers, for the Spark-side array
+    form: `x + e·(+1.0)` and `x + e·(−1.0)` are IEEE-bit-identical to
+    the textual `x + e` / `x − e` chains (sign-bit flip is exact), so
+    a fold over zip_with(emb, signs) reproduces _rademacher_terms'
+    left-to-right sum bit-for-bit. The array form exists because the
+    inlined 64-term chains, replicated tables×planes times into ONE
+    projection, overflow janino's 64 KB method limit — the failed
+    whole-stage compile is retried (and re-fails) on EVERY execution,
+    measured r11 at 3× the query's actual work (OPTIMIZATION_r11.md
+    Change 6)."""
+    return [1.0 if _rademacher_sign(seed, i) else -1.0 for i in range(dims)]
 
 
 def _sign_code(t: int, prefix: str, planes: int) -> str:
@@ -624,20 +648,48 @@ def dedup_embedding_det(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dots = emb.select(
-        "vec_id",
-        *[
-            F.expr(
-                "round(0 %s, 9)"
-                % _rademacher_terms(f"{t}:{p}", "element_at(embedding, {k})")
-            ).alias(f"d{t}_{p}")
+    # r11: plane dots via the sign-vector array form (bit-identical to
+    # the inlined ±term chains the oracle uses — see
+    # _rademacher_sign_vec): the 24 inlined 64-term chains overflowed
+    # janino's 64 KB method limit, and with this projection under BOTH
+    # sides of the self-join below the failed compile was paid 2× per
+    # execution, every execution.
+    _signs = F.lit(
+        [
+            _rademacher_sign_vec(f"{t}:{p}")
             for t in range(_EMB_DET_TABLES)
             for p in range(_EMB_DET_PLANES)
-        ],
+        ]
+    )
+    dots = emb.select(
+        "vec_id",
+        F.transform(
+            _signs,
+            lambda s: F.round(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), s, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ),
+        ).alias("_d"),
     )
     codes = dots.select(
         "vec_id",
-        *[F.expr(_emb_det_code(t)).alias(f"c{t}") for t in range(_EMB_DET_TABLES)],
+        *[
+            sum(
+                (
+                    F.when(
+                        F.element_at("_d", t * _EMB_DET_PLANES + p + 1) >= 0,
+                        F.lit(1 << p),
+                    ).otherwise(F.lit(0))
+                    for p in range(_EMB_DET_PLANES)
+                ),
+                start=F.lit(0),
+            ).alias(f"c{t}")
+            for t in range(_EMB_DET_TABLES)
+        ],
     )
     lng = codes.select(
         "vec_id",
@@ -3979,21 +4031,46 @@ def sim_ann_lsh_det(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dots = emb.select(
-        "vec_id",
-        *[
-            F.expr(
-                "round(0 %s, 9)"
-                % _rademacher_terms(f"annlsh:{t}:{p}", "element_at(embedding, {k})")
-            ).alias(f"a{t}_{p}")
+    # r11: sign-vector array form — bit-identical to the inlined ±term
+    # chains the oracle replays (see _rademacher_sign_vec); the 32
+    # inlined 64-term chains overflowed janino's 64 KB method limit and
+    # the failed whole-stage compile was retried on every execution
+    # (this projection feeds both the corpus leg and the qcodes
+    # broadcast leg, so the failure was paid 2× per action).
+    _signs = F.lit(
+        [
+            _rademacher_sign_vec(f"annlsh:{t}:{p}")
             for t in range(_ANN_LSH_DET_TABLES)
             for p in range(_ANN_LSH_DET_PLANES)
-        ],
+        ]
+    )
+    dots = emb.select(
+        "vec_id",
+        F.transform(
+            _signs,
+            lambda s: F.round(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), s, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ),
+        ).alias("_d"),
     )
     codes = dots.select(
         "vec_id",
         *[
-            F.expr(_ann_lsh_det_code(t)).alias(f"c{t}")
+            sum(
+                (
+                    F.when(
+                        F.element_at("_d", t * _ANN_LSH_DET_PLANES + p + 1) >= 0,
+                        F.lit(1 << p),
+                    ).otherwise(F.lit(0))
+                    for p in range(_ANN_LSH_DET_PLANES)
+                ),
+                start=F.lit(0),
+            ).alias(f"c{t}")
             for t in range(_ANN_LSH_DET_TABLES)
         ],
     )
