@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import aggregates as AGG
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -1385,28 +1386,28 @@ def stats_histogram(spark, sf_dir):
     (Spark keeps the approximate version under
     spark.sql.statistics.histogram.enabled; the certified variant uses
     EXACT percentile boundaries so DuckDB reproduces it bit-for-bit).
-    Boundaries come from one exact-percentile aggregate (7 interior
-    cut points); each row's bucket is 1 + #(boundaries < v) — a
-    broadcast of 7 doubles folded into a column expression, then one
-    map-side-combined groupBy on the bucket id. At 100 TB the only
-    change is approx-percentile boundaries (one pass, mergeable
-    sketches) — the assignment/count stages are identical."""
+    Boundaries come from the rank-selection exact percentile
+    (operators/aggregates.exact_percentiles_ranked — r11: bit-equal to
+    F.percentile but distributed-sort-shaped instead of the built-in's
+    single-buffer counts-map merge, which was both the sf0.1 bottleneck
+    at 583k distinct values and the piece that cannot hold 100 TB of
+    distinct doubles in one aggregation buffer); each row's bucket is
+    1 + #(boundaries < v) — the 7 broadcast cut points compared in an
+    unrolled codegen'd expression (the F.aggregate HOF fold is
+    CodegenFallback, r11 Change-1 disease), then one map-side-combined
+    groupBy on the bucket id over the spread scan (the sf0.1 parquet
+    arrives as 3 row-group partitions; spread_small_scan is a no-op at
+    scale)."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("v")
     )
     ps = [i / 8.0 for i in range(1, 8)]
-    bounds = li.agg(
-        F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("bs")
-    )
-    bucketed = li.crossJoin(F.broadcast(bounds)).select(
-        (
-            1
-            + F.aggregate(
-                "bs",
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
-            )
-        ).alias("bucket"),
+    bounds = AGG.exact_percentiles_ranked(li, "v", ps)
+    bucket = F.lit(1)
+    for i in range(1, len(ps) + 1):
+        bucket = bucket + F.when(F.col("v") > F.element_at("bs", i), 1).otherwise(0)
+    bucketed = S.spread_small_scan(li).crossJoin(F.broadcast(bounds)).select(
+        bucket.alias("bucket"),
         "v",
     )
     return (
