@@ -39,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .similarity import _cell_dists, cosine, fit_quantizer
+from .similarity import _cell_dists, cosine, fit_quantizer, nested_double_lit
 
 
 def _assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
@@ -250,7 +250,7 @@ def probe_ivfpq_index(
 
     qvec = F.col("_qv")
     lut = F.transform(
-        F.lit([[[float(x) for x in c] for c in cb] for cb in books]),
+        nested_double_lit(books),
         lambda cb, mi: F.transform(
             cb,
             lambda c: F.aggregate(

@@ -25,6 +25,31 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def nested_double_lit(obj) -> Column:
+    """A nested array<...<double>> literal built with ONE JVM parse.
+
+    ``F.lit`` on a nested Python list recurses into ``array(*map(lit,
+    ...))`` — one py4j round trip per float, ~0.5 ms each, ALL driver
+    time, paid at every DataFrame *construction* (measured r11: 0.76 s
+    for a 4×6×64 plane set; sim_ann_lsh built two of those per
+    invocation, so ~1.6 s of its 2.9 s wall was building the plan, not
+    running it). Rendering the same values as one SQL string and
+    F.expr-parsing it once is ~200× cheaper and value-identical:
+    ``repr()`` emits the shortest round-trip decimal and both CPython
+    and the JVM parse decimal→double correctly rounded, so the parsed
+    literal is BIT-equal to the F.lit form (pinned by
+    tests/test_nested_lit.py on every shipped matrix family plus
+    subnormal/extreme adversarial values). Finite values only — an
+    inf/nan would fail the parse loudly, and no shipped matrix
+    contains one."""
+    def render(o) -> str:
+        if isinstance(o, (list, tuple)):
+            return "array(" + ",".join(render(e) for e in o) + ")"
+        return repr(float(o)) + "D"
+
+    return F.expr(render(obj))
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Spread a small scan across the cores before compute-heavy per-row
     work (signature/code/distance derivations that cost ≫ the row bytes).
@@ -286,14 +311,14 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     literal (one Catalyst Literal node instead of planes*dim nodes — the
     naive per-float F.lit form costs seconds of driver-side plan compile at
     production plane counts)."""
-    return _bucket_of(vec, F.lit([[float(w) for w in p] for p in planes]))
+    return _bucket_of(vec, nested_double_lit(planes))
 
 
 def _signatures_all(vec: Column, tables: list[list[list[float]]]) -> Column:
     """array<struct<tbl,bucket>> — every table's signature in one compact
     expression over a single triple-nested literal. Replaces the per-table
     F.array(F.struct(...)) explosion that dominated plan-compile time."""
-    lit = F.lit([[[float(w) for w in p] for p in planes] for planes in tables])
+    lit = nested_double_lit(tables)
     return F.transform(
         lit,
         lambda planes, t: F.struct(
@@ -533,7 +558,7 @@ def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
     per-float F.lit form built a >1000-node tree that cost ~3 s of
     driver-side compile per query at 16x64."""
     return F.transform(
-        F.lit([[float(x) for x in c] for c in centroids]),
+        nested_double_lit(centroids),
         lambda c, i: F.struct(
             F.aggregate(
                 F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
@@ -767,7 +792,7 @@ def _pq_codes(vec: Column, codebooks) -> Column:
     fuse the encode into a wider projection — see ivfpq_topk)."""
     dsub = len(codebooks[0][0])
     return F.transform(
-        F.lit([[[float(x) for x in c] for c in cb] for cb in codebooks]),
+        nested_double_lit(codebooks),
         lambda cb, mi: F.element_at(
             F.array_sort(
                 F.transform(
@@ -828,7 +853,7 @@ def pq_adc_topk(
 
     qvec = F.col("_qv")
     lut = F.transform(
-        F.lit([[[float(x) for x in c] for c in cb] for cb in books]),
+        nested_double_lit(books),
         lambda cb, mi: F.transform(
             cb,
             lambda c: F.aggregate(
@@ -917,7 +942,7 @@ def ivfpq_topk(
 
     qvec = F.col("_qv")
     lut = F.transform(
-        F.lit([[[float(x) for x in c] for c in cb] for cb in books]),
+        nested_double_lit(books),
         lambda cb, mi: F.transform(
             cb,
             lambda c: F.aggregate(

@@ -655,7 +655,7 @@ def dedup_embedding_det(spark, sf_dir):
     # janino's 64 KB method limit, and with this projection under BOTH
     # sides of the self-join below the failed compile was paid 2× per
     # execution, every execution.
-    _signs = F.lit(
+    _signs = S.nested_double_lit(
         [
             _rademacher_sign_vec(f"{t}:{p}")
             for t in range(_EMB_DET_TABLES)
@@ -4038,7 +4038,7 @@ def sim_ann_lsh_det(spark, sf_dir):
     # the failed whole-stage compile was retried on every execution
     # (this projection feeds both the corpus leg and the qcodes
     # broadcast leg, so the failure was paid 2× per action).
-    _signs = F.lit(
+    _signs = S.nested_double_lit(
         [
             _rademacher_sign_vec(f"annlsh:{t}:{p}")
             for t in range(_ANN_LSH_DET_TABLES)
