@@ -21,33 +21,84 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
 def nested_double_lit(obj) -> Column:
-    """A nested array<...<double>> literal built with ONE JVM parse.
+    """A nested array<...<double>> literal as ONE resolved Catalyst node.
 
     ``F.lit`` on a nested Python list recurses into ``array(*map(lit,
     ...))`` — one py4j round trip per float, ~0.5 ms each, ALL driver
     time, paid at every DataFrame *construction* (measured r11: 0.76 s
     for a 4×6×64 plane set; sim_ann_lsh built two of those per
     invocation, so ~1.6 s of its 2.9 s wall was building the plan, not
-    running it). Rendering the same values as one SQL string and
-    F.expr-parsing it once is ~200× cheaper and value-identical:
-    ``repr()`` emits the shortest round-trip decimal and both CPython
-    and the JVM parse decimal→double correctly rounded, so the parsed
-    literal is BIT-equal to the F.lit form (pinned by
-    tests/test_nested_lit.py on every shipped matrix family plus
-    subnormal/extreme adversarial values). Finite values only — an
-    inf/nan would fail the parse loudly, and no shipped matrix
-    contains one."""
+    running it). And any per-element tree (F.lit or a parsed
+    ``array(array(...))``) stays ~1,500 unresolved nodes that EVERY
+    downstream transformation re-analyzes — 0.13 s per chained
+    select/join at this size, because PySpark Datasets analyze eagerly
+    and analysis caches per-Dataset, not per-subtree.
+
+    Fast path: ship the values as one JSON string, let the optimizer
+    constant-fold ``from_json`` (one Jackson parse in the JVM), and lift
+    the folded Literal out of the optimized 1-row plan — ~0.03 s to
+    build and O(1) to re-analyze. Bit-equality with F.lit is pinned by
+    tests/test_nested_lit.py (every shipped matrix family plus
+    subnormal/extreme/−0.0 adversarial values): ``json.dumps`` emits
+    repr's shortest round-trip decimals and Jackson parses
+    correctly-rounded, so the doubles are identical, not just close.
+
+    The lift touches two stable-for-years internals
+    (``queryExecution().optimizedPlan()``, classic
+    ``ExpressionUtils.column``); if either moves, or the fold ever
+    yields a non-Literal, we fall back to the same values rendered as
+    one ``array(array(...))D`` SQL parse — value-identical (also
+    pinned), just slower to re-analyze. Finite values only: an inf/nan
+    is rejected up front (json.dumps emits Infinity/NaN, which is not
+    JSON and from_json would NULL the whole matrix silently)."""
+    import json as _json
+
+    depth, probe = 0, obj
+    while isinstance(probe, (list, tuple)):
+        depth += 1
+        probe = probe[0]
+    typ = "double"
+    for _ in range(depth):
+        typ = f"array<{typ}>"
+
     def render(o) -> str:
         if isinstance(o, (list, tuple)):
             return "array(" + ",".join(render(e) for e in o) + ")"
-        return repr(float(o)) + "D"
+        v = float(o)
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError("nested_double_lit requires finite values")
+        return repr(v) + "D"
 
-    return F.expr(render(obj))
+    try:
+        payload = _json.dumps(obj, allow_nan=False)
+        spark = SparkSession.getActiveSession()
+        df = spark.sql(f"SELECT from_json('{payload}', '{typ}') AS c")
+        jlit = df._jdf.queryExecution().optimizedPlan().expressions().apply(0).child()
+        # a malformed payload would PERMISSIVE-null the whole matrix —
+        # treat a non-Literal OR null fold as "fast path unavailable"
+        if jlit.getClass().getSimpleName() != "Literal" or jlit.value() is None:
+            raise AssertionError("from_json did not constant-fold to a value")
+        # re-type with containsNull=false at every level: from_json's
+        # parsed type says nullable elements, F.lit's says non-null —
+        # the values carry no nulls, and the schema must match the
+        # F.lit form exactly (tests assert dataType equality)
+        jdt = spark._jvm.org.apache.spark.sql.types.DataTypes.DoubleType
+        for _ in range(depth):
+            jdt = spark._jvm.org.apache.spark.sql.types.DataTypes.createArrayType(jdt, False)
+        jlit = spark._jvm.org.apache.spark.sql.catalyst.expressions.Literal(jlit.value(), jdt)
+        jcol = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jlit)
+        nested_double_lit.last_path = "fold"
+        return Column(jcol)
+    except ValueError:
+        raise
+    except Exception:
+        nested_double_lit.last_path = "render"
+        return F.expr(render(obj))
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
