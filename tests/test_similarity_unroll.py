@@ -68,3 +68,43 @@ def test_cosine_unrolled_zero_and_null_vectors(spark):
     # NULL vector: d = norm(a)*NULL = NULL, `when(NULL != 0)` is falsy →
     # both forms fall to the otherwise(0.0) branch identically
     assert out[1].hof == 0.0 and out[1].unr == 0.0
+
+
+def test_text_rendered_unroll_matches_column_fallback(emb):
+    # r11: plain-named columns render the unrolled kernel as ONE SQL
+    # parse (~450 py4j calls saved per call site); a non-identifier
+    # column name forces the Column-composition fallback. Both must be
+    # bit-equal — and the canonicalized analyzed plans identical.
+    v = F.col("embedding").cast("array<double>")
+    a = emb.limit(60).select(F.col("vec_id").alias("a"), v.alias("va"))
+    b = emb.limit(60).select(F.col("vec_id").alias("b"), v.alias("vb"))
+    j = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    text = j.select("a", "b", S.cosine(F.col("va"), F.col("vb"), 64).alias("c"))
+    j2 = j.withColumnRenamed("va", "va x").withColumnRenamed("vb", "vb x")
+    fallback = j2.select(
+        "a", "b", S.cosine(F.col("`va x`"), F.col("`vb x`"), 64).alias("c")
+    )
+    assert S._plain_name(F.col("`va x`")) is None  # the gate really fell back
+    rows_t = {(r.a, r.b): r.c for r in text.collect()}
+    rows_f = {(r.a, r.b): r.c for r in fallback.collect()}
+    assert rows_t == rows_f
+    # same-named frames: text form and hand-built Column form must
+    # analyze to the SAME canonical plan (equivalence by construction)
+    e = F.lit(0.0)
+    for k in range(64):
+        e = e + F.get(F.col("va"), k) * F.get(F.col("vb"), k)
+    na = F.lit(0.0)
+    for k in range(64):
+        x = F.get(F.col("va"), k)
+        na = na + x * x
+    nb = F.lit(0.0)
+    for k in range(64):
+        x = F.get(F.col("vb"), k)
+        nb = nb + x * x
+    d = F.sqrt(na) * F.sqrt(nb)
+    manual = j.select(
+        "a", "b", F.when(d != 0, e / d).otherwise(F.lit(0.0)).alias("c")
+    )
+    pt = text._jdf.queryExecution().analyzed().canonicalized().toString()
+    pm = manual._jdf.queryExecution().analyzed().canonicalized().toString()
+    assert pt == pm
