@@ -8,12 +8,11 @@ is not on the public function search path) or driver-only
 probe without a row-at-a-time UDF). This one composes from public
 DataFrame ops:
 
-- BUILD: k seeded xxhash64 positions per key, exploded and
-  DISTINCT-folded — the shuffle is bounded by m (the bit-array size),
-  NOT the corpus: once every bucket is hit the distinct set cannot
-  grow. The collected positions (≤ m ints, e.g. 2^20 bits = at most
-  1M ints ≈ 8 MB driver-side worst case, far under broadcast budgets)
-  fold into m/64 longs shipped as ONE array literal.
+- BUILD: k seeded xxhash64 positions per key, exploded and OR-folded
+  into words on the executors (groupBy word index + bit_or, map-side
+  combined) — the shuffle is bounded by m (the bit-array size), NOT
+  the corpus, and the driver collects exactly m/64 longs (2^20 bits =
+  16 K longs ≈ 128 KB), shipped as ONE array literal.
 - PROBE: pure JVM bit arithmetic (element_at + shiftright + bit-and)
   per hash — codegen'd, zero shuffle, zero Python.
 
@@ -27,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import nested_double_lit
+
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)]
@@ -34,19 +35,30 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 
 def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 17, k: int = 5) -> list[int]:
     """Fold a key column into an m_bits Bloom filter; returns the bit
-    array as m_bits/64 Python ints (ship with bloom_might_contain)."""
+    array as m_bits/64 Python ints (ship with bloom_might_contain).
+
+    The words are OR-folded on the executors (groupBy word index +
+    bit_or of the position's bit — map-side combined like any
+    aggregate), so the collect is bounded by m/64 LONGS, not by the
+    distinct position count: 2^20 bits is 16 K longs ≈ 128 KB of driver
+    transfer where the r10 distinct-positions collect moved up to 1 M
+    ints ≈ 8 MB (r11 optimization; identical words — bit_or over
+    single-bit values is exactly the python |= loop it replaces)."""
     assert m_bits % 64 == 0
-    pos = (
+    folded = (
         df.select(F.explode(F.array(*_positions(key, m_bits, k))).alias("p"))
-        .distinct()
+        .select(
+            (F.col("p") / 64).cast("int").alias("i"),
+            F.expr("shiftleft(1L, cast(p % 64 AS int))").alias("b"),
+        )
+        .groupBy("i")
+        .agg(F.bit_or("b").alias("w"))
         .collect()
     )
     words = [0] * (m_bits // 64)
-    for r in pos:
-        p = r["p"]
-        words[p >> 6] |= 1 << (p & 63)
-    # to signed 64-bit for the Spark long literal
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in folded:
+        words[r["i"]] = r["w"]
+    return words
 
 
 def bloom_might_contain(key: Column, words: list[int], m_bits: int, k: int = 5) -> Column:
@@ -55,8 +67,10 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int, k: int = 5) 
     pinned to array<bigint>: when every stored word happens to fit in
     32 bits the inferred literal type is array<int>, whose getbit
     rejects positions >= 32 (caught by the hypothesis no-false-negative
-    property)."""
-    arr = F.lit(words).cast("array<bigint>")
+    property). The word array ships as ONE resolved bigint literal
+    (operators/similarity.nested_double_lit — 2048 longs via F.lit was
+    ~1 s of per-element py4j construction at every invocation, r11)."""
+    arr = nested_double_lit(words, elem_sql_type="bigint")
     checks = []
     for p in _positions(key, m_bits, k):
         word = F.element_at(arr, (p / 64).cast("int") + 1)

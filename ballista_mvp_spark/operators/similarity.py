@@ -26,8 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
-def nested_double_lit(obj) -> Column:
-    """A nested array<...<double>> literal as ONE resolved Catalyst node.
+def nested_double_lit(obj, elem_sql_type: str = "double") -> Column:
+    """A nested array<...<double>> literal as ONE resolved Catalyst node
+    (pass ``elem_sql_type="bigint"`` for exact-integer matrices — the
+    same two construction taxes apply to any wide F.lit, e.g. the Bloom
+    word array at 2048 longs).
 
     ``F.lit`` on a nested Python list recurses into ``array(*map(lit,
     ...))`` — one py4j round trip per float, ~0.5 ms each, ALL driver
@@ -63,13 +66,15 @@ def nested_double_lit(obj) -> Column:
     while isinstance(probe, (list, tuple)):
         depth += 1
         probe = probe[0]
-    typ = "double"
+    typ = elem_sql_type
     for _ in range(depth):
         typ = f"array<{typ}>"
 
     def render(o) -> str:
         if isinstance(o, (list, tuple)):
             return "array(" + ",".join(render(e) for e in o) + ")"
+        if elem_sql_type == "bigint":
+            return str(int(o)) + "L"
         v = float(o)
         if v != v or v in (float("inf"), float("-inf")):
             raise ValueError("nested_double_lit requires finite values")
@@ -88,7 +93,11 @@ def nested_double_lit(obj) -> Column:
         # parsed type says nullable elements, F.lit's says non-null —
         # the values carry no nulls, and the schema must match the
         # F.lit form exactly (tests assert dataType equality)
-        jdt = spark._jvm.org.apache.spark.sql.types.DataTypes.DoubleType
+        jdt = (
+            spark._jvm.org.apache.spark.sql.types.DataTypes.LongType
+            if elem_sql_type == "bigint"
+            else spark._jvm.org.apache.spark.sql.types.DataTypes.DoubleType
+        )
         for _ in range(depth):
             jdt = spark._jvm.org.apache.spark.sql.types.DataTypes.createArrayType(jdt, False)
         jlit = spark._jvm.org.apache.spark.sql.catalyst.expressions.Literal(jlit.value(), jdt)
