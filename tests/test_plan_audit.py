@@ -248,3 +248,28 @@ def test_query_side_bound_rejects_corpus_side_pin(spark):
     ok = emb.crossJoin(F.broadcast(queries))
     res_ok = audit_query(ok)
     assert _query_side_pin_validator(spark, SF_SMALL, res_ok) is None
+
+
+def test_partition_id_bound_rejects_data_keyed_pin(spark):
+    """Negative control for the r11 rank-percentile adjudication: the
+    pinned offsets aggregate must be keyed on spark_partition_id();
+    re-keying it onto a DATA column (unbounded domain) must flag, and
+    the shipped stats_histogram shape must pass."""
+    from plan_audit import _partition_id_key_validator
+
+    from ballista_mvp_spark.queries import ALL_QUERIES
+    from ballista_mvp_spark.tables import load_table
+
+    # WRONG shape: keyed aggregate over the scaled scan on a data column
+    li = load_table(spark, SF_SMALL, "lineitem")
+    bad_offs = li.groupBy("l_partkey").agg(F.count("*").alias("_c"))
+    j = li.join(F.broadcast(bad_offs), "l_partkey")
+    res = audit_query(j)
+    assert any(c == "keyed_agg_scaled" for c, _ in res["pins"]), res["pins"]
+    err = _partition_id_key_validator(spark, SF_SMALL, res)
+    assert err is not None and "SPARK_PARTITION_ID" in err, err
+
+    # RIGHT shape: the shipped query's pin passes its own validator
+    res_ok = audit_query(ALL_QUERIES["stats_histogram"](spark, SF_SMALL))
+    assert any(c == "keyed_agg_scaled" for c, _ in res_ok["pins"])
+    assert _partition_id_key_validator(spark, SF_SMALL, res_ok) is None

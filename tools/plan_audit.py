@@ -269,6 +269,13 @@ ADJUDICATED_KEYED_AGG_PINS: dict[str, str] = {
         "pinned side keyed on lang — per-stratum thresholds, "
         "≤ n_languages rows"
     ),
+    "stats_histogram": (
+        "pinned side is the two-phase-rank OFFSETS table of "
+        "exact_percentiles_ranked (r11): a keyed aggregate whose "
+        "grouping key is spark_partition_id() of the sorted scan — "
+        "row count = the sort exchange's partition count (cluster "
+        "width), growing with the CLUSTER, not the data volume"
+    ),
 }
 
 # appended to ADJUDICATED_SCALED_PINS below: the documented unblocked
@@ -377,6 +384,30 @@ def _query_side_pin_validator(spark, sf_dir: str, res: dict) -> str | None:
     return None
 
 
+def _partition_id_key_validator(spark, sf_dir: str, res: dict) -> str | None:
+    """Bound: the pinned keyed aggregate is the two-phase-rank OFFSETS
+    table (operators/aggregates.exact_percentiles_ranked) — its
+    grouping key must be DERIVED FROM spark_partition_id() of the
+    sorted scan, so the frame's row count equals the sort exchange's
+    partition count (cluster width) and cannot grow with the data. A
+    future edit that re-keys the pinned aggregate onto a data column
+    fails here instead of hiding behind the adjudication prose."""
+    bad = []
+    for c, s in res.get("pin_subtrees", []):
+        if c != "keyed_agg_scaled":
+            continue
+        m = re.search(r"Aggregate \[(\w+)#", s)
+        key = m.group(1) if m else None
+        if not (key and re.search(rf"SPARK_PARTITION_ID\(\) AS {re.escape(key)}#", s)):
+            bad.append(s.splitlines()[0][:100])
+    if bad:
+        return (
+            "pinned keyed aggregate is not keyed on SPARK_PARTITION_ID() "
+            f"— unbounded key domain: {bad}"
+        )
+    return None
+
+
 _PRIORITY_DOMAIN = _spec_domain_validator("orders", "o_orderpriority", 5)
 _TYPE_DOMAIN = _spec_domain_validator("events", "event_type", 8)
 
@@ -395,6 +426,9 @@ ADJUDICATION_BOUND_VALIDATORS: dict = {
     "sim_hybrid_rrf": _query_side_pin_validator,
     "sim_maxsim": _query_side_pin_validator,
     "sim_knn_eval": _query_side_pin_validator,
+    # structural pin: the rank-percentile offsets table must stay keyed
+    # on spark_partition_id() (cluster-width rows)
+    "stats_histogram": _partition_id_key_validator,
 }
 
 
