@@ -293,21 +293,21 @@ assert len(_CERT_FIRST_ROUND10) == 50, len(_CERT_FIRST_ROUND10)
 _missing10 = [n for n in _CERT_FIRST_ROUND10 if n not in ALL_QUERIES]
 assert not _missing10, f"_CERT_FIRST_ROUND10 names not in registry: {_missing10}"
 
-# ROUND-11 WINDOW (ACTIVE — swapped in at round-11 start per VERDICT
-# r10 next-round #1, after CORRECTNESS_r10.json landed 50/50
-# hash-green) / ROUND-12 WINDOW (pre-staged; swap in at round-12
-# start): with every oracle-backed query driver-certified after round
-# 10, later rounds re-certify earlier windows under the then-final
-# engine — the rounds-8/9 treadmill continued. Round 11 re-proves the
-# round-5 window with ONE slot swapped: events_topk_users (its re-cert
-# slot was displaced by the round-8 re-cut when dedup_signature_health
-# moved forward; its last driver row is r3, the stalest in the ledger)
-# takes tpch_q13's slot (q13 already holds r1 + r5 driver rows and
-# stays eligible for rounds 13+). Round 12 re-proves the round-6 window
-# verbatim. Both source windows contained zero rows-only slots by
-# construction (the round-4 lesson). Validated by
-# tests/test_oracle_queries.py::test_round11_window_active and
-# ::test_round12_window_prestage.
+# ROUND-11 WINDOW (historical record — CORRECTNESS_r11.json: 50/50
+# hash-green) / ROUND-12 WINDOW (ACTIVE — swapped in at round-12 start
+# per VERDICT r11 next-round #2, after CORRECTNESS_r11.json landed
+# 50/50 hash-green): with every oracle-backed query driver-certified
+# after round 10, later rounds re-certify earlier windows under the
+# then-final engine — the rounds-8/9 treadmill continued. Round 11
+# re-proved the round-5 window with ONE slot swapped: events_topk_users
+# (its re-cert slot was displaced by the round-8 re-cut when
+# dedup_signature_health moved forward; its last driver row was r3, the
+# stalest in the ledger) took tpch_q13's slot (q13 already holds r1 +
+# r5 driver rows and stays eligible for rounds 13+). Round 12 re-proves
+# the round-6 window verbatim. Both source windows contained zero
+# rows-only slots by construction (the round-4 lesson). Validated by
+# tests/test_oracle_queries.py::test_round11_window_historical and
+# ::test_round12_window_active.
 _CERT_FIRST_ROUND11 = [
     "events_topk_users" if n == "tpch_q13" else n
     for n in _CERT_FIRST_ROUND5
@@ -337,11 +337,10 @@ _missing13 = [n for n in _CERT_FIRST_ROUND13 if n not in ALL_QUERIES]
 assert not _missing13, f"_CERT_FIRST_ROUND13 names not in registry: {_missing13}"
 
 # Active window: the driver certifies the FIRST 50 registry entries in
-# insertion order — reorder the registry so the round-11 window leads.
-# All 50 are re-certifications of r1-r5 driver rows under the final
-# post-policy engine (49 round-5 re-proves + the events_topk_users
-# r3-row retirement).
-_CERT_FIRST = _CERT_FIRST_ROUND11
+# insertion order — reorder the registry so the round-12 window leads.
+# All 50 are re-certifications of the round-6 window (r1-r6 driver
+# rows) under the final post-policy engine.
+_CERT_FIRST = _CERT_FIRST_ROUND12
 _first = set(_CERT_FIRST)
 ALL_QUERIES = {
     **{n: ALL_QUERIES[n] for n in _CERT_FIRST},

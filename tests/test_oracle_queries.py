@@ -361,22 +361,18 @@ def test_round10_window_historical():
     )
 
 
-def test_round11_window_active():
-    """The round-11 certification window (ACTIVE — swapped in at
-    round-11 start per VERDICT r10 next-round #1, after
-    CORRECTNESS_r10.json landed 50/50): the round-5 window with exactly
-    one slot swapped — events_topk_users (whose re-cert slot was
-    displaced by the round-8 re-cut; its r3 driver row is the stalest
-    in the ledger) displaces the twice-proven tpch_q13. 50 unique
-    oracle-backed entries, no rows-only member."""
+def test_round11_window_historical():
+    """The round-11 certification window (historical —
+    CORRECTNESS_r11.json: 50/50 hash-green): the round-5 window with
+    exactly one slot swapped — events_topk_users (whose re-cert slot
+    was displaced by the round-8 re-cut; its r3 driver row was the
+    stalest in the ledger) displaced the twice-proven tpch_q13. 50
+    unique oracle-backed entries, no rows-only member."""
     from ballista_mvp_spark.queries import (
-        _CERT_FIRST,
         _CERT_FIRST_ROUND5,
         _CERT_FIRST_ROUND11,
     )
 
-    assert _CERT_FIRST is _CERT_FIRST_ROUND11  # the swap happened
-    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND11  # driver sees it
     assert set(_CERT_FIRST_ROUND11) - set(_CERT_FIRST_ROUND5) == {
         "events_topk_users"
     }
@@ -386,16 +382,21 @@ def test_round11_window_active():
     assert set(_CERT_FIRST_ROUND11) <= set(ALL_ORACLES)
 
 
-def test_round12_window_prestage():
-    """The pre-staged round-12 re-certification window: the round-6
-    window verbatim (50 unique oracle-backed entries, no rows-only
-    member) — the post-round-10 treadmill that re-proves every earlier
-    driver row under the then-final engine."""
+def test_round12_window_active():
+    """The round-12 certification window (ACTIVE — swapped in at
+    round-12 start per VERDICT r11 next-round #2, after
+    CORRECTNESS_r11.json landed 50/50): the round-6 window verbatim
+    (50 unique oracle-backed entries, no rows-only member) — the
+    post-round-10 treadmill that re-proves every earlier driver row
+    under the then-final engine."""
     from ballista_mvp_spark.queries import (
+        _CERT_FIRST,
         _CERT_FIRST_ROUND6,
         _CERT_FIRST_ROUND12,
     )
 
+    assert _CERT_FIRST is _CERT_FIRST_ROUND12  # the swap happened
+    assert list(ALL_QUERIES)[:50] == _CERT_FIRST_ROUND12  # driver sees it
     assert _CERT_FIRST_ROUND12 == _CERT_FIRST_ROUND6
     assert len(_CERT_FIRST_ROUND12) == 50
     assert len(set(_CERT_FIRST_ROUND12)) == 50
