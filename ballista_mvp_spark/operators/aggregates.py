@@ -56,9 +56,10 @@ def exact_percentiles_ranked(
 ) -> DataFrame:
     """Exact interpolated percentiles of one numeric column as a 1-row
     DataFrame with an array column — value-identical to
-    ``F.percentile(value_col, array(ps))`` but computed by distributed
-    sort + two-phase rank selection (r11 optimization, guide §1.2
-    "the distributed algorithm").
+    ``F.percentile(value_col, array(ps))`` but computed by
+    deterministic value-bucketing + within-bucket sort + two-phase
+    rank selection (r11 optimization, restructured r12 for structural
+    rank coherence; guide §1.2 "the distributed algorithm").
 
     Why not the built-in: ``Percentile`` aggregates a value→count
     OpenHashMap per partition and merges ALL distinct values into ONE
@@ -66,12 +67,14 @@ def exact_percentiles_ranked(
     is a single-task sort of the whole column (measured r11:
     l_extendedprice at sf0.1 is 583k distinct of 600k rows, bounds pass
     1.8-2.6 s), and at 100 TB the one buffer simply does not fit. Here
-    the column is range-sort-shuffled (parallel, spills gracefully),
-    ranks are assembled as per-range-partition row_numbers plus
-    broadcast partition-count offsets (two-phase rank — only the
-    partition-count table, cluster-width rows, ever converges to one
-    task), and the ≤2·len(ps) rows holding the rank positions are the
-    only data the final 1-row aggregate sees.
+    each value is assigned a monotone equi-width bucket id (one
+    broadcast min/max pass), buckets are hash-shuffled and sorted
+    LOCALLY (parallel, spills gracefully), ranks are assembled as
+    per-bucket row_numbers plus broadcast bucket-count offsets
+    (two-phase rank — only the bucket-count table, ≤32·cluster-width
+    rows, ever converges to one task), and the ≤2·len(ps) rows holding
+    the rank positions are the only data the final 1-row aggregate
+    sees.
 
     Value identity with the built-in (pinned by
     tests/test_rank_percentile.py on the real corpus + randomized
@@ -80,19 +83,58 @@ def exact_percentiles_ranked(
     Percentile.getPercentile exactly — ``pos = p·(n−1)`` with
     ``(ceil(pos)−pos)·v_floor + (pos−floor(pos))·v_ceil`` and the
     floor==ceil short-circuit — in the same double precision, so the
-    result is bit-equal, not just close. Ties across range-partition
+    result is bit-equal, not just close. Ties across bucket
     boundaries are safe: equal values yield equal rank candidates.
-    Both DAG branches read the SAME sorted Dataset, so the range
-    exchange is planned once and reused (ReusedExchange / AQE stage
-    reuse); the rank offsets therefore see the exact partitioning the
-    row_numbers ran on. Caller contract: non-empty input (the built-in
-    returns NULL there; this returns a row of NULLs)."""
-    s = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(value_col).alias("_v"))
-        .orderBy("_v")
-        .select("_v", F.spark_partition_id().alias("_pid"))
+
+    Rank coherence (r12, VERDICT r11 #3): the partition key ``_pid``
+    is a DETERMINISTIC FUNCTION OF THE VALUE — an equi-width bucket
+    over [min/2, max/2] of the finite values (halving keeps every
+    intermediate finite for finite doubles; /2 and the affine map are
+    monotone, so bucket i's values never exceed bucket j's for i<j;
+    NaN/+inf pin to the top bucket, −inf to bucket 0, matching
+    Spark's double ordering) — so the offsets branch and the
+    row_number branch agree on every row's bucket even if they
+    re-execute the subtree with exchange reuse disabled. The r11 form
+    keyed on ``spark_partition_id()`` of a range sort, which made the
+    offsets/row_number agreement depend on the two DAG branches
+    sharing ONE exchange execution (ReusedExchange — true under
+    default configs, but a runtime property, not a structural one).
+    tests/test_rank_percentile.py pins bit-equality under
+    ``spark.sql.exchange.reuse=false``. The bucket domain is
+    32·defaultParallelism ids (cluster-width, data-independent), so
+    the broadcast offsets table stays cluster-bound at 100 TB; a
+    skewed bucket degrades to a bigger sort task, never to a wrong
+    rank. Caller contract: non-empty input (the built-in returns NULL
+    there; this returns a row of NULLs)."""
+    nb = 32 * df.sparkSession.sparkContext.defaultParallelism
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
     )
+    vd = F.col("_v").cast("double")
+    finite = ~F.isnan(vd) & (vd > float("-inf")) & (vd < float("inf"))
+    st = vals.agg(
+        (F.min(F.when(finite, vd)) / 2).alias("_lo2"),
+        (F.max(F.when(finite, vd)) / 2 - F.min(F.when(finite, vd)) / 2).alias(
+            "_span"
+        ),
+    )
+    pid = (
+        F.when(F.isnan(vd) | (vd == float("inf")), F.lit(nb - 1))
+        .when(
+            (vd == float("-inf"))
+            | F.col("_span").isNull()
+            | (F.col("_span") <= 0),
+            F.lit(0),
+        )
+        .otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor((vd / 2 - F.col("_lo2")) / F.col("_span") * nb),
+            )
+        )
+        .cast("int")
+    )
+    s = vals.crossJoin(F.broadcast(st)).select("_v", pid.alias("_pid"))
     cnts = s.groupBy("_pid").agg(F.count("*").alias("_c"))
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     w_all = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)

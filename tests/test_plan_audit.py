@@ -250,12 +250,14 @@ def test_query_side_bound_rejects_corpus_side_pin(spark):
     assert _query_side_pin_validator(spark, SF_SMALL, res_ok) is None
 
 
-def test_partition_id_bound_rejects_data_keyed_pin(spark):
-    """Negative control for the r11 rank-percentile adjudication: the
-    pinned offsets aggregate must be keyed on spark_partition_id();
-    re-keying it onto a DATA column (unbounded domain) must flag, and
-    the shipped stats_histogram shape must pass."""
-    from plan_audit import _partition_id_key_validator
+def test_bucket_id_bound_rejects_data_keyed_pin(spark):
+    """Negative control for the rank-percentile adjudication (r11,
+    re-keyed r12): the pinned offsets aggregate must be keyed on the
+    clamped deterministic bucket id (least(32·defaultParallelism − 1,
+    FLOOR(...))); re-keying it onto an unclamped DATA column
+    (unbounded domain) must flag, and the shipped stats_histogram
+    shape must pass."""
+    from plan_audit import _bucket_id_key_validator
 
     from ballista_mvp_spark.queries import ALL_QUERIES
     from ballista_mvp_spark.tables import load_table
@@ -266,10 +268,10 @@ def test_partition_id_bound_rejects_data_keyed_pin(spark):
     j = li.join(F.broadcast(bad_offs), "l_partkey")
     res = audit_query(j)
     assert any(c == "keyed_agg_scaled" for c, _ in res["pins"]), res["pins"]
-    err = _partition_id_key_validator(spark, SF_SMALL, res)
-    assert err is not None and "SPARK_PARTITION_ID" in err, err
+    err = _bucket_id_key_validator(spark, SF_SMALL, res)
+    assert err is not None and "bucket id" in err, err
 
     # RIGHT shape: the shipped query's pin passes its own validator
     res_ok = audit_query(ALL_QUERIES["stats_histogram"](spark, SF_SMALL))
     assert any(c == "keyed_agg_scaled" for c, _ in res_ok["pins"])
-    assert _partition_id_key_validator(spark, SF_SMALL, res_ok) is None
+    assert _bucket_id_key_validator(spark, SF_SMALL, res_ok) is None

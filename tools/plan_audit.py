@@ -271,10 +271,11 @@ ADJUDICATED_KEYED_AGG_PINS: dict[str, str] = {
     ),
     "stats_histogram": (
         "pinned side is the two-phase-rank OFFSETS table of "
-        "exact_percentiles_ranked (r11): a keyed aggregate whose "
-        "grouping key is spark_partition_id() of the sorted scan — "
-        "row count = the sort exchange's partition count (cluster "
-        "width), growing with the CLUSTER, not the data volume"
+        "exact_percentiles_ranked (r11, re-keyed r12): a keyed "
+        "aggregate whose grouping key is the deterministic equi-width "
+        "bucket id, clamped by least(32*defaultParallelism - 1, ...) "
+        "— row count ≤ 32·cluster width by construction, growing with "
+        "the CLUSTER, not the data volume"
     ),
 }
 
@@ -384,26 +385,38 @@ def _query_side_pin_validator(spark, sf_dir: str, res: dict) -> str | None:
     return None
 
 
-def _partition_id_key_validator(spark, sf_dir: str, res: dict) -> str | None:
+def _bucket_id_key_validator(spark, sf_dir: str, res: dict) -> str | None:
     """Bound: the pinned keyed aggregate is the two-phase-rank OFFSETS
     table (operators/aggregates.exact_percentiles_ranked) — its
-    grouping key must be DERIVED FROM spark_partition_id() of the
-    sorted scan, so the frame's row count equals the sort exchange's
-    partition count (cluster width) and cannot grow with the data. A
-    future edit that re-keys the pinned aggregate onto a data column
-    fails here instead of hiding behind the adjudication prose."""
+    grouping key must be DERIVED FROM the deterministic equi-width
+    bucket expression, whose domain is clamped to
+    32·defaultParallelism ids by a least(nb-1, FLOOR(...)) literal, so
+    the frame's row count is cluster-bound and cannot grow with the
+    data (r12 re-key: the r11 form used spark_partition_id() of a
+    range sort, which also made rank coherence depend on
+    ReusedExchange). A future edit that re-keys the pinned aggregate
+    onto an unclamped data column fails here instead of hiding behind
+    the adjudication prose."""
+    nb = 32 * spark.sparkContext.defaultParallelism
     bad = []
     for c, s in res.get("pin_subtrees", []):
         if c != "keyed_agg_scaled":
             continue
         m = re.search(r"Aggregate \[(\w+)#", s)
         key = m.group(1) if m else None
-        if not (key and re.search(rf"SPARK_PARTITION_ID\(\) AS {re.escape(key)}#", s)):
+        if not (
+            key
+            and re.search(
+                rf"least\({nb - 1}, FLOOR\(.*\)\) as int\) END AS {re.escape(key)}#",
+                s,
+            )
+        ):
             bad.append(s.splitlines()[0][:100])
     if bad:
         return (
-            "pinned keyed aggregate is not keyed on SPARK_PARTITION_ID() "
-            f"— unbounded key domain: {bad}"
+            "pinned keyed aggregate is not keyed on the clamped "
+            f"least({nb - 1}, FLOOR(...)) bucket id — unbounded key "
+            f"domain: {bad}"
         )
     return None
 
@@ -427,8 +440,8 @@ ADJUDICATION_BOUND_VALIDATORS: dict = {
     "sim_maxsim": _query_side_pin_validator,
     "sim_knn_eval": _query_side_pin_validator,
     # structural pin: the rank-percentile offsets table must stay keyed
-    # on spark_partition_id() (cluster-width rows)
-    "stats_histogram": _partition_id_key_validator,
+    # on the clamped deterministic bucket id (≤32·cluster-width rows)
+    "stats_histogram": _bucket_id_key_validator,
 }
 
 
