@@ -129,18 +129,57 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     help here: its byte-based coalescing would *merge* these partitions,
     byte size being the wrong cost model for compute-bound stages.)
 
-    Apply ONLY to scan-shaped inputs (scan/filter/project, no shuffle
+    Applies ONLY to scan-shaped inputs (scan/filter/project, no shuffle
     upstream): the partition probe is `df.rdd.getNumPartitions()`, and
     under AQE converting a shuffling plan to an RDD MATERIALIZES its
     query stages — an eager hidden job at plan-construction time
     (measured r11: +12 s cold on a windowed-sample input) — while tiny
     derived inputs also make the extra round-robin exchange a net loss
     (sim_ann_ivf 2.3→3.3 s warm; both sites reverted, see
-    OPTIMIZATION_r11.md)."""
+    OPTIMIZATION_r11.md). r12 (VERDICT r11 #4): the contract is now
+    MECHANICAL, not a docstring convention — the analyzed logical plan
+    is walked (driver-side tree inspection, no job) and anything
+    beyond scan/filter/project/alias nodes makes the helper a NO-OP
+    before the `.rdd` probe is ever touched, so a future call site on
+    a shuffling input degrades to "not spread" instead of silently
+    re-triggering the hidden-job hazard
+    (tests/test_similarity_unroll.py::test_spread_refuses_shuffling_input)."""
+    if not _scan_shaped(df):
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+# analyzed-plan node classes that cannot hide an upstream shuffle or an
+# eager AQE query stage: pure per-row pipelining over a source scan
+_SCAN_SHAPED_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "LogicalRelation",  # DataSource v1 file scan
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "SubqueryAlias",
+        "View",
+    }
+)
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True iff every node of the ANALYZED logical plan is a
+    scan/filter/project/alias — the only shapes `spread_small_scan` may
+    `.rdd`-probe and repartition (see its docstring). Walks the JVM
+    plan tree directly: O(nodes) py4j calls, no Spark job."""
+
+    def walk(p) -> bool:
+        if p.getClass().getSimpleName() not in _SCAN_SHAPED_NODES:
+            return False
+        ch = p.children()
+        return all(walk(ch.apply(i)) for i in range(ch.size()))
+
+    return walk(df._jdf.queryExecution().analyzed())
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:

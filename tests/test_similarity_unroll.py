@@ -108,3 +108,37 @@ def test_text_rendered_unroll_matches_column_fallback(emb):
     pt = text._jdf.queryExecution().analyzed().canonicalized().toString()
     pm = manual._jdf.queryExecution().analyzed().canonicalized().toString()
     assert pt == pm
+
+
+def test_spread_refuses_shuffling_input(spark):
+    """r12 (VERDICT r11 #4): spread_small_scan's scan-shaped-input
+    contract is mechanical — a shuffling/derived plan is returned
+    UNCHANGED (identity, so no `.rdd` probe and no hidden AQE stage
+    materialization), while a small scan-shaped input still gets the
+    round-robin spread."""
+    from pyspark.sql import functions as F
+
+    from ballista_mvp_spark.operators.similarity import (
+        _scan_shaped,
+        spread_small_scan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # scan-shaped inputs: scan, projected/filtered/aliased scan
+    scanish = emb.select("vec_id", "embedding").filter(F.col("vec_id") >= 0)
+    assert _scan_shaped(emb) and _scan_shaped(scanish.alias("s"))
+    spread = spread_small_scan(scanish)
+    assert spread is not scanish  # the spread happened (tiny scan)
+    assert "Repartition" in spread._jdf.queryExecution().analyzed().treeString()
+    # shuffling shapes: aggregate, window-sample, join, repartition
+    agg = emb.groupBy("vec_id").count()
+    win = emb.withColumn(
+        "_r",
+        F.row_number().over(
+            __import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("vec_id")
+        ),
+    )
+    joined = emb.join(emb.select(F.col("vec_id").alias("_q")), F.col("vec_id") == F.col("_q"))
+    for bad in (agg, win, joined, emb.repartition(2), emb.limit(5)):
+        assert not _scan_shaped(bad)
+        assert spread_small_scan(bad) is bad  # identity no-op, no probe
