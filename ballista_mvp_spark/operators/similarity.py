@@ -229,12 +229,33 @@ def _plain_name(c: Column) -> str | None:
     return m.group(1) if m else None
 
 
-def _dot_sql(an: str, bn: str, dim: int) -> str:
+# Whole-stage-codegen EJECTOR seed (r12): `aggregate` is a higher-order
+# function, i.e. CodegenFallback — ANY expression containing one
+# disqualifies its operator from whole-stage codegen, so the operator
+# runs standalone with its OWN generated projection, where expressions
+# split into <8 KB methods bound to the input row and HotSpot JITs
+# them. Folding an EMPTY array returns the zero element, so this IS
+# bit-exact 0.0D (validated: SELECT aggregate(array(), 0.0D,
+# (acc,v)->acc) = 0.0) and the per-row cost is one empty fold. Used to
+# seed the unrolled dot in O(n²) pair-scoring projections: fused into
+# the join's whole-stage method the ~dim-term chain either overflows
+# janino's 64 KB limit (a failed compile retried on EVERY execution —
+# the r11 residual tax) or compiles into one >8 KB method HotSpot
+# never JITs (measured r12: 3× SLOWER than the failed-compile
+# fallback). The session-wide escape
+# (spark.sql.codegen.hugeMethodLimit=8000) was measured and REJECTED:
+# it costs 5-15% on ordinary bench members (interleaved A/B ×2,
+# OPTIMIZATION_r12.md).
+_EJECT_SEED_SQL = "aggregate(array(), 0.0D, (acc, v) -> acc)"
+
+
+def _dot_sql(an: str, bn: str, dim: int, seed: str = "0.0D") -> str:
     """Text form of the unrolled dot — token-for-token the tree the
     Column loop builds (same left fold from 0.0D, same get() calls), so
     the analyzed plans and therefore the results are identical
-    (tests/test_similarity_unroll.py pins text↔Column↔HOF equality)."""
-    e = "0.0D"
+    (tests/test_similarity_unroll.py pins text↔Column↔HOF equality).
+    ``seed`` replaces the literal zero (see _EJECT_SEED_SQL)."""
+    e = seed
     for i in range(dim):
         e = f"({e} + (get({an}, {i}) * get({bn}, {i})))"
     return e
@@ -276,6 +297,46 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
             f"ELSE 0.0D END"
         )
     d = norm(a, dim) * norm(b, dim)
+    return F.when(d != 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column, dim: int | None = None) -> Column:
+    """`cosine(a, b, dim)` with the two L2 norms read from columns
+    computed BEFORE a pair join instead of re-derived per pair (r12,
+    VERDICT r11 #5 — guide §1.2 "don't compute things you throw away").
+
+    On an O(n²) pair-scoring stage the norms are a per-ROW property
+    recomputed per PAIR: 2·n² norm folds where 2·n suffice — at sf0.1's
+    2M pairs that is ~2/3 of the stage's arithmetic. It is also the
+    janino fix: the r11 unrolled `cosine` inlined dot + both norms
+    (~3·dim get() terms) into the fused BNLJ consume method, which
+    overflowed janino's 64 KB limit, so the FAILED whole-stage compile
+    was retried on every execution and the stage ran interpreted. The
+    pair stage now carries only the dot chain (~dim terms) — it
+    compiles, and the norm folds run once per row on the pre-join
+    projections.
+
+    Value identity: the norm columns are the SAME `norm()` expression
+    evaluated on the same row values (IEEE-deterministic), and this
+    builds the SAME `CASE WHEN (na*nb != 0) THEN dot/(na*nb) ELSE 0.0`
+    tree as `cosine` — results are bit-equal, pinned by
+    tests/test_similarity_unroll.py."""
+    names = [_plain_name(c) for c in (a, b, na, nb)] if dim else [None]
+    if dim and all(names):
+        an, bn, nan_, nbn = names
+        d = f"({nan_} * {nbn})"
+        return F.expr(
+            f"CASE WHEN ({d} != 0) THEN "
+            f"({_dot_sql(an, bn, dim, seed=_EJECT_SEED_SQL)} / {d}) "
+            f"ELSE 0.0D END"
+        )
+    d = na * nb
+    if dim:
+        # Column fallback keeps the same eject-seeded left fold
+        e: Column = F.expr(_EJECT_SEED_SQL)
+        for i in range(dim):
+            e = e + F.get(a, i) * F.get(b, i)
+        return F.when(d != 0, e / d).otherwise(F.lit(0.0))
     return F.when(d != 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
 
 
@@ -546,12 +607,22 @@ def cosine_dup_pairs(
     (limit(cap+1).count()) at DataFrame-construction time — plan-only
     consumers of the unscoped form trigger that O(cap)-row scan on
     every call; pass max_unscoped_rows=None (or `scope`) to stay lazy."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *(
-        [scope.alias("_scope")] if scope is not None else []
-    ))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), *(
-        [scope.alias("_scope")] if scope is not None else []
-    ))
+    # norms are a per-ROW property: compute them on the O(n) side
+    # selects, not per PAIR inside the O(n²) join stage (r12 — see
+    # cosine_from_norms; also shrinks the pair stage's generated code
+    # under janino's 64 KB whole-stage limit, so it compiles again)
+    a = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col), dim).alias("_na"),
+        *([scope.alias("_scope")] if scope is not None else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col), dim).alias("_nb"),
+        *([scope.alias("_scope")] if scope is not None else []),
+    )
     # unscoped all-pairs (the documented sf-scale baseline ONLY): the b
     # side broadcasts explicitly — with the shipped static-threshold-off
     # policy an un-hinted cross join plans CartesianProduct; the pin
@@ -588,7 +659,16 @@ def cosine_dup_pairs(
         ).crossJoin(F.broadcast(b))
     return (
         joined.filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb"), dim), 6).alias("cos_sim"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), dim
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -639,11 +719,36 @@ def lsh_cosine_dup_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    vmap = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm computed once per corpus row on the vector map, not per
+    # candidate pair in the verify stage (r12 — see cosine_from_norms)
+    vmap = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col), dim).alias("_n"),
+    )
     return (
-        pairs.join(vmap.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a")
-        .join(vmap.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb"), dim), 6).alias("cos_sim"))
+        pairs.join(
+            vmap.select(
+                F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("_na")
+            ),
+            "a",
+        )
+        .join(
+            vmap.select(
+                F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("_nb")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), dim
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -720,8 +720,18 @@ def dedup_embedding_det(spark, sf_dir):
     # projections (a pinned broadcast of 10⁹×64 doubles cannot exist);
     # the joins shuffle proportionally to candidates + ids, and AQE
     # still picks broadcast at small scale on its own
-    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # norms computed once per corpus row on the O(n) projections, not
+    # per candidate pair in the verify stage (r12, cosine_from_norms)
+    va = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        S.norm(F.col("embedding"), 64).alias("_na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        S.norm(F.col("embedding"), 64).alias("_nb"),
+    )
     return (
         pairs.join(va, "a")
         .join(vb, "b")
@@ -729,7 +739,12 @@ def dedup_embedding_det(spark, sf_dir):
             "a",
             "b",
             "n_tables",
-            F.round(S.cosine(F.col("va"), F.col("vb"), 64), 6).alias("cos_sim"),
+            F.round(
+                S.cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), 64
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("a", "b")

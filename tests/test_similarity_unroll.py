@@ -142,3 +142,54 @@ def test_spread_refuses_shuffling_input(spark):
     for bad in (agg, win, joined, emb.repartition(2), emb.limit(5)):
         assert not _scan_shaped(bad)
         assert spread_small_scan(bad) is bad  # identity no-op, no probe
+
+
+def test_cosine_from_norms_bit_equal_on_corpus(emb, spark):
+    """r12: the pre-join-norm form (cosine_from_norms + eject seed —
+    the empty-array fold IS 0.0D) must be bit-equal to the inline
+    cosine, text path AND Column-fallback path, including the zero-
+    vector d==0 branch."""
+    df = emb.limit(80).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    zero = spark.createDataFrame(
+        [(9001, [0.0] * 64), (9002, [1.0] + [0.0] * 63)],
+        "vec_id long, embedding array<double>",
+    )
+    df = df.unionByName(zero)
+    a = df.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        S.norm(F.col("embedding"), 64).alias("_na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        S.norm(F.col("embedding"), 64).alias("_nb"),
+    )
+    j = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    inline = j.select("a", "b", S.cosine(F.col("va"), F.col("vb"), 64).alias("c"))
+    # text path: all four args plain column refs
+    pre = j.select(
+        "a", "b",
+        S.cosine_from_norms(
+            F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), 64
+        ).alias("c"),
+    )
+    # Column-fallback path: a non-plain-name arg (_na * 1.0 is an IEEE
+    # identity) forces the Column-composition branch
+    pre_fb = j.select(
+        "a", "b",
+        S.cosine_from_norms(
+            F.col("va"),
+            F.col("vb"),
+            F.col("_na") * F.lit(1.0),
+            F.col("_nb"),
+            64,
+        ).alias("c"),
+    )
+    rows_i = {(r.a, r.b): r.c for r in inline.collect()}
+    rows_p = {(r.a, r.b): r.c for r in pre.collect()}
+    rows_f = {(r.a, r.b): r.c for r in pre_fb.collect()}
+    assert rows_i == rows_p  # exact ==: bit-equality contract
+    assert rows_i == rows_f  # _na*1.0 is IEEE-identity; fallback path pinned
