@@ -149,24 +149,25 @@ def exact_percentiles_ranked(
         .join(F.broadcast(offs), "_pid")
         .select("_v", (F.col("_lr") + F.col("_off")).alias("_r"), "_n")
     )
-    keep = F.lit(False)
-    aggs = [F.max("_n").alias("_n")]
+    # the per-percentile selection/interpolation trees are rendered as
+    # SQL text — one parse instead of ~25 py4j round trips per cut
+    # point (the r11 Change-9 driver-tax discipline; the trees are the
+    # same ops in the same order, bit-equality pinned by
+    # tests/test_rank_percentile.py)
+    def _pos(p: float) -> str:
+        return f"({float(p)!r}D * CAST((_n - 1) AS DOUBLE))"
+
+    keeps, aggs, outs = [], ["max(_n) AS _n"], []
     for i, p in enumerate(ps):
-        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
-        lo_r, hi_r = F.floor(pos) + 1, F.ceil(pos) + 1
-        keep = keep | (F.col("_r") == lo_r) | (F.col("_r") == hi_r)
-        aggs.append(F.max(F.when(F.col("_r") == lo_r, F.col("_v"))).alias(f"_lo{i}"))
-        aggs.append(F.max(F.when(F.col("_r") == hi_r, F.col("_v"))).alias(f"_hi{i}"))
-    got = g.filter(keep).agg(*aggs)
-    outs = []
-    for i, p in enumerate(ps):
-        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
-        lo_pos = F.floor(pos).cast("double")
-        hi_pos = F.ceil(pos).cast("double")
-        lo_v, hi_v = F.col(f"_lo{i}"), F.col(f"_hi{i}")
+        pos = _pos(p)
+        lo_r, hi_r = f"(FLOOR({pos}) + 1)", f"(CEIL({pos}) + 1)"
+        keeps.append(f"(_r = {lo_r}) OR (_r = {hi_r})")
+        aggs.append(f"max(CASE WHEN (_r = {lo_r}) THEN _v END) AS _lo{i}")
+        aggs.append(f"max(CASE WHEN (_r = {hi_r}) THEN _v END) AS _hi{i}")
+        lo_pos, hi_pos = f"CAST(FLOOR({pos}) AS DOUBLE)", f"CAST(CEIL({pos}) AS DOUBLE)"
         outs.append(
-            F.when(lo_pos == hi_pos, lo_v).otherwise(
-                (hi_pos - pos) * lo_v + (pos - lo_pos) * hi_v
-            )
+            f"CASE WHEN ({lo_pos} = {hi_pos}) THEN _lo{i} "
+            f"ELSE ((({hi_pos} - {pos}) * _lo{i}) + (({pos} - {lo_pos}) * _hi{i})) END"
         )
-    return got.select(F.array(*outs).alias(out_col))
+    got = g.filter(F.expr(" OR ".join(keeps))).agg(*[F.expr(a) for a in aggs])
+    return got.selectExpr(f"array({', '.join(outs)}) AS {out_col}")
