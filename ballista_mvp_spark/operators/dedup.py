@@ -743,23 +743,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nc").alias("nbr_min"))
         )
+        # the convergence flag is computed INSIDE the relabel projection
+        # (old comp is already on the join row), so the per-round
+        # changed-test scans the checkpointed result instead of paying a
+        # second shuffle join against the previous labels (r12, VERDICT
+        # r11 #7 — one shuffle per round removed)
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+        )
         new = (
             labels.join(nbr.select(F.col("a").alias("id"), "nbr_min"), "id", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias(
-                    "comp"
-                ),
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.select("id", F.col("comp").alias("old")), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             converged = True
             break
