@@ -347,22 +347,44 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int | None = None,
+    hoist_norms: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query. Output: (query_id, neighbor_id,
     cos_sim, rank). Self-matches excluded. Pass `dim` when the vector
     width is statically known — the scoring loop then runs as codegen'd
-    arithmetic instead of interpreted HOFs (see `dot`)."""
+    arithmetic instead of interpreted HOFs (see `dot`).
+
+    `hoist_norms` (r12, measured decision — the `dim` convention):
+    norms computed once per row on the side selects instead of per
+    pair. WINS on single/few-partition sample inputs where one task
+    scores a dense pair block (sim_knn_eval 1.31→0.96, sim_ranking_
+    metrics 1.50→1.05 warm, interleaved ×2); LOSES ~10-18% on the
+    spread-corpus × tiny-query-set shape (sim_topk 0.71→0.79,
+    sim_hybrid_rrf 1.23→1.48) where per-task pair blocks are small and
+    the per-row fold + wider rows outweigh the per-pair savings —
+    those call sites pass False and keep their r11-measured shape."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        *([norm(F.col(vec_col), dim).alias("_nq")] if hoist_norms else []),
     )
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        *([norm(F.col(vec_col), dim).alias("_nc")] if hoist_norms else []),
+    )
+    score = (
+        cosine_from_norms(F.col("qv"), F.col("cv"), F.col("_nq"), F.col("_nc"), dim)
+        if hoist_norms
+        else cosine(F.col("qv"), F.col("cv"), dim)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
+            F.round(score, 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -400,17 +422,31 @@ def maxsim_topk(
     qpos = (
         F.col(pos_col) if pos_col is not None else F.monotonically_increasing_id()
     )
+    # norms hoisted to the per-row selects (r12) — same rationale as
+    # brute_force_topk: the guard's norm folds were paid per (qvec,
+    # corpus-vector) pair, twice each on the interpreted path
     q = query_vecs.select(
         F.col(doc_col).alias("query_id"),
         qpos.alias("_qpos"),
         F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col), dim).alias("_nq"),
     )
-    d = doc_vecs.select(F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("_dv"))
+    d = doc_vecs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(vec_col).alias("_dv"),
+        norm(F.col(vec_col), dim).alias("_nd"),
+    )
     per_qvec = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id", "_qpos")
-        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"), dim)).alias("_mx"))
+        .agg(
+            F.max(
+                cosine_from_norms(
+                    F.col("_qv"), F.col("_dv"), F.col("_nq"), F.col("_nd"), dim
+                )
+            ).alias("_mx")
+        )
     )
     scores = per_qvec.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("_mx"), 6).alias("score")

@@ -3420,7 +3420,10 @@ def sim_topk(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 8)
     return S.brute_force_topk(
-        S.spread_small_scan(emb), queries, "vec_id", "embedding", k=5
+        # hoist_norms=False: the spread-corpus × 8-query shape measured
+        # it a ~10% loss (see brute_force_topk docstring, r12)
+        S.spread_small_scan(emb), queries, "vec_id", "embedding", k=5,
+        hoist_norms=False,
     )
 
 
@@ -3820,6 +3823,9 @@ def sim_hybrid_rrf(spark, sf_dir):
         S.brute_force_topk(
             S.spread_small_scan(emb), emb.filter(F.col("vec_id") == 0),
             "vec_id", "embedding", k=20,
+            # hoist_norms=False: same spread-corpus shape as sim_topk
+            # (r12 measured loss — brute_force_topk docstring)
+            hoist_norms=False,
         )
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
     )
