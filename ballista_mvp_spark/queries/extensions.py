@@ -4824,11 +4824,16 @@ def text_langid_confusion(spark, sf_dir):
     emits the per-doc predictions; this rolls them into the
     quality-report form: true × predicted counts and per-true-language
     recall). Same deterministic scorer (TX.predict_lang), one (true,
-    pred) groupBy + a per-true-language total broadcast back."""
+    pred) groupBy + a per-true-language total broadcast back. r12: the
+    totals derive from the confusion matrix itself (counts partition
+    by construction) instead of a SECOND predict_lang pass over the
+    corpus — one full scoring scan removed (guide §2.4 / §1.2 "don't
+    compute things you throw away"; the two branches shared no
+    exchange: different grouping keys)."""
     docs = _t(spark, sf_dir, "documents")
     pred = docs.select("lang", TX.predict_lang(F.col("text")).alias("pred_lang"))
     cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
-    tot = pred.groupBy("lang").agg(F.count("*").alias("_t"))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("_t"))
     return (
         cm.join(F.broadcast(tot), "lang")
         .select(
